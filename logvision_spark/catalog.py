@@ -1,0 +1,627 @@
+"""Query catalog: every operator from SURVEY.md §2 as a (PySpark builder,
+DuckDB oracle SQL) pair, keyed by a stable query name.
+
+This is the engine's public query surface *and* the driver's correctness
+contract (`__spark_entry__.queries()` / `oracle_sql()` re-export it).
+
+Determinism rules (so the order-insensitive value-hash compare can be exact
+instead of approximate):
+- Counts stay integral; DuckDB `sum()` returns HUGEINT so oracles CAST to
+  BIGINT to match Spark's LongType.
+- Money/measure arithmetic runs in integer units (`round(x*100)` cents),
+  summed exactly as BIGINT, with ONE final division to double — both
+  engines then perform identical correctly-rounded IEEE ops, giving
+  bit-identical doubles regardless of partitioning / summation order.
+- Continuous values (cosine similarities) are rounded to 6 decimals; FP
+  noise is ~1e-15 so the rounding boundary is never in play.
+- Every ORDER BY ... LIMIT carries a unique-key tie-break, so the selected
+  row *set* is deterministic.
+- Timestamps: `events.ts` is parquet TIMESTAMP(NANOS); both engines
+  truncate to micros (see sources/readers.py).
+
+Scale notes live on each builder — the sf0.01 oracle checks correctness,
+but the plan shapes (partial agg, broadcast joins, TakeOrdered top-k,
+single-pass conditional aggregates) are chosen for the 100 TB target.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logvision_spark.operators.aggregations import status_class_counts
+from logvision_spark.operators.joins import timeline_full_outer, union_labeled
+from logvision_spark.operators.topk import ranked, top_k
+from logvision_spark.sources.readers import load_table
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+CATALOG: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        CATALOG[name] = CatalogEntry(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def cents(col: str | Column) -> Column:
+    """Exact integer-units representation of a 2-decimal measure."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# A* — aggregations (SURVEY.md §2.4) phrased over the `events` stream table
+# (ts/user_id/event_type/value ≈ the log's ts/host/req_method/bytes).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_global_count",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS cnt FROM events",
+    doc="A1: total record count (streaming.scala:93-95).",
+)
+def a1_global_count(spark, sf_dir):
+    return _t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "a2_size_kb",
+    oracle="SELECT CAST(sum(length(props)) AS BIGINT) / 1024.0 AS size_kb FROM events",
+    doc="A2: payload size in KB via sum(length) — not the reference's "
+    "per-char explosion (streaming.scala:98-101).",
+)
+def a2_size_kb(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg((F.sum(F.length("props")) / F.lit(1024.0)).alias("size_kb"))
+
+
+@register(
+    "a3_count_by_user",
+    oracle="SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id",
+    doc="A3-A5: per-key counter (streaming.scala:104-114). Partial agg "
+    "collapses hot keys map-side; only (key, partial) rows shuffle.",
+)
+def a3_count_by_user(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "a6_count_by_second",
+    oracle="SELECT date_trunc('second', ts) AS second, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM events GROUP BY 1",
+    doc="A6: per-second event-time buckets (streaming.scala:117-119).",
+)
+def a6_count_by_second(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("second", F.col("ts")).alias("second")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "a7_count_by_type",
+    oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type",
+    doc="A7-A10: categorical counters (streaming.scala:122-139).",
+)
+def a7_count_by_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "a11_value_sum",
+    oracle="SELECT CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 "
+    "AS total_value FROM events",
+    doc="A11 (sane variant): exact sum of a 2-decimal measure via integer "
+    "cents (streaming.scala:142-149; the faithful int-div variant is "
+    "operators.aggregations.sum_mb_faithful).",
+)
+def a11_value_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg((F.sum(cents("value")) / F.lit(100.0)).alias("total_value"))
+
+
+@register(
+    "a15_distinct_users",
+    oracle="SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events",
+    doc="A15/A16: distinct visitors (app.py:100). Exact here for the oracle; "
+    "the engine default is approx_count_distinct (HLL++) for the 100 TB path "
+    "— no shuffle of raw members.",
+)
+def a15_distinct_users(spark, sf_dir):
+    return _t(spark, sf_dir, "events").agg(
+        F.count_distinct(F.col("user_id")).alias("distinct_users")
+    )
+
+
+@register(
+    "a18_error_split",
+    oracle="SELECT CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS error_cnt, CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS ok_cnt FROM events",
+    doc="F3/A18: success-vs-other split as ONE conditional aggregate pass "
+    "(the reference sums ZSET scores client-side, app.py:87-97).",
+)
+def a18_error_split(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    return ev.agg(
+        F.sum(F.when(is_err, 1).otherwise(0)).cast("long").alias("error_cnt"),
+        F.sum(F.when(~is_err, 1).otherwise(0)).cast("long").alias("ok_cnt"),
+    )
+
+
+@register(
+    "a17_counter_lookup",
+    oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events "
+    "WHERE event_type = 'purchase' GROUP BY event_type",
+    doc="A17: point lookup of one counter member (zscore, app.py:84,106) — "
+    "filter prunes to a single aggregation group.",
+)
+def a17_counter_lookup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F* — filter surface (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_sql_filter",
+    oracle="SELECT event_id, user_id, event_type, value FROM events "
+    "WHERE event_type = 'click' AND value > 150.0",
+    doc="F1: SQL-string predicate surface (`where(\"prediction = 0.0\")`, "
+    "streaming.scala:198-200) — Catalyst parses the expression string. "
+    "Raw-column projection: pushdown-eligible, no arithmetic.",
+)
+def f1_sql_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.where("event_type = 'click' AND value > 150.0").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# K* — top-k / ranking (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k2_top14_users",
+    oracle="SELECT user_id, cnt FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM events GROUP BY user_id) ORDER BY cnt DESC, user_id LIMIT 14",
+    doc="K2: top-14 hosts by hits (app.py:185). Plans as TakeOrderedAndProject "
+    "over the agg — k rows per partition move, no global sort.",
+)
+def k2_top14_users(spark, sf_dir):
+    counts = (
+        _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return top_k(counts, "cnt", 14, tiebreak="user_id")
+
+
+@register(
+    "k6_user_ranking",
+    oracle="SELECT user_id, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, user_id) "
+    "AS INTEGER) AS rank FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM events GROUP BY user_id) ORDER BY rank LIMIT 20",
+    doc="K6: rank assignment (the hand-rolled `no += 1` loop, app.py:165-169) "
+    "as row_number over the top-k'd frame — window runs on k rows, not the table.",
+)
+def k6_user_ranking(spark, sf_dir):
+    counts = (
+        _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return ranked(top_k(counts, "cnt", 20, tiebreak="user_id"), "cnt", tiebreak="user_id")
+
+
+@register(
+    "k5_order_scan",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    doc="K5: ordered scan + limit (zrange + client sort, app.py:264-271). "
+    "Raw columns only — exact at any scale.",
+)
+def k5_order_scan(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J* — joins / set ops (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_union_labeled",
+    oracle="SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "SELECT 0 AS label FROM events WHERE event_type = 'error' "
+    "UNION ALL SELECT 1 AS label FROM events WHERE event_type = 'purchase'"
+    ") GROUP BY label",
+    doc="J1: union of labeled subsets (learning.scala:23-25) via unionByName.",
+)
+def j1_union_labeled(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    good = ev.where(F.col("event_type") == "error").select(
+        F.lit(0).cast("int").alias("label")
+    )
+    bad = ev.where(F.col("event_type") == "purchase").select(
+        F.lit(1).cast("int").alias("label")
+    )
+    return union_labeled(good, bad).groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "j2_timeline_full_outer",
+    oracle="""
+WITH e AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS error_cnt
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+     p AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS purchase_cnt
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(e.hour, p.hour) AS hour,
+       COALESCE(error_cnt, 0) AS error_cnt,
+       COALESCE(purchase_cnt, 0) AS purchase_cnt
+FROM e FULL OUTER JOIN p ON e.hour = p.hour
+""",
+    doc="J2: time-axis full outer join of two counter views, zero-filled "
+    "(the Python dict merge at app.py:436-453). Inputs are pre-aggregated — "
+    "join cardinality is #time-buckets at every scale.",
+)
+def j2_timeline_full_outer(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    e = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(hour)
+        .agg(F.count(F.lit(1)).alias("error_cnt"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(hour)
+        .agg(F.count(F.lit(1)).alias("purchase_cnt"))
+    )
+    return timeline_full_outer(e, p, key="hour", good_alias="error_cnt", bad_alias="purchase_cnt")
+
+
+@register(
+    "j3_region_enrich",
+    oracle="""
+SELECT r_name, CAST(count(*) AS BIGINT) AS customer_cnt,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="J3 shape: enrichment via broadcast dimension join (replaces the "
+    "per-IP HTTP geocoder, app.py:136-147). nation/region are broadcast — "
+    "facts never shuffle for the join.",
+)
+def j3_region_enrich(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_cnt"),
+            (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T* — transforms (SURVEY.md §2.2): regex extraction, time formatting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t2_regex_extract",
+    oracle="SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INTEGER) AS k, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1",
+    doc="T2: regex field extraction (the 11-group combined-log parse, "
+    "streaming.scala:75-89, exercised here on the props payload; full parser "
+    "in logvision_spark.parser with golden tests).",
+)
+def t2_regex_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("int").alias("k")
+    return ev.groupBy(k).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "t8_minute_series",
+    oracle="SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute_str, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1",
+    doc="T8: epoch→display-string formatting (app.py:270) fused into the "
+    "per-minute counter.",
+)
+def t8_minute_series(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+        "minute_str"
+    )
+    return ev.groupBy(m).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Q* — relational/star-schema coverage (joins + sorts + grouped measures the
+# serving catalog implies; phrased TPC-H-style over the driver fixtures).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) / 1000000.0 AS sum_charge,
+  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_qty,
+  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="Flagship: TPC-H Q1-shaped pricing summary. One scan, partial+final "
+    "hash agg, 4-6 groups at any scale; all measures exact via integer units.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (
+        cents("l_quantity"),
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(price) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(price * (F.lit(100) - disc)) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(price * (F.lit(100) - disc) * (F.lit(100) + tax)) / F.lit(1000000.0)).alias(
+                "sum_charge"
+            ),
+            (F.sum(qty) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(disc) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: selective 3-way join + grouped revenue + top-10. "
+    "customer qualifies ~1/5 and broadcasts; order/lineitem join is the "
+    "only shuffle; TakeOrdered caps the sort.",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle="""
+SELECT n_name,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape: star join (two broadcast dims + one fact-fact "
+    "shuffle join) with grouped revenue per nation.",
+)
+def q5_nation_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D*/X* — training-data pipeline extensions: dedup, text analysis,
+# similarity search (north-star operators; SURVEY.md §7 phase 6).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) "
+    "AS dup_cnt FROM documents GROUP BY text",
+    doc="Exact dedup: keep the lowest doc_id per identical text. At scale "
+    "group by a 128-bit content hash instead of the full text to shrink "
+    "shuffle width (operators/dedup.py has the hashed variant).",
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt")
+    ).select("keep_id", "dup_cnt")
+
+
+@register(
+    "text_token_count",
+    oracle="SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS token_cnt "
+    "FROM documents",
+    doc="Text analysis: whitespace token count per document (JVM-side split, "
+    "no Python).",
+)
+def text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("token_cnt"))
+
+
+@register(
+    "text_quality",
+    oracle="""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS token_cnt,
+  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+  CAST(len(list_filter(string_split(text, ' '),
+       t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+""",
+    doc="Text quality scoring: token count, chars/token, stopword ratio — "
+    "single pass of array built-ins.",
+)
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))
+    )
+    return d.select(
+        "doc_id",
+        n.alias("token_cnt"),
+        (F.length("text").cast("double") / n).alias("chars_per_token"),
+        (stop.cast("double") / n).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "sim_top10_vec0",
+    oracle="""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round(
+  list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+  6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+    doc="Similarity search baseline: brute-force cosine top-k against a "
+    "query vector. Query side broadcast; JVM higher-order functions (no "
+    "Python). Scale path = LSH bucketing in operators/similarity.py.",
+)
+def sim_top10_vec0(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    j = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform("qe", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        j.select("vec_id", F.round(dot / (n1 * n2), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "emb_label_counts",
+    oracle="SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM embeddings GROUP BY label",
+    doc="Embedding table sanity aggregate (also exercises array-column scan "
+    "pruning: only `label` is read — check ReadSchema).",
+)
+def emb_label_counts(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.builder for name, e in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in CATALOG.items() if e.oracle is not None}

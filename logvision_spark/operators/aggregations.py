@@ -1,0 +1,102 @@
+"""Aggregation operators A1-A18 (SURVEY.md §2.4).
+
+Every reference aggregation is a hash aggregation by one key with count/sum,
+executed as DStream ``reduceByKey`` then merged across batches via Redis
+``zincrby`` (reference: spark/src/main/scala/streaming.scala:93-173,
+flask/app.py:84-109). Here each is one ``groupBy().agg()``: Catalyst plans
+partial (map-side) + final aggregation automatically — the `reduceByKey`
+combiner the reference hand-codes — and the same builder works on a
+streaming DataFrame in update mode, where Spark's StateStore replaces Redis.
+
+Scale notes:
+- `groupBy(key).count()` over Zipf-skewed keys (host/url) is safe because
+  partial aggregation collapses the hot key map-side before the shuffle;
+  only the already-reduced (key, partial_count) rows move.
+- `distinct_count` defaults to `approx_count_distinct` (HLL++, no shuffle of
+  raw values) with an `exact=True` escape hatch for oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_count(df: DataFrame, alias: str = "cnt") -> DataFrame:
+    """A1: total record count (streaming.scala:93-95)."""
+    return df.agg(F.count(F.lit(1)).alias(alias))
+
+
+def size_kb(df: DataFrame, text_col: str = "raw", alias: str = "size_kb") -> DataFrame:
+    """A2: "log size in KB" — the reference splits every record into single
+    characters and counts them (streaming.scala:98-101); `sum(length())`
+    is the same number without the per-char explosion."""
+    return df.agg(
+        (F.sum(F.length(F.col(text_col))) / F.lit(1024.0)).alias(alias)
+    )
+
+
+def count_by(df: DataFrame, key: str | Column | list, alias: str = "cnt") -> DataFrame:
+    """A3-A10: per-key counters (streaming.scala:104-139). One builder for
+    host/rfc931/username/second-bucket/method/url/protocol/status."""
+    keys = key if isinstance(key, list) else [key]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def count_by_second(df: DataFrame, ts_col: str = "ts", alias: str = "cnt") -> DataFrame:
+    """A6: per-second counters — the log format has second resolution so the
+    reference keys on the raw epoch-ms string (streaming.scala:117-119);
+    typed equivalent is a tumbling 1s bucket."""
+    return (
+        df.groupBy(F.date_trunc("second", F.col(ts_col)).alias("second"))
+        .agg(F.count(F.lit(1)).alias(alias))
+    )
+
+
+def traffic_mb(df: DataFrame, bytes_col: str = "bytes", alias: str = "traffic_mb") -> DataFrame:
+    """A11 (sane variant): total response MB = sum(bytes)/1024/1024 with
+    NULL ('-') bytes contributing 0 (streaming.scala:142-149)."""
+    b = F.col(bytes_col)
+    return df.agg(
+        (F.sum(F.coalesce(b, F.lit(0))) / F.lit(1048576.0)).alias(alias)
+    )
+
+
+def sum_mb_faithful(df: DataFrame, bytes_col: str = "bytes", alias: str = "traffic_mb") -> DataFrame:
+    """A11 (bit-faithful variant): the reference does *integer division
+    per record* before summing — `bytes.toInt/1024/1024`
+    (streaming.scala:145) — so every response under 1 MiB contributes 0."""
+    b = F.col(bytes_col)
+    per_row = F.when(b.isNotNull(), F.floor(b / F.lit(1048576))).otherwise(F.lit(0))
+    return df.agg(F.sum(per_row).cast("long").alias(alias))
+
+
+def distinct_count(
+    df: DataFrame, key: str, alias: str = "distinct_cnt", exact: bool = False
+) -> DataFrame:
+    """A15/A16: distinct visitors/resources — the reference reads
+    `zcard(key)` (flask/app.py:100,103). HLL++ by default (scale path:
+    no shuffle of raw members), exact for oracle checks."""
+    fn = F.count_distinct if exact else F.approx_count_distinct
+    return df.agg(fn(F.col(key)).alias(alias))
+
+
+def status_class_counts(
+    df: DataFrame, status_col: str = "status_code"
+) -> DataFrame:
+    """F3+A18: success (2xx: 200-207) vs other split, computed client-side
+    in the reference by summing ZSET scores (flask/app.py:87-97). One
+    conditional aggregate — a single pass, no second scan."""
+    s = F.col(status_col)
+    ok = s.between(200, 207)
+    return df.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("success_cnt"),
+        F.sum(F.when(~ok | s.isNull(), 1).otherwise(0)).cast("long").alias("other_cnt"),
+    )
+
+
+def counter_lookup(counter_df: DataFrame, key_col: str, member: str) -> DataFrame:
+    """A17: point lookup of one member's accumulated count
+    (`zscore`, flask/app.py:84,106). Over a counter view this is a filter —
+    at scale it prunes to one aggregation group, no full materialization."""
+    return counter_df.where(F.col(key_col) == F.lit(member))

@@ -1,0 +1,64 @@
+"""Join / set operators J1-J3 (SURVEY.md §2.6).
+
+The reference has exactly three join shapes: RDD union of labeled corpora
+(learning.scala:23-25), a client-side full-outer join of good/bad
+time-series on the timestamp axis (flask/app.py:436-453), and per-IP HTTP
+geo enrichment (app.py:136-147 etc.). Standard equi/broadcast/sort-merge
+joins come free via `df.join`; these builders encode the two non-trivial
+reference shapes with the physical strategy pinned where it matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def union_labeled(good: DataFrame, bad: DataFrame) -> DataFrame:
+    """J1: union of labeled corpora (learning.scala:23-25) — by name, so
+    column order differences can't silently misalign."""
+    return good.unionByName(bad)
+
+
+def timeline_full_outer(
+    good: DataFrame,
+    bad: DataFrame,
+    key: str = "second",
+    good_alias: str = "good_cnt",
+    bad_alias: str = "bad_cnt",
+) -> DataFrame:
+    """J2: align two per-timestamp counter views on the time axis, filling
+    the missing side with 0 (the reference does this in Python over two
+    Redis ZSETs, app.py:436-453).
+
+    Both inputs are already-aggregated (one row per second), so this is a
+    small-on-small sort-merge join; at 100 TB the inputs are still only
+    cardinality(time buckets), never raw rows.
+    """
+    g = good.select(F.col(key), F.col(good_alias))
+    b = bad.select(F.col(key), F.col(bad_alias))
+    return (
+        g.join(b, on=key, how="full_outer")
+        .select(
+            F.col(key),
+            F.coalesce(F.col(good_alias), F.lit(0)).alias(good_alias),
+            F.coalesce(F.col(bad_alias), F.lit(0)).alias(bad_alias),
+        )
+    )
+
+
+def geo_enrich(
+    facts: DataFrame,
+    geo_dim: DataFrame,
+    fact_key: str = "host",
+    dim_key: str = "ip",
+) -> DataFrame:
+    """J3: IP → geo enrichment. The reference issues one blocking HTTP call
+    per IP per refresh and drops non-resolving rows (app.py:136-147).
+    Engine form: inner **broadcast** join against a geo dimension — the dim
+    is tiny relative to facts at every scale, so we pin `broadcast()`
+    rather than trusting the threshold; inner join preserves the
+    reference's drop-unresolved semantics."""
+    return facts.join(
+        F.broadcast(geo_dim), on=facts[fact_key] == geo_dim[dim_key], how="inner"
+    ).drop(dim_key)

@@ -1,0 +1,97 @@
+"""Batch & streaming sources (SURVEY.md §2.1).
+
+The reference ingests via Flume→Kafka→DStream (S1/S2,
+reference: spark/src/main/scala/streaming.scala:256-266,
+flume/standalone.conf:7-17). Our engine exposes the same capabilities as
+Structured Streaming sources plus plain batch readers for the parquet star
+schema the correctness harness uses.
+
+Scan-path notes for the 100 TB design point:
+- parquet readers get predicate pushdown + column pruning from Catalyst for
+  free as long as callers express filters/selects on the returned DataFrame
+  (never ``.collect()`` then filter);
+- ``spark.sql.files.maxPartitionBytes`` (session.py) keeps split sizes
+  uniform so a 100 TB scan fans out to ~800k balanced tasks instead of a
+  few giant ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logvision_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read them as raw
+# nanos via the legacy long fallback and truncate to micros — matching
+# DuckDB, which also truncates (not rounds) nanos → micros.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one testdata table (TESTDATA.md) as a DataFrame."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            # integer DIV 1000 truncates — same as DuckDB's nanos→micros
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names=TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Read the full star schema; also registers temp views so both the
+    DataFrame API and ``spark.sql`` can address the tables by name."""
+    out = {}
+    for name in names:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1: Kafka direct stream (streaming.scala:256-266). Structured
+    Streaming's Kafka source is always receiver-less/direct; offsets are
+    checkpointed by the engine (vs the reference's
+    enable.auto.commit=false-and-never-commit at-least-once gap,
+    SURVEY.md §2.9)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value", "timestamp AS kafka_ts")
+    )
+
+
+def read_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S2 capability: follow a growing directory of log files
+    (replaces Flume TAILDIR, flume/standalone.conf:7-17)."""
+    return spark.readStream.format("text").load(path)
+
+
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 5) -> DataFrame:
+    """S5-equivalent test harness source: deterministic rate stream in place
+    of the reference's log replayer (log_gen/log_gen.java:60-77)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
