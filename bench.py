@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing counts full query execution (build + execute + fetch results to the
+driver via collect) per query, after a warm-up that triggers JVM/codegen
+warm paths on a trivial action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from logvision_spark import get_spark
+    from logvision_spark.catalog import CATALOG
+
+    spark = get_spark("logvision-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Headline set: the flagship + the shapes that stress scan, shuffle agg,
+    # broadcast + shuffle joins, top-k, text array ops, similarity search.
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_nation_revenue",
+        "a3_count_by_user",
+        "a6_count_by_second",
+        "k2_top14_users",
+        "j2_timeline_full_outer",
+        "j3_region_enrich",
+        "dedup_exact",
+        "text_quality",
+        "sim_top10_vec0",
+    ]
+    headline = [q for q in headline if q in CATALOG]
+
+    # Warm-up: JVM classloading, codegen compile paths (scan → hash agg →
+    # broadcast join → sort) and parquet footer reads, off the clock.
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1000)
+    (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        CATALOG[name].builder(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
