@@ -67,8 +67,10 @@ def parse_access_log(
         s(5).alias("req_method"),
         s(6).alias("url"),
         s(7).alias("protocol"),
-        s(8).cast("int").alias("status_code"),  # '-' → '' → NULL
-        s(9).cast("long").alias("bytes"),
+        # try_cast: the regex alternation admits '-' placeholders, which must
+        # become NULL, not an ANSI cast error (Spark 4 is ANSI by default).
+        s(8).try_cast("int").alias("status_code"),
+        s(9).try_cast("long").alias("bytes"),
         s(10).alias("referrer"),
         s(11).alias("user_agent"),
         matched.alias("parsed"),

@@ -1,0 +1,97 @@
+"""Structured Streaming pipeline (SURVEY.md §2.9, §3.1).
+
+The reference registers 11 DStream aggregations that each `foreachRDD`
+into Redis ZSET counters merged with `zincrby`
+(reference: spark/src/main/scala/streaming.scala:93-186). Our engine keeps
+the running state where it belongs: streaming `groupBy().agg()` in
+**update/complete output mode**, state in Spark's StateStore, offsets in the
+checkpoint — giving effective exactly-once where the reference is
+at-least-once with possible double counting (streaming.scala:263,163).
+
+One parsed streaming DataFrame → N derived counter views; the SAME builders
+(`operators.aggregations`) drive batch and streaming — that is the whole
+point of Structured Streaming's unified lineage.
+
+Watermark policy: the reference never expires state (`zincrby` accepts
+arbitrarily late keys forever). Spark requires a watermark for update-mode
+windowed aggs, so time-keyed views default to a generous 1-hour watermark to
+approximate "accept everything"; unbounded key-counters (host/url/...) carry
+no watermark at all, exactly like the reference. Documented divergence:
+events later than the watermark are dropped rather than merged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+DEFAULT_WATERMARK = "1 hour"
+
+# The reference's Redis key catalog (streaming.scala:176-186): one counter
+# view per key, over the parsed log schema.
+COUNTER_KEYS = (
+    "host",
+    "rfc931",
+    "username",
+    "req_method",
+    "url",
+    "protocol",
+    "status_code",
+)
+
+
+def counter_views(
+    parsed: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> dict[str, DataFrame]:
+    """All counter views over a parsed (batch OR streaming) log DataFrame.
+
+    Returns the ZSET-equivalent catalog: per-key running counts, the
+    per-second time series, the global line/size/traffic totals.
+    """
+    views: dict[str, DataFrame] = {}
+    ok = parsed.where(F.col("parsed"))
+
+    for key in COUNTER_KEYS:
+        views[key] = ok.groupBy(F.col(key).alias("member")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    # per-second event-time counter needs a watermark in update mode
+    ts_src = ok.withWatermark("ts", watermark) if ok.isStreaming else ok
+    views["datetime"] = ts_src.groupBy(
+        F.window("ts", "1 second").getField("start").alias("second")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    # global counters: line count, size KB, traffic MB — one pass
+    views["totals"] = parsed.agg(
+        F.count(F.lit(1)).alias("line_cnt"),
+        (F.sum(F.length("raw")) / F.lit(1024.0)).alias("size_kb"),
+        (F.sum(F.coalesce(F.col("bytes"), F.lit(0))) / F.lit(1048576.0)).alias(
+            "traffic_mb"
+        ),
+    )
+    return views
+
+
+def start_counter_query(
+    view: DataFrame,
+    name: str,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Materialize one streaming counter view to an in-memory table queryable
+    as ``spark.table(name)`` — the engine-native stand-in for the Redis read
+    path (app.py zrange/zscore). Production sinks (kafka/parquet/foreachBatch
+    to a KV store) hang off the same view via streaming/sinks.py."""
+    writer = (
+        view.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", f"{checkpoint_dir}/{name}")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,78 @@
+"""Streaming sinks W1-W3 (SURVEY.md §2.8).
+
+The reference's sinks: Redis zincrby per row (W1, streaming.scala:155-186),
+a whole-batch-collected-to-driver Kafka producer (W2, streaming.scala:229-230
+— an anti-pattern we replace with the distributed Kafka sink), and HDFS JSON
+appends (W3, streaming.scala:233).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def to_kafka(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """W2: scored-record stream → Kafka, one message per row, serialized
+    JVM-side with to_json — never collected to the driver (unlike
+    streaming.scala:229-230, which sends each micro-batch as ONE giant
+    JSON-array message built on the driver)."""
+    return (
+        df.select(F.to_json(F.struct("*")).alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def to_json_archive(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: tuple[str, ...] = (),
+) -> StreamingQuery:
+    """W3: append-mode JSON archive (streaming.scala:233). Partitioning by
+    date enables partition pruning on the archive — at 100 TB an unpruned
+    JSON directory scan is unusable."""
+    writer = (
+        df.writeStream.format("json")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()
+
+
+def foreach_batch_kv(
+    view: DataFrame,
+    write_batch: Callable,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> StreamingQuery:
+    """W1 generalized: ship per-trigger counter deltas to any KV store.
+    ``write_batch(pdf, batch_id)`` receives the update-mode rows (only keys
+    whose counts changed this trigger) — the zincrby-equivalent hook, but
+    checkpoint-fenced so a replayed batch can be deduplicated by batch_id
+    (the reference's zincrby double-counts on replay)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch(batch_df, batch_id)
+
+    return (
+        view.writeStream.foreachBatch(_sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,120 @@
+"""Streaming semantics tests (SURVEY.md §5.2): the Redis-zincrby equivalence
+property — cross-batch accumulated counter state must equal a batch groupBy
+over the concatenated input — plus update-mode delta behavior via
+foreachBatch.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from logvision_spark.parser import parse_access_log, read_access_log
+from logvision_spark.streaming.pipeline import counter_views, start_counter_query
+from logvision_spark.streaming.sinks import foreach_batch_kv
+
+HOSTS = ["10.0.0.1", "10.0.0.2", "10.0.0.3", "192.168.1.9"]
+METHODS = ["GET", "POST", "PUT"]
+
+
+def make_lines(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    lines = []
+    for i in range(n):
+        host = rng.choice(HOSTS)
+        meth = rng.choice(METHODS)
+        sec = rng.randrange(0, 30)
+        lines.append(
+            f'{host} - - [10/Oct/2020:13:55:{sec:02d} +0000] '
+            f'"{meth} /page{rng.randrange(5)} HTTP/1.1" 200 {rng.randrange(100, 5000)}'
+        )
+    # some malformed lines — must be excluded from key counters
+    lines += ["garbage %%%", "also not a log line"]
+    return lines
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logs")
+    # three files → three potential micro-batches
+    for i in range(3):
+        (d / f"part-{i}.log").write_text("\n".join(make_lines(40, seed=i)) + "\n")
+    return str(d)
+
+
+def test_streaming_counters_equal_batch(spark, log_dir, tmp_path):
+    """Accumulated streaming state == one batch aggregation over all input:
+    the property Redis zincrby provides in the reference (streaming.scala:163),
+    here provided by StateStore + complete mode."""
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .load(log_dir)
+    )
+    views = counter_views(parse_access_log(stream))
+    q = start_counter_query(
+        views["host"], "host_counts_stream", str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["member"]: r["cnt"] for r in spark.table("host_counts_stream").collect()
+    }
+    batch_views = counter_views(read_access_log(spark, log_dir))
+    batch = {r["member"]: r["cnt"] for r in batch_views["host"].collect()}
+    assert streamed == batch
+    assert None not in streamed  # malformed rows filtered by `parsed`
+
+
+def test_streaming_second_buckets_equal_batch(spark, log_dir, tmp_path):
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(log_dir)
+    )
+    views = counter_views(parse_access_log(stream))
+    q = start_counter_query(
+        views["datetime"], "sec_counts_stream", str(tmp_path / "ckpt2"), available_now=True
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["second"]: r["cnt"] for r in spark.table("sec_counts_stream").collect()
+    }
+    batch_views = counter_views(read_access_log(spark, log_dir))
+    batch = {r["second"]: r["cnt"] for r in batch_views["datetime"].collect()}
+    assert streamed == batch
+
+
+def test_update_mode_foreach_batch_deltas_accumulate(spark, log_dir, tmp_path):
+    """W1 path: update-mode deltas shipped per batch via foreachBatch must
+    merge (last-write-wins per key) to the same totals."""
+    kv: dict[str, int] = {}
+
+    def write_batch(batch_df, batch_id):
+        for r in batch_df.collect():  # test sink only; prod sinks stay distributed
+            kv[r["member"]] = r["cnt"]
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(log_dir)
+    )
+    views = counter_views(parse_access_log(stream))
+    q = foreach_batch_kv(
+        views["req_method"], write_batch, str(tmp_path / "ckpt3"), output_mode="update"
+    )
+    # availableNow not set on foreachBatch helper; stop after processing
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] == 0 and kv:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+    batch_views = counter_views(read_access_log(spark, log_dir))
+    batch = {r["member"]: r["cnt"] for r in batch_views["req_method"].collect()}
+    assert kv == batch
