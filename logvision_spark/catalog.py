@@ -619,6 +619,196 @@ def emb_label_counts(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity extensions — portable-hash variants so the full
+# pipelines verify exactly against DuckDB (see operators/dedup.py for the
+# xxhash64 fast paths used at scale).
+# ---------------------------------------------------------------------------
+
+# DuckDB equivalent of operators.dedup.poly_hash(col)
+_DUCK_POLYHASH = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split_regex({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+# DuckDB shingle-hash list for 3-word shingles of `text`
+_DUCK_SHINGLE_HL = (
+    "list_transform(list_distinct(list_transform(range(1, len(w)-1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])), g -> "
+    + _DUCK_POLYHASH.format(col="g")
+    + ")"
+)
+
+
+@register(
+    "fp_rolling_hash",
+    oracle="SELECT doc_id, " + _DUCK_POLYHASH.format(col="text") + " AS fingerprint "
+    "FROM documents",
+    doc="Document fingerprinting: portable rolling hash as the content "
+    "identity key (xxhash64 is the in-engine fast path).",
+)
+def fp_rolling_hash(spark, sf_dir):
+    from logvision_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "dedup_minhash_sig",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hs AS (SELECT doc_id, """
+    + _DUCK_SHINGLE_HL
+    + """ AS hl FROM toks)
+SELECT doc_id,
+  list_min(list_transform(hl, h -> (h*3+1)  % 1000000007)) AS h0,
+  list_min(list_transform(hl, h -> (h*5+7)  % 1000000007)) AS h1,
+  list_min(list_transform(hl, h -> (h*11+13) % 1000000007)) AS h2,
+  list_min(list_transform(hl, h -> (h*17+19) % 1000000007)) AS h3
+FROM hs
+""",
+    doc="MinHash signatures (4 permutations over 3-word shingles) — the "
+    "LSH building block; verified value-exact cross-engine.",
+)
+def dedup_minhash_sig(spark, sf_dir):
+    from logvision_spark.operators.dedup import minhash_signature
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *minhash_signature(F.col("text"), num_hashes=4))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM toks),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 6) AS jaccard
+FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE round(c / (x.n + y.n - c), 6) >= 0.2
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 100
+""",
+    doc="Exact n-gram Jaccard near-dup pairs (threshold 0.2, top-100): "
+    "shared-shingle self-join bounds the work to colliding pairs.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from logvision_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.2)
+    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(100)
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sc AS (SELECT doc_id,
+  CAST(len(list_filter(w, t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS INTEGER) AS score_en,
+  CAST(len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS INTEGER) AS score_de,
+  CAST(len(list_filter(w, t -> t IN ('el','la','de','que','y','en','un','por','con','para'))) AS INTEGER) AS score_es,
+  CAST(len(list_filter(w, t -> t IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS INTEGER) AS score_fr
+FROM toks)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+  CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+       WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+       WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM sc
+""",
+    doc="Language-ID heuristic: argmax of per-language stopword hits, "
+    "deterministic tie-break, 'und' when no evidence.",
+)
+def text_lang_id(spark, sf_dir):
+    from logvision_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lang_id(d).drop("text")
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""SELECT doc_id, CAST(len(regexp_extract_all(text,
+ '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_cnt FROM documents""",
+    doc="BPE-ish pre-token count (letter runs / digits / symbols) — cheap "
+    "LLM-token-cost proxy, pure regex.",
+)
+def text_bpe_token_count(spark, sf_dir):
+    from logvision_spark.operators.text import bpe_like_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_like_token_count(F.col("text")).alias("bpe_cnt"))
+
+
+@register(
+    "sim_near_pairs",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+ round(list_sum(list_transform(range(1, 65),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+ / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, 65),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+ / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.4
+""",
+    doc="Embedding near-dup pairs: all-pairs cosine ≥ 0.4 (exact baseline; "
+    "SRP-bucketed variant in operators/similarity.py is the scale path).",
+)
+def sim_near_pairs(spark, sf_dir):
+    from logvision_spark.operators.similarity import near_dup_pairs_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return near_dup_pairs_cosine(emb, threshold=0.4)
+
+
+@register(
+    "t5_projection_rename",
+    oracle="SELECT event_id AS id, user_id AS visitor, event_type AS kind, value "
+    "AS amount FROM events WHERE user_id % 10 = 0",
+    doc="T5: projection + snake_case rename surface (learning.scala:114-116).",
+)
+def t5_projection_rename(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("user_id") % 10 == 0).select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("visitor"),
+        F.col("event_type").alias("kind"),
+        F.col("value").alias("amount"),
+    )
+
+
+@register(
+    "k6_window_per_user",
+    oracle="""
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn = 1
+""",
+    doc="Partitioned window function: top event per user via row_number — "
+    "the partition key distributes the window at scale (vs the global-rank "
+    "case which must stay post-top-k).",
+)
+def k6_window_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("event_id", "user_id", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 

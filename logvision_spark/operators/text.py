@@ -1,0 +1,105 @@
+"""Text analysis operators for the training-data pipeline (north-star
+extension): language ID, quality scoring, token counting, fingerprinting.
+All JVM-side built-ins — regex + array higher-order functions; no Python
+in the hot path, so every operator whole-stage-codegens and scales with
+the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logvision_spark.operators.dedup import poly_hash
+
+# Small distinctive-stopword lists per language for the n-gram/stopword
+# language-ID heuristic. Deliberately tiny: the heuristic's job is cheap
+# bulk routing, not NLP-grade identification.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"),
+}
+
+# BPE-ish pre-tokenization: word pieces OR single non-space symbols —
+# the standard GPT-2-style pre-split shape, as a pure regex.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column, sep: str = " ") -> Column:
+    return F.split(text, sep)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_like_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs, single digits, single
+    punctuation) — a cheap proxy for LLM token cost."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+    return stop.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation/symbols."""
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return punct.cast("double") / F.length(text)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard quality-scoring features: lengths, token stats, ratios.
+    One projection pass; composes with any filter threshold downstream."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(t),
+            "token_cnt": n_tok,
+            "chars_per_token": F.length(t).cast("double") / n_tok,
+            "stopword_ratio": stopword_ratio(t),
+            "punct_ratio": punct_ratio(t),
+            "uniq_token_ratio": F.size(F.array_distinct(tokens(t))).cast("double")
+            / n_tok,
+        }
+    )
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """Per-language stopword-hit counts (the n-gram heuristic's evidence)."""
+    toks = tokens(text)
+
+    def hits(ws: tuple[str, ...]):
+        return lambda t: t.isin(*ws)
+
+    return [
+        F.size(F.filter(toks, hits(ws))).alias(f"score_{lang}")
+        for lang, ws in LANG_STOPWORDS.items()
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: argmax over per-language stopword scores,
+    'und' (undetermined) when no stopword hits at all. Deterministic
+    tie-break by language order."""
+    scored = df.select("*", *lang_scores(F.col(text_col)))
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties
+        pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 63-bit document fingerprint (portable rolling hash) —
+    the content-identity key for exact dedup and change detection."""
+    return poly_hash(text)

@@ -1,0 +1,141 @@
+"""Behavioral tests for the training-data-pipeline extensions: dedup
+recall, ANN vs brute-force agreement, multimodal plumbing, text heuristics.
+The catalog parity suite proves value-exactness vs DuckDB; these prove the
+operators do the *right thing* on constructed cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logvision_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from logvision_spark.operators.multimodal import (
+    decode_images,
+    sample_frames,
+    synth_media,
+)
+from logvision_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    srp_bucket_topk,
+)
+from logvision_spark.operators.text import lang_id
+from logvision_spark.sources.readers import load_table
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+OTHER = "completely different content with no overlap whatsoever in words here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_identical(spark, docs):
+    out = {r["keep_id"]: r["dup_cnt"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_candidates_find_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        # 8 bands × 1 row: collision prob ≈ 1-(1-J)^8 — high recall for J≈0.45
+        for r in minhash_candidate_pairs(docs, num_hashes=8, bands=8).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # 1-word-off doc should band-collide
+    assert (0, 3) not in pairs and (2, 3) not in pairs  # unrelated doc doesn't
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_fingerprints(spark, docs):
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", simhash(F.col("text")).alias("fp")).collect()
+    }
+    assert fp[0] == fp[1]  # identical text → identical fingerprint
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_srp_bucket_is_subset_of_bruteforce_order(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    data = emb.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in brute_force_topk(data, q, k=50).collect()]
+    approx = srp_bucket_topk(data, q, dim=64, k=10, num_bits=4).collect()
+    assert len(approx) > 0  # the query's own bucket is non-empty
+    # every ANN hit must carry its exact cosine (same scoring path)
+    exact_scores = {
+        r["vec_id"]: r["cos_sim"] for r in brute_force_topk(data, q, k=10**6).collect()
+    }
+    for r in approx:
+        assert exact_scores[r["vec_id"]] == r["cos_sim"]
+    # recall sanity: bucket restriction should still surface some true top-50
+    assert any(r["vec_id"] in exact for r in approx)
+
+
+def test_ivf_topk_overlaps_bruteforce(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    data = emb.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in brute_force_topk(data, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(data, q, k=10, n_cells=8, n_probe=4).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, (exact, approx)  # probing half the cells → high recall
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = synth_media(spark, n=30)
+    out = decode_images(media.where(F.col("kind") == "image"))
+    rows = out.collect()
+    assert all(r["decode_ok"] for r in rows)
+    assert all(r["width"] >= 16 and r["channels"] == 3 for r in rows)
+    assert set(out.columns) == {"asset_id", "width", "height", "channels", "decode_ok"}
+
+
+def test_multimodal_decode_real_codec_gate(spark):
+    media = synth_media(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        decode_images(media, use_fake=False)
+
+
+def test_frame_sampling_row_expansion(spark):
+    media = synth_media(spark, n=30)
+    vids = media.where(F.col("kind") == "video")
+    frames = sample_frames(vids, every_ms=1000)
+    per = frames.groupBy("asset_id").count().collect()
+    durs = {r["asset_id"]: r["duration_ms"] for r in vids.collect()}
+    for r in per:
+        expected = (durs[r["asset_id"]] + 999) // 1000
+        assert r["count"] == expected
+
+
+def test_lang_id_on_clear_text(spark):
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "der hund ist nicht mit der katze auf dem sofa"),
+        (2, "xyzzy plugh qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "und"
