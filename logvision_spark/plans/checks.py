@@ -1,0 +1,53 @@
+"""Physical-plan introspection helpers.
+
+The engine's scale guarantees are plan *shapes*, not hopes: filters reach
+the parquet scan, projections prune columns, small dims broadcast, top-k
+plans as TakeOrderedAndProject, hot paths stay inside WholeStageCodegen
+(no Python evaluation nodes). These helpers make those shapes assertable
+in tests so a refactor that silently de-optimizes a query fails CI.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame) -> str:
+    """Executed physical plan as text (same content as .explain())."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@dataclass
+class PlanFeatures:
+    take_ordered: bool = False
+    broadcast_joins: int = 0
+    sort_merge_joins: int = 0
+    hash_aggregates: int = 0
+    python_eval: bool = False
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+
+    def reads_only(self, *cols: str) -> bool:
+        """True if every scan reads a subset of the given columns."""
+        allowed = set(cols)
+        for rs in self.read_schemas:
+            names = {f.split(":")[0] for f in re.split(r",(?=\w+:)", rs) if f}
+            if not names <= allowed:
+                return False
+        return True
+
+
+def plan_features(df: DataFrame) -> PlanFeatures:
+    plan = explain_str(df)
+    return PlanFeatures(
+        take_ordered="TakeOrderedAndProject" in plan,
+        broadcast_joins=len(re.findall("BroadcastHashJoin", plan)),
+        sort_merge_joins=len(re.findall("SortMergeJoin", plan)),
+        hash_aggregates=len(re.findall("HashAggregate", plan)),
+        python_eval=("BatchEvalPython" in plan or "ArrowEvalPython" in plan),
+        pushed_filters=[m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m],
+        read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", plan),
+    )

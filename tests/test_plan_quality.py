@@ -1,0 +1,73 @@
+"""Plan-shape regression tests: the 100 TB guarantees, asserted.
+
+Each test pins a physical-plan property a refactor could silently lose:
+predicate pushdown into the parquet scan, column pruning, broadcast of
+dimension tables, TakeOrderedAndProject for top-k, and no Python
+evaluation nodes in relational hot paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from logvision_spark.catalog import CATALOG
+from logvision_spark.plans.checks import plan_features
+
+
+@pytest.fixture(scope="module")
+def feats(spark, sf_dir):
+    def get(name):
+        return plan_features(CATALOG[name].builder(spark, sf_dir))
+
+    return get
+
+
+def test_q1_pushdown_and_partial_agg(feats):
+    f = feats("q1_pricing_summary")
+    assert any("l_shipdate" in p for p in f.pushed_filters)
+    assert f.hash_aggregates >= 2  # partial + final
+    assert not f.python_eval
+
+
+def test_q3_broadcasts_dims_and_takes_ordered(feats):
+    f = feats("q3_shipping_priority")
+    assert f.take_ordered  # top-10 must not global-sort
+    assert f.broadcast_joins + f.sort_merge_joins >= 2
+    assert any("BUILDING" in p for p in f.pushed_filters)  # filter reached scan
+    assert not f.python_eval
+
+
+def test_q5_star_join_broadcasts(feats):
+    f = feats("q5_nation_revenue")
+    assert f.broadcast_joins >= 2  # nation/region at minimum
+    assert any("ASIA" in p for p in f.pushed_filters)
+
+
+def test_k2_take_ordered_single_column_scan(feats):
+    f = feats("k2_top14_users")
+    assert f.take_ordered
+    assert f.reads_only("user_id")  # column pruning: one column off disk
+
+
+def test_j3_enrichment_is_broadcast(feats):
+    f = feats("j3_region_enrich")
+    assert f.broadcast_joins == 2
+    assert f.reads_only("c_nationkey", "c_acctbal", "n_nationkey", "n_regionkey",
+                        "r_regionkey", "r_name")
+
+
+def test_emb_label_counts_prunes_array_column(feats):
+    """The 64-float embedding array must NOT be read for a label count."""
+    f = feats("emb_label_counts")
+    assert f.reads_only("label")
+
+
+def test_relational_queries_stay_jvm_side(feats):
+    for name in (
+        "q1_pricing_summary",
+        "a3_count_by_user",
+        "dedup_ngram_jaccard",
+        "sim_top10_vec0",
+        "text_lang_id",
+    ):
+        assert not feats(name).python_eval, f"{name} fell off codegen into Python"
