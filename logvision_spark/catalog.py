@@ -809,6 +809,44 @@ def k6_window_per_user(spark, sf_dir):
     )
 
 
+@register(
+    "stream_a7_count_by_type",
+    oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type",
+    doc="Streaming path, batch-verified: the same counter via Structured "
+    "Streaming (file source → update-state groupBy → AvailableNow → memory "
+    "sink). Accumulated StateStore state must hash-match the batch SQL "
+    "oracle — the zincrby-equivalence property as a correctness gate.",
+)
+def stream_a7_count_by_type(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the file streaming source requires a directory: stream the sf_dir with
+    # a glob filter selecting only the events table
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    name = f"stream_a7_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 

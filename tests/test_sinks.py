@@ -1,0 +1,54 @@
+"""Sink tests: W3 JSON archive (streaming, date-partitioned) and T7 to_json
+serialization shape (the scored-record payload the reference ships to
+Kafka; here per-row JVM-side, never driver-collected)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from logvision_spark.parser import parse_access_log
+from logvision_spark.streaming.sinks import to_json_archive
+
+LINES = [
+    '10.0.0.1 - - [10/Oct/2020:13:55:36 +0000] "GET /a HTTP/1.1" 200 1000',
+    '10.0.0.2 - - [11/Oct/2020:09:00:00 +0000] "POST /b HTTP/1.1" 302 -',
+]
+
+
+def test_json_archive_partitioned_by_day(spark, tmp_path):
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.log").write_text("\n".join(LINES) + "\n")
+    stream = spark.readStream.format("text").load(str(src_dir))
+    parsed = parse_access_log(stream).withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "archive")
+    q = (
+        parsed.writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .partitionBy("day")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # partition pruning structure: one directory per day
+    days = sorted(d for d in os.listdir(out) if d.startswith("day="))
+    assert days == ["day=2020-10-10", "day=2020-10-11"]
+    back = spark.read.json(f"{out}/day=2020-10-10")
+    assert back.count() == 1 and back.collect()[0]["host"] == "10.0.0.1"
+
+
+def test_to_json_row_payload(spark):
+    parsed = parse_access_log(
+        spark.createDataFrame([(LINES[0],)], ["value"])
+    ).drop("raw")
+    payload = parsed.select(F.to_json(F.struct("*")).alias("value")).collect()[0][
+        "value"
+    ]
+    rec = json.loads(payload)
+    assert rec["host"] == "10.0.0.1"
+    assert rec["status_code"] == 200
+    assert rec["parsed"] is True
