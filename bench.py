@@ -37,13 +37,18 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_nation_revenue",
+        "q18_large_orders",
         "a3_count_by_user",
         "a6_count_by_second",
         "k2_top14_users",
         "j2_timeline_full_outer",
         "j3_region_enrich",
+        "j4_anti_join",
         "dedup_exact",
+        "dedup_minhash_sig",
+        "dedup_minhash_fast",
         "text_quality",
+        "text_lang_id",
         "sim_top10_vec0",
     ]
     headline = [q for q in headline if q in CATALOG]

@@ -670,13 +670,29 @@ SELECT doc_id,
 FROM hs
 """,
     doc="MinHash signatures (4 permutations over 3-word shingles) — the "
-    "LSH building block; verified value-exact cross-engine.",
+    "LSH building block; verified value-exact cross-engine via the "
+    "portable hash. Explode+partial-agg formulation: each shingle hashed "
+    "once, mins combine map-side.",
 )
 def dedup_minhash_sig(spark, sf_dir):
-    from logvision_spark.operators.dedup import minhash_signature
+    from logvision_spark.operators.dedup import minhash_signatures_agg
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", *minhash_signature(F.col("text"), num_hashes=4))
+    return minhash_signatures_agg(d, num_hashes=4)
+
+
+@register(
+    "dedup_minhash_fast",
+    oracle=None,  # xxhash64 signatures are engine-specific — rows-only check
+    doc="Production MinHash path: xxhash64 shingle hashing (JVM intrinsic, "
+    "codegen). Same shape as dedup_minhash_sig; signatures differ by hash "
+    "so only cardinality is driver-checkable.",
+)
+def dedup_minhash_fast(spark, sf_dir):
+    from logvision_spark.operators.dedup import minhash_signatures_agg
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures_agg(d, num_hashes=8, fast=True)
 
 
 @register(
@@ -806,6 +822,83 @@ def k6_window_per_user(spark, sf_dir):
         ev.select("event_id", "user_id", "value", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+@register(
+    "j4_anti_join",
+    oracle="""
+SELECT n_name, CAST(count(*) AS BIGINT) AS inactive_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+    doc="Anti-join: customers with no orders, per nation. Spark plans a "
+    "broadcast/shuffled hash anti-join — no NOT IN materialization.",
+)
+def j4_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    inactive = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        inactive.join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("inactive_customers"))
+    )
+
+
+@register(
+    "j5_semi_join",
+    oracle="""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS shipped_parts
+FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+""",
+    doc="Semi-join: parts that ever shipped, per brand — existence check "
+    "without duplication (left_semi).",
+)
+def j5_semi_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("shipped_parts"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT o_orderkey, o_orderdate,
+  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 15000
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""",
+    doc="TPC-H Q18 shape: group-having over a join (orders whose total "
+    "quantity exceeds a threshold), top-20. The HAVING filters on the "
+    "exact integer-units sum pre-division.",
+)
+def q18_large_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = cents("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(qty).alias("_q"))
+        .where(F.col("_q") > 15000)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("_q") / F.lit(100.0)).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
     )
 
 

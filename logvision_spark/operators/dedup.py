@@ -68,6 +68,28 @@ def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     )
 
 
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows with the token array staged as a real column
+    first. Staging matters: an inline `split()` inside the shingle lambda
+    is re-evaluated per element_at (no subexpression elimination in
+    interpreted higher-order functions) — measured 8× slower at sf0.1."""
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    tk = F.col("_toks")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return staged.select(id_col, F.explode(shingles).alias("shingle"))
+
+
 def shingle_hashes(text: Column, n: int = 3, fast: bool = False) -> Column:
     """array<long> of hashed distinct n-word shingles."""
     hasher = (lambda s: F.xxhash64(s)) if fast else poly_hash
@@ -91,6 +113,37 @@ def minhash_signature(
         a, b = MINHASH_SEEDS[j % len(MINHASH_SEEDS)]
         sigs.append(F.array_min(F.transform(hl, perm(a, b))).alias(f"h{j}"))
     return sigs
+
+
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """MinHash signatures via explode + partial-aggregated min — the scale
+    formulation: each shingle is hashed ONCE (vs once per permutation in
+    the array form), permutations are cheap integer ops inside a codegen'd
+    HashAggregate, and no per-doc array materializes. Shuffle carries
+    (id, num_hashes longs) after map-side combine.
+
+    fast=True swaps the portable polynomial hash for xxhash64 (~10×): the
+    production path; signatures are then engine-specific.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    if fast:
+        # pmod into the prime field so permutation math can't overflow ANSI
+        h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(POLY_MOD))
+    else:
+        h = poly_hash(F.col("shingle"))
+    hashed = sh.select(id_col, h.alias("_h"))
+    aggs = []
+    for j in range(num_hashes):
+        a, b = MINHASH_SEEDS[j % len(MINHASH_SEEDS)]
+        aggs.append(F.min((F.col("_h") * a + b) % POLY_MOD).alias(f"h{j}"))
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def exact_dedup(
@@ -124,9 +177,7 @@ def ngram_jaccard_pairs(
     generation via `minhash_near_pairs` is the cheaper path when the
     corpus is large and threshold is high.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
-    )
+    sh = exploded_shingles(df, id_col, text_col, n).toDF("id", "s")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -164,9 +215,9 @@ def minhash_candidate_pairs(
     shuffle carries only (band_idx, band_value, id)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), *minhash_signature(F.col(text_col), num_hashes, n, fast)
-    )
+    sig = minhash_signatures_agg(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n, fast=fast
+    ).withColumnRenamed(id_col, "id")
     band_cols = []
     for bi in range(bands):
         # pack the band's hash rows into one comparable value
