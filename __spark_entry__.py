@@ -7,11 +7,19 @@ SURVEY.md §2 plus the training-data-pipeline extensions.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from logvision_spark import catalog
+# the driver may import this module by file path; make the package
+# resolvable regardless of how we were loaded
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from logvision_spark import catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

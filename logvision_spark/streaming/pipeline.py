@@ -74,6 +74,48 @@ def counter_views(
     return views
 
 
+def sliding_window_counts(
+    parsed: DataFrame,
+    window_len: str = "10 seconds",
+    slide: str = "5 seconds",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Sliding-window request counts — a capability the reference lacks
+    entirely (its only windows are the log's own 1-second buckets,
+    SURVEY.md §2.9); free via `window(ts, len, slide)`. Each event lands
+    in len/slide windows; state is bounded by the watermark."""
+    src = parsed.where(F.col("parsed"))
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    w = F.window("ts", window_len, slide)
+    return src.groupBy(
+        w.getField("start").alias("win_start"), w.getField("end").alias("win_end")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def session_window_counts(
+    parsed: DataFrame,
+    key: str = "host",
+    gap: str = "30 seconds",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-key session windows (gap-based): groups a visitor's requests
+    into visits — `session_window` keeps state per (key, open session) and
+    closes on gap timeout; requires a watermark when streaming."""
+    src = parsed.where(F.col("parsed"))
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    sw = F.session_window("ts", gap)
+    return src.groupBy(F.col(key), sw).agg(
+        F.count(F.lit(1)).alias("requests")
+    ).select(
+        key,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "requests",
+    )
+
+
 def start_counter_query(
     view: DataFrame,
     name: str,
