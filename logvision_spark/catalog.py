@@ -826,6 +826,23 @@ def k6_window_per_user(spark, sf_dir):
 
 
 @register(
+    "a16_distinct_types_by_user",
+    oracle="SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_types "
+    "FROM events GROUP BY user_id",
+    doc="Per-key exact distinct count in the skew-balanced two-phase form "
+    "(shuffle on (key,value) — uniform even for Zipf keys — dedup, then "
+    "count); identical result to groupBy().agg(countDistinct()).",
+)
+def a16_distinct_types_by_user(spark, sf_dir):
+    from logvision_spark.operators.skew import distinct_count_by_key_balanced
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_count_by_key_balanced(
+        ev, "user_id", "event_type", alias="distinct_types"
+    )
+
+
+@register(
     "j4_anti_join",
     oracle="""
 SELECT n_name, CAST(count(*) AS BIGINT) AS inactive_customers

@@ -1,0 +1,63 @@
+"""Skew-mitigation operators (SURVEY.md §4.2: host/url counters are
+Zipf-skewed; at 100 TB a hot key can pin one reducer).
+
+What's already safe without help:
+- `groupBy(k).count()/sum()` — partial aggregation collapses hot keys
+  map-side; the shuffle carries one partial row per (task, key).
+- joins — AQE skew-join splits oversized partitions at runtime
+  (spark.sql.adaptive.skewJoin.enabled, on in session.py).
+
+What needs explicit treatment:
+- per-key DISTINCT aggregates: `groupBy(k).agg(countDistinct(v))` must
+  co-locate every (k, v) pair of a hot key on one reducer before partial
+  aggregation can help. The two-phase form below shuffles by (k, v) —
+  uniformly distributed even when k is Zipfian — dedups there, then
+  counts by k (now one row per distinct value, hot keys already shrunk).
+- arbitrary per-key state (collect_set/sketches) over hot keys: salt the
+  key for a partial phase, merge salts in a second phase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_count_by_key_balanced(
+    df: DataFrame, key: str, value: str, alias: str = "distinct_cnt"
+) -> DataFrame:
+    """Exact per-key distinct count, skew-balanced: shuffle on (key, value)
+    (uniform), dedup, then count per key. Same result as
+    `groupBy(key).agg(countDistinct(value))`, different physical shape —
+    no reducer ever sees more than the deduped stream of one key."""
+    return (
+        df.select(key, value)
+        .distinct()
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(alias))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: Column,
+    merge_col: Column,
+    salt_buckets: int = 16,
+    partial_alias: str = "_partial",
+) -> DataFrame:
+    """Generic two-phase salted aggregation: phase 1 groups by
+    (key, salt) — a hot key spreads over `salt_buckets` reducers — and
+    computes `agg_col`; phase 2 groups by key and merges partials with
+    `merge_col` (which sees the partial as column `_partial`).
+
+    Example (sum):
+        salted_agg(df, "host", F.sum("bytes"), F.sum("_partial"))
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key, "_salt").agg(agg_col.alias(partial_alias))
+    return partial.groupBy(key).agg(merge_col.alias(partial_alias)).withColumnRenamed(
+        partial_alias, "merged"
+    )

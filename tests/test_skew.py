@@ -1,0 +1,51 @@
+"""Skew-operator equivalence: the balanced formulations must produce
+exactly the naive results on skewed data."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from logvision_spark.operators.skew import (
+    distinct_count_by_key_balanced,
+    salted_agg,
+)
+
+
+def make_skewed(spark, n=5000, seed=3):
+    rng = random.Random(seed)
+    # Zipf-ish: key 'hot' gets ~80% of rows
+    rows = [
+        ("hot" if rng.random() < 0.8 else f"k{rng.randrange(50)}",
+         f"v{rng.randrange(200)}", rng.randrange(1000))
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, ["key", "val", "num"])
+
+
+def test_balanced_distinct_equals_naive(spark):
+    df = make_skewed(spark)
+    naive = {
+        r["key"]: r["d"]
+        for r in df.groupBy("key").agg(F.count_distinct("val").alias("d")).collect()
+    }
+    balanced = {
+        r["key"]: r["distinct_cnt"]
+        for r in distinct_count_by_key_balanced(df, "key", "val").collect()
+    }
+    assert balanced == naive
+    assert naive["hot"] == 200  # the hot key saw every value
+
+
+def test_salted_sum_equals_naive(spark):
+    df = make_skewed(spark)
+    naive = {
+        r["key"]: r["s"]
+        for r in df.groupBy("key").agg(F.sum("num").alias("s")).collect()
+    }
+    salted = {
+        r["key"]: r["merged"]
+        for r in salted_agg(df, "key", F.sum("num"), F.sum("_partial")).collect()
+    }
+    assert salted == naive
