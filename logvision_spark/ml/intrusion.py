@@ -103,7 +103,16 @@ def score_stream(model: PipelineModel, parsed: DataFrame) -> DataFrame:
     """M8: apply the model to a (batch or micro-batch) of parsed records,
     emitting the snake_case scored schema (learning.scala:114-119). NULL
     urls are filled with '' before featurization (T6, learning.scala:118)."""
+    from pyspark.ml.functions import vector_to_array
+
     scorable = parsed.na.fill({"url": ""})
     scored = model.transform(scorable)
-    keep = [c for c in parsed.columns] + ["probability", "prediction"]
+    keep = [F.col(c) for c in parsed.columns]
+    # MLlib emits a VectorUDT; downstream sinks (JSON/Kafka) and the scored
+    # schema want a plain array<double> — [p_good, p_bad], the shape the
+    # reference's serving layer reads as probability.values (app.py:494)
+    keep += [
+        vector_to_array(F.col("probability")).alias("probability"),
+        F.col("prediction"),
+    ]
     return scored.select(*keep)
