@@ -503,6 +503,108 @@ def q5_nation_revenue(spark, sf_dir):
 
 
 @register(
+    "q7_nation_volume",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('FRANCE', 'GERMANY') AND n2.n_name IN ('FRANCE', 'GERMANY')
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+""",
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations per "
+    "ship-year — double-dim join with per-alias nation lookups.",
+)
+def q7_nation_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("n_name").isin("FRANCE", "GERMANY"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("n_name").isin("FRANCE", "GERMANY"))
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("volume"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: top customers by returned-item revenue.",
+)
+def q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q2_cheapest_part_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_name, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice, p_partkey) AS rn
+  FROM part) WHERE rn = 1
+""",
+    doc="TPC-H Q2 shape (argmin-per-group): cheapest part per brand via a "
+    "partitioned row_number — distributes by the partition key.",
+)
+def q2_cheapest_part_per_brand(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.select(
+            "p_brand", "p_partkey", "p_name", "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "dedup_exact",
     oracle="SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) "
     "AS dup_cnt FROM documents GROUP BY text",
@@ -839,6 +941,30 @@ def a16_distinct_types_by_user(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return distinct_count_by_key_balanced(
         ev, "user_id", "event_type", alias="distinct_types"
+    )
+
+
+@register(
+    "a_multi_counter_grouping_sets",
+    oracle="""
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(GROUPING(user_id, event_type) AS INTEGER) AS gid
+FROM events GROUP BY GROUPING SETS ((user_id), (event_type))
+""",
+    doc="All categorical counters in ONE scan + ONE shuffle via GROUPING "
+    "SETS — the reference runs one job per counter (11 jobs/batch over the "
+    "same parsed data, streaming.scala:93-149); at 100 TB the rescans, not "
+    "the aggregation, would dominate.",
+)
+def a_multi_counter_grouping_sets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_gs")
+    return spark.sql(
+        """
+        SELECT user_id, event_type, count(*) AS cnt,
+               CAST(grouping_id() AS INT) AS gid
+        FROM _events_gs GROUP BY GROUPING SETS ((user_id), (event_type))
+        """
     )
 
 
