@@ -1046,6 +1046,30 @@ def q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "j6_asof_join",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, s.ts AS ts_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND s.ts <= p.ts
+""",
+    doc="As-of join — an operator Spark's join menu lacks, composed from "
+    "union + forward-fill window (operators/asof.py): each purchase gets "
+    "the user's most recent signup-or-earlier timestamp. Oracle uses "
+    "DuckDB's native ASOF LEFT JOIN.",
+)
+def j6_asof_join(spark, sf_dir):
+    from logvision_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    return asof_join(purchases, signups, key="user_id")
+
+
+@register(
     "stream_a7_count_by_type",
     oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type",
     doc="Streaming path, batch-verified: the same counter via Structured "

@@ -23,7 +23,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_integer_dtype(out[c]):
             out[c] = out[c].astype("int64")
         elif pd.api.types.is_datetime64_any_dtype(out[c]):
-            out[c] = pd.to_datetime(out[c])
+            # unify resolution: spark → ns, duckdb → us; NaT-safe
+            out[c] = pd.to_datetime(out[c]).astype("datetime64[ns]")
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
