@@ -1,0 +1,74 @@
+"""Custom stateful streaming operators via applyInPandasWithState —
+the escape hatch for semantics the built-in windowed aggregations can't
+express (SURVEY.md §2.9 / task north-star: custom stateful operators).
+
+Example operator: per-host *visit tracking with running totals* — state
+survives across micro-batches per key, emits one updated summary row per
+key per trigger, and expires via processing-time timeout. The built-in
+`session_window` closes sessions by event-time gap only; this keeps
+arbitrary Python state (visit count, cumulative bytes, last-seen) and
+demonstrates the full GroupState lifecycle (create → update → timeout).
+
+Scale: state is partitioned by the grouping key across executors
+(StateStore-backed), batches arrive Arrow-encoded; keep per-key state
+small (a dict of scalars here) and always set timeouts — keys that never
+expire are the reference's unbounded-Redis mistake re-created in Spark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+VISIT_STATE_SCHEMA = "visits LONG, total_bytes LONG, last_seen TIMESTAMP"
+VISIT_OUTPUT_SCHEMA = (
+    "host STRING, visits LONG, total_bytes LONG, last_seen TIMESTAMP"
+)
+
+
+def _track_visits(
+    key: tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # emit the final summary and drop the key's state
+        visits, total, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(key[0], visits, total, last)],
+            columns=["host", "visits", "total_bytes", "last_seen"],
+        )
+        return
+
+    visits, total, last = state.get if state.exists else (0, 0, None)
+    for pdf in batches:
+        visits += len(pdf)
+        total += int(pdf["bytes"].fillna(0).sum())
+        batch_last = pdf["ts"].max()
+        last = batch_last if last is None or batch_last > last else last
+    state.update((visits, total, last))
+    state.setTimeoutDuration(60_000)  # expire idle hosts after 60 s
+    yield pd.DataFrame(
+        [(key[0], visits, total, last)],
+        columns=["host", "visits", "total_bytes", "last_seen"],
+    )
+
+
+def visit_tracker(parsed: DataFrame) -> DataFrame:
+    """Per-host running visit summary with custom cross-batch state.
+    Works on a streaming parsed-log DataFrame; each trigger emits the
+    updated (host, visits, total_bytes, last_seen) row for hosts seen in
+    that trigger, and a final row when a host times out."""
+    from pyspark.sql import functions as F
+
+    src = parsed.where(F.col("parsed")).select("host", "ts", "bytes")
+    return src.groupBy("host").applyInPandasWithState(
+        _track_visits,
+        outputStructType=VISIT_OUTPUT_SCHEMA,
+        stateStructType=VISIT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
