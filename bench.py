@@ -79,6 +79,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # Parse-pipeline throughput: synthesize combined-log lines once, then
+    # measure parse → per-host count end-to-end (the reference's hot path;
+    # its demo rate is 2.5 lines/s, streaming.scala + log_gen).
+    parse_rows_per_sec = _bench_parse_throughput(spark)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -88,10 +93,36 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "parse_rows_per_sec": parse_rows_per_sec,
             }
         )
     )
     spark.stop()
+
+
+def _bench_parse_throughput(spark, n_rows: int = 400_000) -> float:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from logvision_spark.parser import parse_access_log
+
+    d = tempfile.mkdtemp(prefix="lv_bench_logs_")
+    with open(f"{d}/gen.log", "w") as f:
+        for i in range(n_rows):
+            f.write(
+                f"10.{(i >> 16) & 255}.{(i >> 8) & 255}.{i & 255} - u{i % 97} "
+                f"[10/Oct/2020:{i % 24:02d}:{i % 60:02d}:{(i * 7) % 60:02d} +0000] "
+                f'"GET /p{i % 1000}/r{i % 37} HTTP/1.1" {200 + (i % 5)} {i % 100000} '
+                f'"http://ref.example/" "bench-agent/1.0"\n'
+            )
+    lines = spark.read.text(d)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        parse_access_log(lines).where(F.col("parsed")).groupBy("host").count().count()
+        best = min(best, time.perf_counter() - t0)
+    return round(n_rows / best)
 
 
 if __name__ == "__main__":
