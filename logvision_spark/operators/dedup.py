@@ -241,6 +241,54 @@ def minhash_candidate_pairs(
     )
 
 
+def near_dup_drop_list(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    fast: bool = True,
+) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash-LSH candidates →
+    exact-Jaccard verification → greedy keep-lowest-id. Returns the DROP
+    list (ids to remove); anti-join it against the corpus to dedup:
+
+        df.join(near_dup_drop_list(df), on="doc_id", how="left_anti")
+
+    Greedy rule: a doc is dropped if it's the higher id in ANY verified
+    pair. (Chain transitivity — a~b, b~c, a!~c — still drops b and c;
+    the survivor set is duplicate-free but may over-drop relative to full
+    connected-components clustering, the standard trade at corpus scale.)
+    """
+    cands = minhash_candidate_pairs(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, n=n, fast=fast,
+    )
+    sh = exploded_shingles(df, id_col, text_col, n).toDF("id", "s")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    # verify ONLY candidate pairs: join candidates into the shingle match
+    common = (
+        cands.join(a, cands.doc_a == F.col("a.id"))
+        .join(b, (cands.doc_b == F.col("b.id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    verified = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+            >= F.lit(threshold)
+        )
+    )
+    return verified.select(F.col("doc_b").alias(id_col)).distinct()
+
+
 def simhash(text: Column, bits: int = 32, n: int = 1) -> Column:
     """SimHash fingerprint: per token-shingle hash, each output bit is the
     sign of the sum of ±1 votes across shingles (bit set in shingle hash →

@@ -66,6 +66,18 @@ def test_ngram_jaccard_exact_values(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_near_dup_drop_list_end_to_end(spark, docs):
+    from logvision_spark.operators.dedup import near_dup_drop_list
+
+    drops = near_dup_drop_list(
+        docs, threshold=0.8, num_hashes=8, bands=8, fast=True
+    )
+    dropped = {r["doc_id"] for r in drops.collect()}
+    assert dropped == {1}  # doc 1 is an exact dup of doc 0; 2/3 survive
+    kept = docs.join(drops, on="doc_id", how="left_anti")
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3}
+
+
 def test_simhash_fingerprints(spark, docs):
     fp = {
         r["doc_id"]: r["fp"]

@@ -41,6 +41,37 @@ def test_json_archive_partitioned_by_day(spark, tmp_path):
     assert back.count() == 1 and back.collect()[0]["host"] == "10.0.0.1"
 
 
+def test_scored_record_json_roundtrip(spark):
+    """T7 + serving-side parse: the scored-record payload serializes with
+    to_json and parses back with from_json on the declared scored schema —
+    the engine-native form of the ast.literal_eval consume at app.py:350."""
+    from pyspark.sql import types as T
+
+    from logvision_spark.schemas import ACCESS_LOG_SCHEMA, SCORED_LOG_EXTRA
+
+    scored_schema = T.StructType(
+        [f for f in ACCESS_LOG_SCHEMA if f.name != "raw"] + list(SCORED_LOG_EXTRA)
+    )
+    parsed = parse_access_log(
+        spark.createDataFrame([(LINES[0],)], ["value"])
+    ).drop("raw")
+    scored = parsed.withColumn(
+        "probability", F.array(F.lit(0.97), F.lit(0.03))
+    ).withColumn("prediction", F.lit(0.0))
+    payload = scored.select(F.to_json(F.struct("*")).alias("value"))
+    back = payload.select(
+        F.from_json(F.col("value"), scored_schema).alias("r")
+    ).select("r.*")
+    row = back.collect()[0]
+    assert row["host"] == "10.0.0.1"
+    assert row["probability"] == [0.97, 0.03]
+    assert row["prediction"] == 0.0
+    # from_json yields all-nullable fields; compare names and types
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in scored_schema
+    ]
+
+
 def test_to_json_row_payload(spark):
     parsed = parse_access_log(
         spark.createDataFrame([(LINES[0],)], ["value"])
