@@ -93,6 +93,61 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+FEATURE_SCHEMA = "asset_id long, feature array<float>"
+RESIZE_SCHEMA = "asset_id long, width int, height int, payload binary"
+
+
+def extract_features(df: DataFrame, dim: int = 64, use_fake: bool = True) -> DataFrame:
+    """Feature extraction plumbing: payload → fixed-dim embedding. The
+    model call is stubbed with a deterministic byte-histogram projection
+    (same payload → same vector); output feeds directly into
+    operators/similarity.py (array<float> contract)."""
+    if not use_fake and not HAVE_CODECS:
+        raise NotImplementedError(
+            "real feature extraction needs a vision/audio model runtime; "
+            "call with use_fake=True for the plumbing path"
+        )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                hist = np.bincount(buf % dim, minlength=dim).astype("float32")
+                norm = float(np.linalg.norm(hist)) or 1.0
+                out.append((asset_id, (hist / norm).tolist()))
+            yield pd.DataFrame(out, columns=["asset_id", "feature"])
+
+    return df.select("asset_id", "payload").mapInPandas(_feat, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 32, target_h: int = 32, use_fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: payload → resized payload + new dims. The codec
+    call is stubbed (deterministic truncation/padding of the byte payload
+    to target_w*target_h); schema and batch shape are the real contract."""
+    if not use_fake and not HAVE_CODECS:
+        raise NotImplementedError("real resize needs PIL/opencv")
+
+    n_bytes = target_w * target_h
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = (payload or b"")[:n_bytes]
+                p = p + b"\x00" * (n_bytes - len(p))
+                out.append((asset_id, target_w, target_h, p))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "width", "height", "payload"]
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
 def right_size_partitions(
     df: DataFrame, avg_asset_bytes: int, target_partition_bytes: int = 128 << 20
 ) -> DataFrame:

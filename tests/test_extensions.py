@@ -131,6 +131,41 @@ def test_multimodal_decode_real_codec_gate(spark):
         decode_images(media, use_fake=False)
 
 
+def test_feature_extraction_feeds_similarity(spark):
+    """Multimodal → similarity pipeline: extracted features are unit-norm
+    array<float> usable by the cosine operators."""
+    from pyspark.sql import functions as F2
+
+    from logvision_spark.operators.multimodal import extract_features
+    from logvision_spark.operators.similarity import brute_force_topk
+
+    media = synth_media(spark, n=20)
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic: same payload → same vector
+    again = extract_features(media, dim=16).collect()
+    assert {r["asset_id"]: r["feature"] for r in rows} == {
+        r["asset_id"]: r["feature"] for r in again
+    }
+    q = feats.where(F2.col("asset_id") == 0).select(F2.col("feature").alias("qe"))
+    top = brute_force_topk(
+        feats.where(F2.col("asset_id") != 0), q, k=5,
+        id_col="asset_id", vec_col="feature",
+    ).collect()
+    assert len(top) == 5 and top[0]["cos_sim"] >= top[-1]["cos_sim"]
+
+
+def test_resize_plumbing(spark):
+    from logvision_spark.operators.multimodal import resize_images
+
+    media = synth_media(spark, n=9)
+    out = resize_images(media, target_w=8, target_h=8).collect()
+    assert all(len(r["payload"]) == 64 for r in out)
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+
+
 def test_frame_sampling_row_expansion(spark):
     media = synth_media(spark, n=30)
     vids = media.where(F.col("kind") == "video")
