@@ -1046,6 +1046,129 @@ def q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_cnt
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: correlated EXISTS with an extra-column condition "
+    "— plans as a left-semi join carrying the l_shipdate > o_orderdate "
+    "predicate.",
+)
+def q4_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 / 7.0
+       AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey) t ON t.pk = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < qty_thresh
+""",
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+    "quantity threshold) decorrelated into an aggregate + join. The "
+    "threshold is double math over exact integer sums — identical in both "
+    "engines, so the boundary comparison is deterministic.",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh, li.l_partkey == thresh.pk)
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "w_cumulative_revenue",
+    oracle="""
+SELECT d, daily, CAST(sum(daily_e2) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+       AS cumulative
+FROM (SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS daily,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS daily_e2
+      FROM orders GROUP BY o_orderdate)
+""",
+    doc="Running-total window: cumulative revenue over order dates — "
+    "ordered window over the PRE-AGGREGATED daily series (one row per "
+    "date), so the unpartitioned window is small by construction; exact "
+    "via integer cents inside the window sum.",
+)
+def w_cumulative_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("daily"),
+        F.sum(cents("o_totalprice")).alias("daily_e2"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", "daily", (F.sum("daily_e2").over(w) / F.lit(100.0)).alias("cumulative")
+    )
+
+
+@register(
+    "t_string_funcs",
+    oracle="""
+SELECT upper(substr(event_type, 1, 3)) AS code,
+       concat(event_type, ':', CAST(user_id AS VARCHAR)) AS tag,
+       CAST(length(props) AS INTEGER) AS props_len,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+WHERE starts_with(event_type, 's') OR contains(event_type, 'err')
+GROUP BY 1, 2, 3
+""",
+    doc="Scalar string-function inventory (§2.10): upper/substr/concat/"
+    "length/starts_with/contains fused into one grouped projection.",
+)
+def t_string_funcs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            F.col("event_type").startswith("s") | F.col("event_type").contains("err")
+        )
+        .groupBy(
+            F.upper(F.substring("event_type", 1, 3)).alias("code"),
+            F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("tag"),
+            F.length("props").alias("props_len"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
     "j6_asof_join",
     oracle="""
 SELECT p.event_id, p.user_id, p.ts, s.ts AS ts_asof
