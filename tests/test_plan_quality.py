@@ -62,6 +62,27 @@ def test_emb_label_counts_prunes_array_column(feats):
     assert f.reads_only("label")
 
 
+def test_q4_plans_semi_join(feats, spark, sf_dir):
+    from logvision_spark.catalog import CATALOG
+    from logvision_spark.plans.checks import explain_str
+
+    plan = explain_str(CATALOG["q4_order_priority"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan  # EXISTS decorrelated, not materialized
+
+
+def test_asof_join_single_shuffle_no_python(feats, spark, sf_dir):
+    from logvision_spark.catalog import CATALOG
+    from logvision_spark.plans.checks import explain_str, plan_features
+
+    df = CATALOG["j6_asof_join"].builder(spark, sf_dir)
+    f = plan_features(df)
+    assert not f.python_eval
+    plan = explain_str(df)
+    # one hash-partitioned exchange on the key feeds the window sort
+    assert plan.count("hashpartitioning(user_id") <= 2
+    assert "Window" in plan
+
+
 def test_relational_queries_stay_jvm_side(feats):
     for name in (
         "q1_pricing_summary",
