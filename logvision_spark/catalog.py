@@ -1046,6 +1046,122 @@ def q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape: pure filtered scan + global sum — every predicate "
+    "must reach PushedFilters; the quintessential pushdown query.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * cents("l_discount")) / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       AS BIGINT) AS high_cnt,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       AS BIGINT) AS low_cnt
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate < o_orderdate
+GROUP BY l_linestatus
+""",
+    doc="TPC-H Q12 shape: join + conditional split aggregation in one "
+    "pass (the reference's success/other pattern over a join).",
+)
+def q12_shipmode_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") < F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_cnt"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_cnt"),
+        )
+    )
+
+
+@register(
+    "q14_promo_ratio",
+    oracle="""
+SELECT CAST(sum(CASE WHEN starts_with(p_type, 'a') THEN
+        CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+        ELSE 0 END) AS BIGINT)
+     / CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+     AS promo_ratio
+FROM lineitem JOIN part ON p_partkey = l_partkey
+""",
+    doc="TPC-H Q14 shape: ratio of two conditional sums — one join, one "
+    "aggregate, division of two exact integers (deterministic double).",
+)
+def q14_promo_ratio(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    promo = F.when(F.col("p_type").startswith("a"), rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((F.sum(promo) / F.sum(rev)).alias("promo_ratio"))
+    )
+
+
+@register(
+    "q19_disjunctive",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 40)
+""",
+    doc="TPC-H Q19 shape: disjunctive multi-table predicates — Catalyst "
+    "splits the OR across join sides where possible.",
+)
+def q19_disjunctive(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
     "q4_order_priority",
     oracle="""
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_cnt
