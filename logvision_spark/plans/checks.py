@@ -48,6 +48,12 @@ def plan_features(df: DataFrame) -> PlanFeatures:
         sort_merge_joins=len(re.findall("SortMergeJoin", plan)),
         hash_aggregates=len(re.findall("HashAggregate", plan)),
         python_eval=("BatchEvalPython" in plan or "ArrowEvalPython" in plan),
-        pushed_filters=[m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m],
+        # the filter list may be truncated with '…' before its closing
+        # bracket (TreeNode maxFields) — capture to end of line
+        pushed_filters=[
+            m.rstrip("], ")
+            for m in re.findall(r"PushedFilters: \[([^\n]*)", plan)
+            if m.strip("[], ")
+        ],
         read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", plan),
     )

@@ -62,6 +62,13 @@ def test_emb_label_counts_prunes_array_column(feats):
     assert f.reads_only("label")
 
 
+def test_q6_all_predicates_pushed(feats):
+    f = feats("q6_forecast_revenue")
+    joined = " ".join(f.pushed_filters)
+    assert "l_shipdate" in joined and "l_discount" in joined
+    assert f.reads_only("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+
+
 def test_q4_plans_semi_join(feats, spark, sf_dir):
     from logvision_spark.catalog import CATALOG
     from logvision_spark.plans.checks import explain_str
