@@ -360,6 +360,27 @@ def t2_regex_extract(spark, sf_dir):
 
 
 @register(
+    "t_json_extract",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+FROM events GROUP BY 1
+""",
+    doc="JSON field extraction (the serving layer parses record JSON, "
+    "app.py:350-351): get_json_object stays JVM-side; grouped roll-up of "
+    "the extracted value.",
+)
+def t_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(k).alias("k_sum"),
+    )
+
+
+@register(
     "t8_minute_series",
     oracle="SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute_str, "
     "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1",

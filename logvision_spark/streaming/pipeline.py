@@ -57,11 +57,15 @@ def counter_views(
             F.count(F.lit(1)).alias("cnt")
         )
 
-    # per-second event-time counter needs a watermark in update mode
+    # per-second event-time counter needs a watermark in update mode.
+    # group by the FULL window column (extracting .start inside groupBy
+    # severs watermark tracking → append mode rejects + state never ages)
     ts_src = ok.withWatermark("ts", watermark) if ok.isStreaming else ok
-    views["datetime"] = ts_src.groupBy(
-        F.window("ts", "1 second").getField("start").alias("second")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    views["datetime"] = (
+        ts_src.groupBy(F.window("ts", "1 second"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("second"), "cnt")
+    )
 
     # global counters: line count, size KB, traffic MB — one pass
     views["totals"] = parsed.agg(
