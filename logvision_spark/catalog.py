@@ -731,6 +731,94 @@ def sim_top10_vec0(spark, sf_dir):
 
 
 @register(
+    "emb_label_centroids",
+    oracle="""
+SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+WHERE dim <= 8
+GROUP BY label, dim
+""",
+    doc="Vector aggregation: per-label centroid components via "
+    "posexplode + grouped avg — the distributed form of computing class "
+    "centroids (IVF training step). First 8 dims to keep the result "
+    "compact; rounding bounds FP-order noise.",
+)
+def emb_label_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).where(F.col("pos") < 8)
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+SELECT doc_id,
+  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS uniq_ratio
+FROM documents
+""",
+    doc="Repetition scoring: unique-token ratio (low ⇒ boilerplate/spam) — "
+    "a standard quality-filter feature.",
+)
+def text_repetition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    )
+
+
+@register(
+    "q22_inactive_rich",
+    oracle="""
+WITH avg_bal AS (SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                        / 100.0 / count(*) AS ab
+                 FROM customer WHERE c_acctbal > 0)
+SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+    doc="TPC-H Q22 shape: global-average scalar subquery + anti-join "
+    "(rich customers who never ordered, per nation). The scalar average "
+    "is a broadcast single row; double threshold identical cross-engine "
+    "(avg of exact decimal-cent values).",
+)
+def q22_inactive_rich(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    # exact-cents average: double avg over raw values is summation-order
+    # dependent; integer sum + one division chain is bit-deterministic
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(cents("c_acctbal")) / F.lit(100.0) / F.count(F.lit(1))).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("total_bal"),
+        )
+    )
+
+
+@register(
     "emb_label_counts",
     oracle="SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM embeddings GROUP BY label",
     doc="Embedding table sanity aggregate (also exercises array-column scan "
