@@ -1037,6 +1037,31 @@ def k6_window_per_user(spark, sf_dir):
 
 
 @register(
+    "a_pivot_type_by_bucket",
+    oracle="""
+SELECT user_id % 10 AS bucket,
+  CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+""",
+    doc="Pivot/crosstab: event-type columns per user bucket. Explicit "
+    "pivot values keep it one pass (no distinct-values pre-query) and "
+    "make the output schema static — required at scale and for the oracle.",
+)
+def a_pivot_type_by_bucket(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .na.fill(0)
+    )
+
+
+@register(
     "a16_distinct_types_by_user",
     oracle="SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_types "
     "FROM events GROUP BY user_id",
