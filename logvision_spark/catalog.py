@@ -32,7 +32,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logvision_spark.operators.aggregations import status_class_counts
 from logvision_spark.operators.joins import timeline_full_outer, union_labeled
 from logvision_spark.operators.topk import ranked, top_k
 from logvision_spark.sources.readers import load_table

@@ -149,7 +149,7 @@ def ivf_topk(
     """IVF-flat ANN: k-means coarse centroids; probe the n_probe nearest
     cells. Returns exact cosine over the probed subset."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = df.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")

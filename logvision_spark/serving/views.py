@@ -18,12 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from logvision_spark.operators.aggregations import (
-    count_by,
-    count_by_second,
-    distinct_count,
-    status_class_counts,
-)
+from logvision_spark.operators.aggregations import count_by, count_by_second
 from logvision_spark.operators.joins import geo_enrich, timeline_full_outer
 from logvision_spark.operators.topk import top_k, top_k_ranked
 

@@ -18,8 +18,6 @@ expire are the reference's unbounded-Redis mistake re-created in Spark.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
