@@ -103,15 +103,18 @@ def a3_count_by_user(spark, sf_dir):
 
 @register(
     "a6_count_by_second",
-    oracle="SELECT date_trunc('second', ts) AS second, CAST(count(*) AS BIGINT) AS cnt "
-    "FROM events GROUP BY 1",
-    doc="A6: per-second event-time buckets (streaming.scala:117-119).",
+    oracle="SELECT strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S.%f') AS second, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1",
+    doc="A6: per-second event-time buckets (streaming.scala:117-119). "
+    "Bucket emitted as a formatted string: hash-stable across engines "
+    "regardless of pandas datetime resolution.",
 )
 def a6_count_by_second(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(F.date_trunc("second", F.col("ts")).alias("second")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    sec = F.date_format(
+        F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
     )
+    return ev.groupBy(sec.alias("second")).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 @register(
@@ -240,7 +243,8 @@ def k6_user_ranking(spark, sf_dir):
 
 @register(
     "k5_order_scan",
-    oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders "
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice, "
+    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate FROM orders "
     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     doc="K5: ordered scan + limit (zrange + client sort, app.py:264-271). "
     "Raw columns only — exact at any scale.",
@@ -248,7 +252,12 @@ def k6_user_ranking(spark, sf_dir):
 def k5_order_scan(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
-        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        o.select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "o_orderdate"
+            ),
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
@@ -281,9 +290,11 @@ def j1_union_labeled(spark, sf_dir):
 @register(
     "j2_timeline_full_outer",
     oracle="""
-WITH e AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS error_cnt
+WITH e AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour,
+             CAST(count(*) AS BIGINT) AS error_cnt
            FROM events WHERE event_type = 'error' GROUP BY 1),
-     p AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS purchase_cnt
+     p AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour,
+             CAST(count(*) AS BIGINT) AS purchase_cnt
            FROM events WHERE event_type = 'purchase' GROUP BY 1)
 SELECT COALESCE(e.hour, p.hour) AS hour,
        COALESCE(error_cnt, 0) AS error_cnt,
@@ -296,7 +307,9 @@ FROM e FULL OUTER JOIN p ON e.hour = p.hour
 )
 def j2_timeline_full_outer(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hour = F.date_format(
+        F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).alias("hour")
     e = (
         ev.where(F.col("event_type") == "error")
         .groupBy(hour)
@@ -448,7 +461,7 @@ def q1_pricing_summary(spark, sf_dir):
     oracle="""
 SELECT l_orderkey,
   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
-  o_orderdate, o_orderpriority
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -477,7 +490,13 @@ def q3_shipping_priority(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -1147,7 +1166,7 @@ def j5_semi_join(spark, sf_dir):
 @register(
     "q18_large_orders",
     oracle="""
-SELECT o_orderkey, o_orderdate,
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate,
   CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_qty
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderkey, o_orderdate
@@ -1170,7 +1189,9 @@ def q18_large_orders(spark, sf_dir):
         .where(F.col("_q") > 15000)
         .select(
             "o_orderkey",
-            "o_orderdate",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "o_orderdate"
+            ),
             (F.col("_q") / F.lit(100.0)).alias("total_qty"),
         )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
@@ -1363,7 +1384,8 @@ def q17_small_qty_revenue(spark, sf_dir):
 @register(
     "w_cumulative_revenue",
     oracle="""
-SELECT d, daily, CAST(sum(daily_e2) OVER (ORDER BY d
+SELECT strftime(d, '%Y-%m-%d %H:%M:%S.%f') AS d, daily,
+       CAST(sum(daily_e2) OVER (ORDER BY d
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
        AS cumulative
 FROM (SELECT o_orderdate AS d,
@@ -1384,7 +1406,9 @@ def w_cumulative_revenue(spark, sf_dir):
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(
-        "d", "daily", (F.sum("daily_e2").over(w) / F.lit(100.0)).alias("cumulative")
+        F.date_format("d", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("d"),
+        "daily",
+        (F.sum("daily_e2").over(w) / F.lit(100.0)).alias("cumulative"),
     )
 
 
@@ -1420,7 +1444,8 @@ def t_string_funcs(spark, sf_dir):
 @register(
     "j6_asof_join",
     oracle="""
-SELECT p.event_id, p.user_id, p.ts, s.ts AS ts_asof
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_asof
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
   ON p.user_id = s.user_id AND s.ts <= p.ts
@@ -1438,7 +1463,14 @@ def j6_asof_join(spark, sf_dir):
         "event_id", "user_id", "ts"
     )
     signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
-    return asof_join(purchases, signups, key="user_id")
+    joined = asof_join(purchases, signups, key="user_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("ts_asof", fmt).alias("ts_asof"),
+    )
 
 
 @register(
