@@ -135,6 +135,72 @@ def near_dup_pairs_cosine(
     )
 
 
+def ml_brp_lsh_neighbors(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qe",
+    seed: int = 42,
+) -> DataFrame:
+    """pyspark.ml-native ANN route: BucketedRandomProjectionLSH (Euclidean)
+    approxNearestNeighbors. Returns (id, dist_euclidean). Complements the
+    hand-rolled SRP/IVF paths with MLlib's fitted-model API (persistable,
+    approxSimilarityJoin-capable for all-pairs near-dup at scale)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    q = query.select(array_to_vector(F.col(query_vec_col)).alias("qv")).first()["qv"]
+    nn = model.approxNearestNeighbors(vecs, q, k)
+    return nn.select(F.col(id_col), F.col("distCol").alias("dist_euclidean"))
+
+
+def ml_minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_hash_tables: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """pyspark.ml-native near-dup route: token-set → binary HashingTF →
+    MinHashLSH approxSimilarityJoin. Returns (doc_a, doc_b, jaccard_dist)
+    pairs under the distance threshold (Jaccard distance = 1 - Jaccard)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_toks")
+    tf = HashingTF(
+        inputCol="_toks", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(tok.transform(df.select(id_col, text_col)))
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
+    return (
+        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: DataFrame,

@@ -116,6 +116,28 @@ def test_ivf_topk_overlaps_bruteforce(spark, sf_dir):
     assert overlap >= 5, (exact, approx)  # probing half the cells → high recall
 
 
+def test_ml_brp_lsh_neighbors(spark, sf_dir):
+    from logvision_spark.operators.similarity import ml_brp_lsh_neighbors
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    nn = ml_brp_lsh_neighbors(emb.where(F.col("vec_id") != 0), q, k=5).collect()
+    assert len(nn) == 5
+    dists = [r["dist_euclidean"] for r in nn]
+    assert dists == sorted(dists)  # nearest first
+
+
+def test_ml_minhash_lsh_finds_dup_pair(spark, docs):
+    from logvision_spark.operators.similarity import ml_minhash_lsh_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_dist"]
+        for r in ml_minhash_lsh_pairs(docs, threshold=0.6).collect()
+    }
+    assert pairs.get((0, 1)) == 0.0  # identical docs at distance 0
+    assert (0, 3) not in pairs  # unrelated doc beyond threshold
+
+
 def test_multimodal_decode_plumbing(spark):
     media = synth_media(spark, n=30)
     out = decode_images(media.where(F.col("kind") == "image"))
