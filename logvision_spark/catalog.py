@@ -797,6 +797,59 @@ def text_repetition(spark, sf_dir):
 
 
 @register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS r_e4
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, r_e4 / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r_e4 = (SELECT max(r_e4) FROM rev)
+""",
+    doc="TPC-H Q15 shape: supplier(s) matching the MAX of an aggregated "
+    "revenue view — aggregate-of-aggregate with exact integer comparison "
+    "(no double-equality fragility).",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+        ).alias("r_e4")
+    )
+    mx = rev.agg(F.max("r_e4").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("r_e4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", (F.col("r_e4") / F.lit(10000.0)).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "a_collect_sorted_types",
+    oracle="""
+SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id
+""",
+    doc="Aggregate-to-array: per-user distinct event types, SORTED then "
+    "joined to a string (unsorted collect order is partitioning-dependent "
+    "in both engines; string form keeps the compared value scalar).",
+)
+def a_collect_sorted_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
     "q22_inactive_rich",
     oracle="""
 WITH avg_bal AS (SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
