@@ -56,15 +56,22 @@ def poly_hash(scol: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
-    """Distinct n-word shingles of a document (array<string>)."""
+    """Distinct n-word shingles of a document (array<string>).
+
+    Documents with fewer than n tokens yield an EMPTY array (guarded:
+    F.sequence(0, size-n) would otherwise produce a descending sequence
+    like [0,-1,-2] and element_at(…, 0) is an ANSI error in Spark 4)."""
     toks = F.split(text, sep)
-    return F.array_distinct(
+    shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(
                 sep, *[F.element_at(toks, i + j + 1) for j in range(n)]
             ),
         )
+    )
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -87,12 +94,22 @@ def exploded_shingles(
             ),
         )
     )
-    return staged.select(id_col, F.explode(shingles).alias("shingle"))
+    # Short docs (size < n) explode to zero rows; without the guard the
+    # descending sequence hits element_at index 0 (ANSI error, Spark 4).
+    guarded = F.when(F.size(tk) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+    return staged.select(id_col, F.explode(guarded).alias("shingle"))
 
 
 def shingle_hashes(text: Column, n: int = 3, fast: bool = False) -> Column:
-    """array<long> of hashed distinct n-word shingles."""
-    hasher = (lambda s: F.xxhash64(s)) if fast else poly_hash
+    """array<long> of hashed distinct n-word shingles. The fast path pmods
+    xxhash64 into the prime field so downstream permutation math
+    (h*a + b) cannot overflow LongType (ANSI error in Spark 4) — same
+    normalization as minhash_signatures_agg."""
+    hasher = (
+        (lambda s: F.pmod(F.xxhash64(s), F.lit(POLY_MOD))) if fast else poly_hash
+    )
     return F.transform(word_shingles(text, n), hasher)
 
 
@@ -220,10 +237,15 @@ def minhash_candidate_pairs(
     ).withColumnRenamed(id_col, "id")
     band_cols = []
     for bi in range(bands):
-        # pack the band's hash rows into one comparable value
-        v = F.col(f"h{bi * rows}")
-        for r in range(1, rows):
-            v = v * POLY_MOD + F.col(f"h{bi * rows + r}")
+        # pack the band's hash rows into one comparable struct value —
+        # exact equality, no positional arithmetic (v*P + h chains
+        # overflow LongType for rows_per_band >= 3)
+        v = F.struct(
+            *[
+                F.col(f"h{bi * rows + r}").alias(f"r{r}")
+                for r in range(rows)
+            ]
+        )
         band_cols.append(F.struct(F.lit(bi).alias("band"), v.alias("val")))
     banded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bv")

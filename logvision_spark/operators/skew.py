@@ -28,13 +28,18 @@ def distinct_count_by_key_balanced(
 ) -> DataFrame:
     """Exact per-key distinct count, skew-balanced: shuffle on (key, value)
     (uniform), dedup, then count per key. Same result as
-    `groupBy(key).agg(countDistinct(value))`, different physical shape —
-    no reducer ever sees more than the deduped stream of one key."""
+    `groupBy(key).agg(countDistinct(value))` — including NULL exclusion,
+    which countDistinct (and SQL count(DISTINCT …)) applies but a bare
+    distinct()+count would not — with a different physical shape: no
+    reducer ever sees more than the deduped stream of one key."""
     return (
         df.select(key, value)
         .distinct()
         .groupBy(key)
-        .agg(F.count(F.lit(1)).alias(alias))
+        # count(value) skips NULLs — so a NULL value never counts as a
+        # distinct value, yet a key whose values are ALL NULL still
+        # appears with count 0, exactly like countDistinct
+        .agg(F.count(F.col(value)).alias(alias))
     )
 
 

@@ -47,17 +47,30 @@ class ServingCatalog:
     def count_board(self) -> DataFrame:
         """Visitors, resources, line count, traffic MB, success/other — the
         reference's five zcard/zscore reads + client-side sum, as ONE
-        single-pass aggregate."""
+        aggregate per input frame.
+
+        line_cnt/traffic cover ALL lines (the reference counts every
+        ingested line), but the status split and visitor/resource
+        distincts cover only successfully-parsed records — the reference's
+        counters are built from parsed records exclusively (malformed
+        lines carry no status/host/url), so unparsed lines must not
+        inflate other_cnt."""
         ok = F.col("status_code").between(200, 207)
-        return self.raw.agg(
+        parsed_side = self.parsed.agg(
             F.approx_count_distinct("host").alias("visitors"),
             F.approx_count_distinct("url").alias("resources"),
+            F.sum(ok.cast("long")).alias("success_cnt"),
+            F.sum((~ok | F.col("status_code").isNull()).cast("long")).alias("other_cnt"),
+        )
+        raw_side = self.raw.agg(
             F.count(F.lit(1)).alias("line_cnt"),
             (F.sum(F.coalesce(F.col("bytes"), F.lit(0))) / F.lit(1048576.0)).alias(
                 "traffic_mb"
             ),
-            F.sum(ok.cast("long")).alias("success_cnt"),
-            F.sum((~ok | F.col("status_code").isNull()).cast("long")).alias("other_cnt"),
+        )
+        return parsed_side.crossJoin(raw_side).select(
+            "visitors", "resources", "line_cnt", "traffic_mb",
+            "success_cnt", "other_cnt",
         )
 
     # --- hot_url (app.py:157-175), hot_ip (app.py:177-205) ----------------

@@ -78,6 +78,62 @@ def test_near_dup_drop_list_end_to_end(spark, docs):
     assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3}
 
 
+def test_dedup_handles_short_and_empty_docs(spark):
+    """Docs with < n tokens must not crash the shingle expression (Spark 4
+    ANSI: a descending F.sequence would hit element_at index 0) — they
+    yield empty shingle sets / NULL signatures and never pair."""
+    from logvision_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures_agg,
+        near_dup_drop_list,
+    )
+
+    rows = [(0, BASE), (1, BASE), (2, "tiny doc"), (3, "x"), (4, "")]
+    short = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sig = short.select("doc_id", *minhash_signature(F.col("text"), num_hashes=4))
+    got = {r["doc_id"]: r["h0"] for r in sig.collect()}
+    assert got[0] == got[1] and got[0] is not None
+    assert got[2] is None and got[3] is None and got[4] is None  # < 3 tokens
+
+    agg = minhash_signatures_agg(short, num_hashes=4)
+    assert {r["doc_id"] for r in agg.collect()} == {0, 1}  # short docs drop out
+
+    for fast in (False, True):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_candidate_pairs(
+                short, num_hashes=8, bands=8, fast=fast
+            ).collect()
+        }
+        assert pairs == {(0, 1)}
+
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(short, threshold=0.0).collect()
+    }
+    assert jac == {(0, 1)}
+
+    drops = {r["doc_id"] for r in near_dup_drop_list(short, fast=True).collect()}
+    assert drops == {1}
+
+    fp = short.select("doc_id", simhash(F.col("text"), n=3).alias("fp")).collect()
+    assert len(fp) == 5  # no ANSI crash on short docs
+
+
+def test_minhash_bands_with_three_rows_per_band(spark, docs):
+    """rows_per_band >= 3 packs bands as struct keys — the old positional
+    v*P + h arithmetic overflowed LongType (ANSI error) at 3 rows."""
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(
+            docs, num_hashes=12, bands=4, fast=True
+        ).collect()
+    }
+    assert (0, 1) in pairs  # identical docs agree on every band
+    assert (0, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_simhash_fingerprints(spark, docs):
     fp = {
         r["doc_id"]: r["fp"]

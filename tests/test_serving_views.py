@@ -36,7 +36,10 @@ def test_count_board_single_pass(catalog):
     r = catalog.count_board().collect()[0]
     assert r["line_cnt"] == 5  # raw lines incl. malformed (A1 semantics)
     assert r["visitors"] == 3
-    assert r["success_cnt"] == 2 and r["other_cnt"] == 3
+    # status split covers parsed records only — the malformed "garbage
+    # line" must NOT inflate other_cnt (reference counters are built from
+    # parsed records exclusively)
+    assert r["success_cnt"] == 2 and r["other_cnt"] == 2
 
 
 def test_hot_url_rank(catalog):

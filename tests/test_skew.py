@@ -38,6 +38,23 @@ def test_balanced_distinct_equals_naive(spark):
     assert naive["hot"] == 200  # the hot key saw every value
 
 
+def test_balanced_distinct_excludes_nulls_like_count_distinct(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("b", None)], ["key", "val"]
+    )
+    naive = {
+        r["key"]: r["d"]
+        for r in df.groupBy("key").agg(F.count_distinct("val").alias("d")).collect()
+    }
+    balanced = {
+        r["key"]: r["distinct_cnt"]
+        for r in distinct_count_by_key_balanced(df, "key", "val").collect()
+    }
+    assert naive == {"a": 2, "b": 0}
+    # exact match including the NULL-only key appearing with count 0
+    assert balanced == naive
+
+
 def test_salted_sum_equals_naive(spark):
     df = make_skewed(spark)
     naive = {
