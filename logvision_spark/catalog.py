@@ -487,7 +487,9 @@ def q3_shipping_priority(spark, sf_dir):
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF — no broadcast pin; the 64m
+        # autoBroadcastJoinThreshold + AQE decide at runtime
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
         .select(
@@ -573,7 +575,8 @@ def q7_nation_volume(spark, sf_dir):
     ).where(F.col("n_name").isin("FRANCE", "GERMANY"))
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier scales with SF — threshold/AQE decide, no pin
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -821,9 +824,10 @@ def q15_top_supplier(spark, sf_dir):
     )
     mx = rev.agg(F.max("r_e4").alias("mx"))
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.crossJoin(F.broadcast(mx))  # mx is a single-row aggregate: pin OK
         .where(F.col("r_e4") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        # supplier scales with SF — threshold/AQE decide, no pin
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey", "s_name", (F.col("r_e4") / F.lit(10000.0)).alias("total_revenue")
         )
@@ -1332,7 +1336,8 @@ def q14_promo_ratio(spark, sf_dir):
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     promo = F.when(F.col("p_type").startswith("a"), rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part scales with SF — threshold/AQE decide, no pin
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg((F.sum(promo) / F.sum(rev)).alias("promo_ratio"))
     )
 
@@ -1362,7 +1367,8 @@ def q19_disjunctive(spark, sf_dir):
         & F.col("l_quantity").between(10, 40)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part scales with SF — threshold/AQE decide, no pin
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
     )
@@ -1423,7 +1429,8 @@ def q17_small_qty_revenue(spark, sf_dir):
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part scales with SF — threshold/AQE decide, no pin
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(thresh, li.l_partkey == thresh.pk)
         .where(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(

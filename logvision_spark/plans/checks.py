@@ -40,6 +40,18 @@ class PlanFeatures:
         return True
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit user-pinned broadcast hints (``F.broadcast``)
+    in the ANALYZED logical plan — distinct from runtime broadcast
+    choices, which the autoBroadcastJoinThreshold / AQE make in the
+    physical plan and which are free to vary with data size. A pin on an
+    SF-scaling table bypasses both and OOMs at the 100 TB design point,
+    so tests assert pins exist ONLY on true constants (nation/region,
+    single-row aggregates)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return plan.count("ResolvedHint (strategy=broadcast)")
+
+
 def plan_features(df: DataFrame) -> PlanFeatures:
     plan = explain_str(df)
     return PlanFeatures(

@@ -90,6 +90,28 @@ def test_asof_join_single_shuffle_no_python(feats, spark, sf_dir):
     assert "Window" in plan
 
 
+def test_no_pinned_broadcast_on_sf_scaling_tables(spark, sf_dir):
+    """customer/part/supplier grow linearly with SF — a pinned
+    F.broadcast on them bypasses the threshold AND AQE's runtime
+    demotion, an OOM at 100×. Only true constants (nation/region splits,
+    single-row aggregates) may carry explicit pins. Asserted on the
+    analyzed logical plan's hints — the physical plan may still
+    legitimately choose broadcast at sf0.1 via the threshold."""
+    from logvision_spark.plans.checks import broadcast_hint_count
+
+    expected_pins = {
+        "q3_shipping_priority": 0,
+        "q7_nation_volume": 2,       # the two nation splits only
+        "q14_promo_ratio": 0,
+        "q15_top_supplier": 1,       # the single-row max-revenue aggregate
+        "q17_small_qty_revenue": 0,
+        "q19_disjunctive": 0,
+    }
+    for name, expected in expected_pins.items():
+        got = broadcast_hint_count(CATALOG[name].builder(spark, sf_dir))
+        assert got == expected, f"{name}: {got} broadcast pins, want {expected}"
+
+
 def test_relational_queries_stay_jvm_side(feats):
     for name in (
         "q1_pricing_summary",
