@@ -178,23 +178,55 @@ def exact_dedup(
     )
 
 
+def capped_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """(id, shingle) rows with hot shingles removed: any shingle present
+    in more than `max_doc_freq` docs is dropped BEFORE any self-join.
+
+    This is the guard that makes shared-shingle joins survive 100 TB: one
+    stop-phrase gram shared by 1M docs otherwise yields ~5·10¹¹ candidate
+    pairs from that single key. The hot set is tiny (shingle frequency is
+    Zipfian), so the anti-join broadcasts. `max_doc_freq=None` disables
+    the cap (exact semantics at fixture scale)."""
+    sh = exploded_shingles(df, id_col, text_col, n).toDF("id", "s")
+    if max_doc_freq is None:
+        return sh
+    # per-doc shingles are distinct, so count == document frequency
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.05,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shared-shingle equi-join:
     |A∩B| from a self-join on shingles, |A∪B| = |A|+|B|-|A∩B|.
 
-    Work is bounded by pairs that actually share a shingle — at 100 TB the
-    hot shingles (stop-phrase grams) need a frequency cap (drop shingles
-    appearing in > f docs) which is the standard guard; candidate
-    generation via `minhash_near_pairs` is the cheaper path when the
-    corpus is large and threshold is high.
+    Work is bounded by pairs that actually share a shingle, with hot
+    shingles (document frequency > `max_doc_freq`) dropped first — the
+    standard guard against stop-phrase grams creating quadratic
+    candidates. Jaccard is computed consistently over the CAPPED shingle
+    space (both intersection and set sizes), so results are exact
+    whenever no shingle exceeds the cap. Candidate generation via
+    `minhash_candidate_pairs` is the cheaper path when the corpus is
+    large and threshold is high.
     """
-    sh = exploded_shingles(df, id_col, text_col, n).toDF("id", "s")
+    sh = capped_shingles(df, id_col, text_col, n, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -272,6 +304,7 @@ def near_dup_drop_list(
     bands: int = 4,
     n: int = 3,
     fast: bool = True,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """End-to-end near-dup dedup decision: MinHash-LSH candidates →
     exact-Jaccard verification → greedy keep-lowest-id. Returns the DROP
@@ -283,12 +316,16 @@ def near_dup_drop_list(
     pair. (Chain transitivity — a~b, b~c, a!~c — still drops b and c;
     the survivor set is duplicate-free but may over-drop relative to full
     connected-components clustering, the standard trade at corpus scale.)
+
+    Verification Jaccard runs over the hot-shingle-capped shingle space
+    (see `capped_shingles`) so the verify join cannot blow up on a
+    stop-phrase gram either.
     """
     cands = minhash_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, n=n, fast=fast,
     )
-    sh = exploded_shingles(df, id_col, text_col, n).toDF("id", "s")
+    sh = capped_shingles(df, id_col, text_col, n, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     # verify ONLY candidate pairs: join candidates into the shingle match

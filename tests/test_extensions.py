@@ -121,6 +121,39 @@ def test_dedup_handles_short_and_empty_docs(spark):
     assert len(fp) == 5  # no ANSI crash on short docs
 
 
+def test_hot_shingle_cap_prevents_candidate_explosion(spark):
+    """A shingle shared by every doc must not pair everything with
+    everything once its document frequency exceeds max_doc_freq."""
+    hot = "common boiler plate"  # 3 tokens → one ubiquitous shingle
+    rows = [(i, f"{hot} unique{i} marker{i} tail{i}") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=None)
+    assert uncapped.count() >= 20 * 19 // 2  # hot shingle pairs all 20
+
+    capped = ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=10)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(100, 101): 1.0}  # only the true dup pair survives
+
+    # cap above all frequencies → identical to uncapped (exactness guard)
+    wide = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=1000).collect()
+    }
+    assert wide == {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in uncapped.collect()
+    }
+
+    from logvision_spark.operators.dedup import near_dup_drop_list
+
+    drops = {
+        r["doc_id"]
+        for r in near_dup_drop_list(df, threshold=0.8, max_doc_freq=10).collect()
+    }
+    assert drops == {101}
+
+
 def test_minhash_bands_with_three_rows_per_band(spark, docs):
     """rows_per_band >= 3 packs bands as struct keys — the old positional
     v*P + h arithmetic overflowed LongType (ANSI error) at 3 rows."""
