@@ -1074,6 +1074,32 @@ def sim_near_pairs(spark, sf_dir):
 
 
 @register(
+    "sim_near_pairs_lsh",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+ round(list_sum(list_transform(range(1, 65),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+ / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, 65),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+ / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) >= 0.4
+""",
+    doc="Embedding near-dup pairs, scale path: SRP-LSH bucket candidates "
+    "(equi-join on (table, bucket), no all-pairs cross join) → exact-cosine "
+    "verify. Fixed seed; at the defaults a cosine-0.4 pair is missed with "
+    "p≈5e-6, so the verified set equals the exact all-pairs oracle.",
+)
+def sim_near_pairs_lsh(spark, sf_dir):
+    from logvision_spark.operators.similarity import near_dup_pairs_cosine_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return near_dup_pairs_cosine_lsh(emb, threshold=0.4)
+
+
+@register(
     "t5_projection_rename",
     oracle="SELECT event_id AS id, user_id AS visitor, event_type AS kind, value "
     "AS amount FROM events WHERE user_id % 10 = 0",

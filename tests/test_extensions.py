@@ -205,6 +205,24 @@ def test_ivf_topk_overlaps_bruteforce(spark, sf_dir):
     assert overlap >= 5, (exact, approx)  # probing half the cells → high recall
 
 
+def test_lsh_near_pairs_equal_exact_at_fixture_scale(spark, sf_dir):
+    from logvision_spark.operators.similarity import (
+        near_dup_pairs_cosine,
+        near_dup_pairs_cosine_lsh,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in near_dup_pairs_cosine(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in near_dup_pairs_cosine_lsh(emb, threshold=0.4).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
 def test_ml_brp_lsh_neighbors(spark, sf_dir):
     from logvision_spark.operators.similarity import ml_brp_lsh_neighbors
 

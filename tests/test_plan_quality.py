@@ -112,6 +112,16 @@ def test_no_pinned_broadcast_on_sf_scaling_tables(spark, sf_dir):
         assert got == expected, f"{name}: {got} broadcast pins, want {expected}"
 
 
+def test_sim_near_pairs_lsh_has_no_cross_join(spark, sf_dir):
+    """The LSH near-pair variant must candidate via (table, bucket)
+    equi-joins — no nested-loop/cartesian all-pairs product anywhere."""
+    from logvision_spark.plans.checks import explain_str
+
+    plan = explain_str(CATALOG["sim_near_pairs_lsh"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_relational_queries_stay_jvm_side(feats):
     for name in (
         "q1_pricing_summary",
