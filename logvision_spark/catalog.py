@@ -142,6 +142,24 @@ def a11_value_sum(spark, sf_dir):
 
 
 @register(
+    "a11_value_sum_faithful",
+    oracle="SELECT CAST(sum(CASE WHEN value IS NOT NULL THEN "
+    "CAST(floor(value/100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "AS value_units FROM events",
+    doc="A11 (bit-faithful variant): the reference integer-divides PER "
+    "RECORD before summing (`bytes.toInt/1024/1024`, streaming.scala:145), "
+    "so sub-unit rows contribute 0 — deliberately different from the sane "
+    "exact-cents sum. Divisor 100 keeps the fixture's 2-decimal values "
+    "non-degenerate.",
+)
+def a11_value_sum_faithful(spark, sf_dir):
+    from logvision_spark.operators.aggregations import sum_mb_faithful
+
+    ev = _t(spark, sf_dir, "events")
+    return sum_mb_faithful(ev, bytes_col="value", alias="value_units", divisor=100)
+
+
+@register(
     "a15_distinct_users",
     oracle="SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events",
     doc="A15/A16: distinct visitors (app.py:100). Exact here for the oracle; "
@@ -184,6 +202,60 @@ def a17_counter_lookup(spark, sf_dir):
         ev.where(F.col("event_type") == "purchase")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _scored_serving_catalog(spark, sf_dir):
+    """Deterministic scored fixture for the A12/A13 serving counters: the
+    events table with a STATIC prediction rule (error → 1.0 "bad") in
+    place of the LR model, so the driver's oracle can reproduce the
+    scores exactly. The real model path (ml/intrusion.py) is checked by
+    its own accuracy-band tests; these entries pin the serving *query*
+    semantics (flask/app.py:309-343, 425-458)."""
+    from logvision_spark.serving.views import ServingCatalog
+
+    ev = _t(spark, sf_dir, "events").withColumn("parsed", F.lit(True))
+    scored = ev.withColumn(
+        "prediction",
+        F.when(F.col("event_type") == "error", F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    return ServingCatalog(ev, scored=scored)
+
+
+@register(
+    "a12_class_counts",
+    oracle="SELECT CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END "
+    "AS prediction, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1",
+    doc="A12: good/bad class counters over the scored stream "
+    "(flask/app.py:309-343) via the serving view, with a deterministic "
+    "rule-based prediction standing in for the model.",
+)
+def a12_class_counts(spark, sf_dir):
+    return _scored_serving_catalog(spark, sf_dir).class_counts()
+
+
+@register(
+    "a13_class_timeline",
+    oracle="""
+WITH g AS (SELECT date_trunc('second', ts) AS s, CAST(count(*) AS BIGINT) AS good_cnt
+           FROM events WHERE event_type <> 'error' GROUP BY 1),
+     b AS (SELECT date_trunc('second', ts) AS s, CAST(count(*) AS BIGINT) AS bad_cnt
+           FROM events WHERE event_type = 'error' GROUP BY 1)
+SELECT strftime(COALESCE(g.s, b.s), '%Y-%m-%d %H:%M:%S.%f') AS second,
+       COALESCE(good_cnt, 0) AS good_cnt,
+       COALESCE(bad_cnt, 0) AS bad_cnt
+FROM g FULL OUTER JOIN b ON g.s = b.s
+""",
+    doc="A13: good/bad per-second timeline, full-outer zero-filled "
+    "(flask/app.py:425-458) via the serving view; bucket emitted as a "
+    "formatted string for cross-engine hash stability.",
+)
+def a13_class_timeline(spark, sf_dir):
+    tl = _scored_serving_catalog(spark, sf_dir).class_timeline()
+    return tl.select(
+        F.date_format("second", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("second"),
+        "good_cnt",
+        "bad_cnt",
     )
 
 

@@ -62,12 +62,18 @@ def traffic_mb(df: DataFrame, bytes_col: str = "bytes", alias: str = "traffic_mb
     )
 
 
-def sum_mb_faithful(df: DataFrame, bytes_col: str = "bytes", alias: str = "traffic_mb") -> DataFrame:
+def sum_mb_faithful(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    alias: str = "traffic_mb",
+    divisor: int = 1048576,
+) -> DataFrame:
     """A11 (bit-faithful variant): the reference does *integer division
     per record* before summing — `bytes.toInt/1024/1024`
-    (streaming.scala:145) — so every response under 1 MiB contributes 0."""
+    (streaming.scala:145) — so every response under 1 MiB contributes 0.
+    `divisor` parameterizes the unit (1 MiB in the reference)."""
     b = F.col(bytes_col)
-    per_row = F.when(b.isNotNull(), F.floor(b / F.lit(1048576))).otherwise(F.lit(0))
+    per_row = F.when(b.isNotNull(), F.floor(b / F.lit(divisor))).otherwise(F.lit(0))
     return df.agg(F.sum(per_row).cast("long").alias(alias))
 
 
