@@ -10,8 +10,11 @@ reference shapes with the physical strategy pinned where it matters.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def union_labeled(good: DataFrame, bad: DataFrame) -> DataFrame:
@@ -62,3 +65,54 @@ def geo_enrich(
     return facts.join(
         F.broadcast(geo_dim), on=facts[fact_key] == geo_dim[dim_key], how="inner"
     ).drop(dim_key)
+
+
+def geo_enrich_live(
+    facts: DataFrame,
+    resolver: "Callable[[str], tuple[float, float] | None]",
+    fact_key: str = "host",
+) -> DataFrame:
+    """J3 live-enrichment variant (SURVEY §4.2(3)): per-key lookup through
+    a pluggable resolver — the interface the reference's per-IP HTTP
+    geocoder (app.py:136-147) plugs into — executed as Arrow-batched
+    ``mapInPandas`` so resolver calls run ON THE EXECUTORS, batched per
+    Arrow batch, never on the driver.
+
+    `resolver(key) -> (coor_x, coor_y) | None`; None rows are dropped
+    (the reference's drop-unresolved semantics). Output schema matches
+    `geo_enrich`: facts columns + coor_x, coor_y.
+
+    Scale notes: the resolver must be a picklable top-level callable
+    (e.g. a dict-backed fixture, an LRU-cached HTTP client). For hot-key
+    dedup, enrich the DISTINCT keys and broadcast-join back — this
+    operator is the raw per-row interface; `geo_enrich` over a resolved
+    dimension is the preferred production shape.
+    """
+    import pandas as pd  # local import: executors need it, driver may not
+
+    out_schema = T.StructType(
+        list(facts.schema.fields)
+        + [
+            T.StructField("coor_x", T.DoubleType()),
+            T.StructField("coor_y", T.DoubleType()),
+        ]
+    )
+
+    def enrich(batches):
+        cache: dict[str, tuple[float, float] | None] = {}
+        for pdf in batches:
+            keys = pdf[fact_key]
+            xs, ys, keep = [], [], []
+            for k in keys:
+                if k not in cache:
+                    cache[k] = resolver(k)
+                hit = cache[k]
+                keep.append(hit is not None)
+                xs.append(hit[0] if hit else None)
+                ys.append(hit[1] if hit else None)
+            out = pdf.copy()
+            out["coor_x"] = pd.array(xs, dtype="float64")
+            out["coor_y"] = pd.array(ys, dtype="float64")
+            yield out[pd.Series(keep, index=out.index)]
+
+    return facts.mapInPandas(enrich, schema=out_schema)

@@ -94,20 +94,45 @@ def srp_bucket_topk(
     dim: int,
     k: int = 10,
     num_bits: int = 8,
+    num_tables: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qe",
 ) -> DataFrame:
-    """ANN top-k: restrict the exact re-rank to the query's SRP bucket.
-    At scale, bucket ids are precomputed/persisted with the vectors and the
-    probe is a partition-pruned equi-lookup, not a full scan."""
-    planes = _hyperplanes(dim, num_bits, seed)
-    data = df.withColumn("bucket", srp_bucket_id(F.col(vec_col), planes))
-    q = query.withColumn("qbucket", srp_bucket_id(F.col(query_vec_col), planes))
-    cand = data.join(
-        F.broadcast(q), data["bucket"] == q["qbucket"], "inner"
+    """ANN top-k: restrict the exact re-rank to vectors sharing the
+    query's SRP bucket in AT LEAST ONE of `num_tables` independent
+    tables. Recall for an item at cosine c is 1-(1-(1-θ/π)^bits)^tables,
+    θ=arccos(c) — buy precision with bits, recall with tables.
+
+    At scale, bucket ids are precomputed/persisted with the vectors and
+    the probe is a partition-pruned equi-lookup per table, not a full
+    scan; candidate volume is Σ_t n_bucket(t)."""
+    table_cols, q_cols = [], []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_bits, seed + 1000 * t)
+        table_cols.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                srp_bucket_id(F.col(vec_col), planes).alias("b"),
+            )
+        )
+        q_cols.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                srp_bucket_id(F.col(query_vec_col), planes).alias("b"),
+            )
+        )
+    data_b = df.select(
+        F.col(id_col), F.explode(F.array(*table_cols)).alias("tb")
+    ).select(F.col(id_col), F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    q_b = query.select(F.explode(F.array(*q_cols)).alias("tb")).select(
+        F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
     )
+    cand_ids = (
+        data_b.join(F.broadcast(q_b), ["t", "b"]).select(id_col).distinct()
+    )
+    cand = df.join(cand_ids, id_col, "left_semi").crossJoin(F.broadcast(query))
     score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
     return (
         cand.select(F.col(id_col), score.alias("cos_sim"))

@@ -195,6 +195,27 @@ def test_srp_bucket_is_subset_of_bruteforce_order(spark, sf_dir):
     assert any(r["vec_id"] in exact for r in approx)
 
 
+def test_srp_multitable_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-table SRP must reach ≥0.9 average top-10 recall vs brute
+    force (deterministic: fixed seed, fixed query set). Single-table
+    recall at these low fixture cosines is ~0.1 — the tables are what
+    buy recall; 4 bits × 24 tables predicts ~0.95 at cosine 0.3."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    recalls = []
+    for qid in (0, 7, 42, 99, 123):
+        q = emb.where(F.col("vec_id") == qid).select(F.col("embedding").alias("qe"))
+        data = emb.where(F.col("vec_id") != qid)
+        exact = {r["vec_id"] for r in brute_force_topk(data, q, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in srp_bucket_topk(
+                data, q, dim=64, k=10, num_bits=4, num_tables=24
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    assert min(recalls) >= 0.8 and sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_ivf_topk_overlaps_bruteforce(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))

@@ -20,3 +20,32 @@ def test_geo_dim_deterministic_and_partial(spark):
     dim = geo_dim_for_hosts(spark, hosts)
     enriched = geo_enrich(hosts, dim)
     assert enriched.count() == dim.count()  # inner join drops unresolved
+
+
+def test_geo_enrich_live_matches_broadcast_join(spark):
+    """The mapInPandas live-enrichment interface (pluggable resolver —
+    where the reference's per-IP HTTP geocoder plugs in) must return
+    exactly the rows of the broadcast-dim join on the same mapping,
+    including drop-unresolved semantics."""
+    from logvision_spark.operators.joins import geo_enrich_live
+    from logvision_spark.schemas import GEO_DIM_SCHEMA
+
+    table = {"10.0.0.1": (1.0, 2.0), "10.0.0.2": (3.0, 4.0)}
+    hosts = spark.createDataFrame(
+        [("10.0.0.1", 5), ("10.0.0.2", 7), ("10.0.0.3", 9), ("10.0.0.1", 2)],
+        ["host", "cnt"],
+    )
+    dim = spark.createDataFrame(
+        [(k, x, y) for k, (x, y) in table.items()], GEO_DIM_SCHEMA
+    )
+
+    def resolver(ip):
+        return table.get(ip)
+
+    via_join = geo_enrich(hosts, dim)
+    via_live = geo_enrich_live(hosts, resolver)
+    assert via_join.columns == via_live.columns
+    assert sorted(map(tuple, via_join.collect())) == sorted(
+        map(tuple, via_live.collect())
+    )
+    assert via_live.count() == 3  # 10.0.0.3 unresolved → dropped
