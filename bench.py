@@ -53,6 +53,16 @@ def main() -> None:
     ]
     headline = [q for q in headline if q in CATALOG]
 
+    # Round-2 additions, timed separately so regressions are attributable:
+    # "value" stays the ORIGINAL headline total (comparable across rounds /
+    # vs BASELINE); the new set gets its own subtotal.
+    headline_new = [
+        "a11_value_sum_faithful",
+        "a12_class_counts",
+        "a13_class_timeline",
+    ]
+    headline_new = [q for q in headline_new if q in CATALOG]
+
     # Warm-up: JVM classloading, codegen compile paths (scan → hash agg →
     # broadcast join → sort) and parquet footer reads, off the clock.
     from pyspark.sql import functions as F
@@ -70,14 +80,19 @@ def main() -> None:
     # min of 2 runs per query: the first execution of a plan pays one-time
     # codegen/classload costs (measured 0.8-4.5 s) that say nothing about
     # engine throughput; the min reflects steady state.
-    timings: dict[str, float] = {}
-    for name in headline:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            CATALOG[name].builder(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                CATALOG[name].builder(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 4)
+        return out
+
+    timings = time_set(headline)
+    timings_new = time_set(headline_new)
 
     # Parse-pipeline throughput: synthesize combined-log lines once, then
     # measure parse → per-host count end-to-end (the reference's hot path;
@@ -91,7 +106,9 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **timings_new},
+                "core_total": total,
+                "new_total": round(sum(timings_new.values()), 4),
                 "sf": sf,
                 "parse_rows_per_sec": parse_rows_per_sec,
             }

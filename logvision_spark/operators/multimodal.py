@@ -149,12 +149,29 @@ def resize_images(
 
 
 def right_size_partitions(
-    df: DataFrame, avg_asset_bytes: int, target_partition_bytes: int = 128 << 20
+    df: DataFrame,
+    avg_asset_bytes: int,
+    target_partition_bytes: int = 128 << 20,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Repartition so Arrow batches through mapInPandas stay ~target-sized.
-    Call before any payload-carrying pandas stage."""
+    Call before any payload-carrying pandas stage.
+
+    Row count comes from (in order): the caller (`n_rows`, free when the
+    pipeline already knows it), Catalyst's plan statistics (row count if
+    available, else sizeInBytes / avg — no extra scan either way). A
+    payload-bearing table is exactly the table you don't want to scan
+    twice just to count."""
     rows_per_part = max(1, target_partition_bytes // max(1, avg_asset_bytes))
-    n_rows = df.count()
+    if n_rows is None:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        if stats.rowCount().isDefined():
+            n_rows = int(str(stats.rowCount().get()))
+        else:
+            # sizeInBytes is Catalyst's (possibly compressed-source)
+            # estimate — conservative rounding up keeps batches under
+            # target even when it underestimates
+            n_rows = max(1, int(str(stats.sizeInBytes())) // max(1, avg_asset_bytes))
     num_parts = max(1, (n_rows + rows_per_part - 1) // rows_per_part)
     return df.repartition(num_parts)
 

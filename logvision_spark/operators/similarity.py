@@ -230,7 +230,13 @@ def ml_brp_lsh_neighbors(
     """pyspark.ml-native ANN route: BucketedRandomProjectionLSH (Euclidean)
     approxNearestNeighbors. Returns (id, dist_euclidean). Complements the
     hand-rolled SRP/IVF paths with MLlib's fitted-model API (persistable,
-    approxSimilarityJoin-capable for all-pairs near-dup at scale)."""
+    approxSimilarityJoin-capable for all-pairs near-dup at scale).
+
+    Single-query API by design: the one-row `query` frame is pulled to
+    the driver (`first()`) because approxNearestNeighbors takes a local
+    vector. For a query BATCH, don't loop this — use
+    `model.approxSimilarityJoin(vecs, queries, thresh)` so the batch
+    stays distributed."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -294,7 +300,13 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """IVF-flat ANN: k-means coarse centroids; probe the n_probe nearest
-    cells. Returns exact cosine over the probed subset."""
+    cells. Returns exact cosine over the probed subset.
+
+    Driver-side work is deliberately tiny and bounded: the ≤`n_cells`
+    centroids plus ONE query vector (`first()`). For a query batch,
+    compute cell assignments for the whole batch as a DataFrame
+    (broadcast the centroid table, argmax via greatest/struct) and join
+    on cell — don't loop this single-query form."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

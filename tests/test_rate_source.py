@@ -51,6 +51,58 @@ def test_rate_source_maps_onto_log_lines(spark, tmp_path):
     assert got <= {"GET", "POST"} and "GET" in got
 
 
+def test_processing_time_uv_counts_on_rate_stream(spark, tmp_path):
+    """v3 flink_uv_counter parity: tumbling processing-time windows over
+    a distinct-user count, driven by the rate source. All rows of a
+    short run land in wall-clock buckets; UV per bucket is bounded by
+    the 3 distinct synthetic users."""
+    from logvision_spark.streaming.pipeline import processing_time_uv_counts
+
+    rate = read_rate_stream(spark, rows_per_second=50)
+    users = rate.select(
+        F.concat(F.lit("user"), (F.col("value") % 3).cast("string")).alias("host")
+    )
+    uv = processing_time_uv_counts(users, window_len="2 seconds")
+    q = (
+        uv.writeStream.format("memory")
+        .queryName("uv_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "uv_ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.table("uv_counts").collect()
+            if rows and sum(r["uv"] for r in rows) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = spark.table("uv_counts").collect()
+    assert rows, "no processing-time buckets materialized"
+    for r in rows:
+        assert 1 <= r["uv"] <= 3  # HLL over ≤3 users is exact in practice
+        assert (r["win_end"] - r["win_start"]).total_seconds() == 2.0
+
+
+def test_processing_time_uv_exact_batch(spark, sf_dir):
+    """Batch form with exact distinct: one window (all rows share the
+    current_timestamp batch stamp), UV == table-wide distinct users."""
+    from logvision_spark.streaming.pipeline import processing_time_uv_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    exact_uv = ev.agg(F.count_distinct("user_id")).collect()[0][0]
+    got = processing_time_uv_counts(
+        ev, user_col="user_id", window_len="1 hour", exact=True
+    ).collect()
+    # current_timestamp is a per-query constant in batch → exactly one bucket
+    assert len(got) == 1 and got[0]["uv"] == exact_uv
+
+
 def test_approx_distinct_within_band(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     exact = ev.agg(F.count_distinct("user_id")).collect()[0][0]
