@@ -824,6 +824,36 @@ def sim_top10_vec0(spark, sf_dir):
 
 
 @register(
+    "sim_srp_topk_vec0",
+    oracle="""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round(
+  list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+  6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+    doc="ANN top-10 via multi-table SRP-LSH (4 bits × 24 tables, fixed "
+    "seed) with exact re-rank of candidates. At fixture scale the "
+    "candidate set contains the full true top-10 (per-item miss p≈1e-4), "
+    "so the result equals the brute-force oracle; at 100 TB the probe "
+    "reads Σ_t n_bucket(t) rows instead of N.",
+)
+def sim_srp_topk_vec0(spark, sf_dir):
+    from logvision_spark.operators.similarity import srp_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    data = emb.where(F.col("vec_id") != 0)
+    return srp_bucket_topk(data, q, dim=64, k=10, num_bits=4, num_tables=24)
+
+
+@register(
     "emb_label_centroids",
     oracle="""
 SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val
@@ -962,6 +992,303 @@ def q22_inactive_rich(spark, sf_dir):
             F.count(F.lit(1)).alias("cnt"),
             (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("total_bal"),
         )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+       THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+       ELSE 0 END) AS BIGINT)
+  / CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+  AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY EXTRACT(year FROM o_orderdate)
+""",
+    doc="TPC-H Q8 shape (market share): one nation's fraction of revenue "
+    "delivered to a region's customers per order-year — conditional-sum "
+    "ratio inside a single aggregate pass, exact integer numerator and "
+    "denominator. nation/region broadcast; fact joins shuffle.",
+)
+def q8_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    num = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        # supplier scales with SF — threshold/AQE decide, no pin
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(num) / F.sum(rev)).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS o_year,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+       - CAST(round(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT) * 10) AS BIGINT)
+  / 10000.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%blue%'
+GROUP BY n_name, EXTRACT(year FROM l_shipdate)
+""",
+    doc="TPC-H Q9 shape (product-type profit): revenue minus a 10%-of-"
+    "retail-price cost proxy (no partsupp table in the fixture), per "
+    "supplier nation and ship-year, over name-filtered parts. Exact "
+    "integer e4 units throughout; one final division.",
+)
+def q9_product_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("blue"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    cost = cents("p_retailprice") * F.col("l_quantity").cast("long") * F.lit(10)
+    return (
+        # part/supplier scale with SF — threshold/AQE decide, no pin
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg((F.sum(rev - cost) / F.lit(10000.0)).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_suppliers",
+    oracle="""
+WITH sup_val AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS val_e4
+  FROM lineitem GROUP BY l_suppkey),
+ total AS (SELECT CAST(sum(val_e4) AS BIGINT) AS total_e4 FROM sup_val)
+SELECT l_suppkey AS s_suppkey, val_e4 / 10000.0 AS supplier_value
+FROM sup_val, total
+WHERE val_e4 > 0.0102 * total_e4
+""",
+    doc="TPC-H Q11 shape (important stock): per-supplier revenue value "
+    "filtered against a fraction of the GLOBAL total — aggregate, "
+    "single-row re-aggregate, broadcast scalar back. The fraction "
+    "threshold compares exact integers against one double product.",
+)
+def q11_important_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    sup_val = li.groupBy("l_suppkey").agg(F.sum(rev).alias("val_e4"))
+    total = sup_val.agg(F.sum("val_e4").alias("total_e4"))
+    return (
+        sup_val.crossJoin(F.broadcast(total))  # single-row scalar: pin OK
+        .where(F.col("val_e4") > F.lit(0.0102) * F.col("total_e4"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            (F.col("val_e4") / F.lit(10000.0)).alias("supplier_value"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape (customer order distribution): left outer join "
+    "with a join-time predicate (not a post-filter — customers with only "
+    "urgent orders must count 0, not disappear), per-customer count, "
+    "then a second aggregation over the counts.",
+)
+def q13_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 shape (supplier counts by part attributes): distinct "
+    "supplier count per (brand, type, size) excluding a NOT-IN supplier "
+    "set — the exclusion is a broadcast anti-join (the excluded set is "
+    "tiny); distinct agg shuffles (group, suppkey) pairs.",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        # part scales with SF — threshold/AQE decide, no pin; the NOT-IN
+        # set is a handful of rows → broadcast anti-join
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_part_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 400)
+ORDER BY s_suppkey
+""",
+    doc="TPC-H Q20 shape (qualified part suppliers): nested IN-subqueries "
+    "— parts by name prefix, suppliers whose shipped quantity of those "
+    "parts in 1996 clears a threshold — decorrelated to two semi-joins; "
+    "the inner aggregate runs BEFORE the semi-join so only qualified "
+    "(suppkey) rows flow upward.",
+)
+def q20_part_suppliers(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    small_parts = _t(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    qualified = (
+        li.join(small_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .where(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualified, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH ll AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ll l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM ll l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ll l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "sole-late-supplier pattern — EXISTS another supplier on the order, "
+    "NOT EXISTS another LATE supplier — as one semi-join plus one "
+    "anti-join on (orderkey, suppkey<>) conditions. Lateness adapted to "
+    "ship-60-days-after-order (fixture has no commit/receipt dates).",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    ll = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    l1 = ll.where(F.col("late")).alias("l1")
+    l2 = ll.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    ).alias("l2")
+    l3 = ll.where(F.col("late")).select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    ).alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("ok2"))
+            & (F.col("l1.l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("ok3"))
+            & (F.col("l1.l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        # supplier scales with SF — threshold/AQE decide, no pin
+        waiting.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
     )
 
 
