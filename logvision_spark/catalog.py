@@ -1435,6 +1435,63 @@ def text_lang_id(spark, sf_dir):
 
 
 @register(
+    "text_term_doc_freq",
+    oracle="""
+SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+FROM (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY doc_freq DESC, term
+LIMIT 20
+""",
+    doc="Corpus document-frequency table (the DF half of TF-IDF; also the "
+    "empirical input to the hot-shingle cap): explode distinct per-doc "
+    "terms, count docs per term, top-20. Shuffle carries (term, doc_id) "
+    "pairs — partial-agg collapses them map-side at 100 TB.",
+)
+def text_term_doc_freq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_quality_percentiles",
+    oracle="""
+SELECT round(quantile_cont(tc, 0.25), 6) AS p25,
+       round(quantile_cont(tc, 0.50), 6) AS p50,
+       round(quantile_cont(tc, 0.75), 6) AS p75,
+       round(quantile_cont(tc, 0.95), 6) AS p95
+FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tc FROM documents)
+""",
+    doc="Token-count distribution percentiles — the empirical basis for "
+    "length-based quality filtering of a training corpus. Exact "
+    "interpolating percentile (both engines: linear type-7), rounded to "
+    "6 decimals; at 100 TB swap in approx_percentile and re-verify band.",
+)
+def text_quality_percentiles(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tc = d.select(F.size(F.split(F.col("text"), " ")).cast("long").alias("tc"))
+    return tc.agg(
+        F.round(F.expr("percentile(tc, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(tc, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(tc, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(tc, 0.95)"), 6).alias("p95"),
+    )
+
+
+@register(
     "text_bpe_token_count",
     oracle=r"""SELECT doc_id, CAST(len(regexp_extract_all(text,
  '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_cnt FROM documents""",

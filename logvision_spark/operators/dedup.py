@@ -348,6 +348,35 @@ def near_dup_drop_list(
     return verified.select(F.col("doc_b").alias(id_col)).distinct()
 
 
+def streaming_exact_dedup(
+    records: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    fast: bool = True,
+) -> DataFrame:
+    """Exact dedup that works on a STREAM: first occurrence of each
+    content hash passes, later duplicates are dropped. On a streaming
+    frame this uses `dropDuplicatesWithinWatermark`, so dedup state is
+    bounded by the watermark — the 100 TB/unbounded-time story; the Redis
+    analogue in the reference never expires. On a batch frame it
+    degrades to plain dropDuplicates over the hash (full-history dedup).
+
+    The hash (xxhash64 fast path / portable poly_hash) is computed once
+    and shuffled instead of the payload, same as `exact_dedup`."""
+    h = (
+        F.xxhash64(F.col(content_col))
+        if fast
+        else poly_hash(F.col(content_col))
+    ).alias("_content_hash")
+    hashed = records.select("*", h)
+    if hashed.isStreaming:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_content_hash"]
+        )
+    return hashed.dropDuplicates(["_content_hash"])
+
+
 def simhash(text: Column, bits: int = 32, n: int = 1) -> Column:
     """SimHash fingerprint: per token-shingle hash, each output bit is the
     sign of the sum of ±1 votes across shingles (bit set in shingle hash →

@@ -112,6 +112,31 @@ def test_no_pinned_broadcast_on_sf_scaling_tables(spark, sf_dir):
         assert got == expected, f"{name}: {got} broadcast pins, want {expected}"
 
 
+def test_q20_nested_in_plans_as_semi_joins(feats, spark, sf_dir):
+    from logvision_spark.plans.checks import explain_str
+
+    df = CATALOG["q20_part_suppliers"].builder(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("LeftSemi") >= 2  # both IN-subqueries decorrelated
+    f = feats("q20_part_suppliers")
+    assert any("l_shipdate" in p for p in f.pushed_filters)  # date → scan
+    assert not f.python_eval
+
+
+def test_q21_exists_pair_plans_semi_plus_anti(spark, sf_dir):
+    from logvision_spark.plans.checks import explain_str
+
+    plan = explain_str(CATALOG["q21_waiting_suppliers"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_q13_left_outer_keeps_zero_count_customers(feats):
+    f = feats("q13_order_distribution")
+    assert f.hash_aggregates >= 4  # two aggregations, each partial+final
+    assert not f.python_eval
+
+
 def test_sim_near_pairs_lsh_has_no_cross_join(spark, sf_dir):
     """The LSH near-pair variant must candidate via (table, bucket)
     equi-joins — no nested-loop/cartesian all-pairs product anywhere."""

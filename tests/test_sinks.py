@@ -41,6 +41,34 @@ def test_json_archive_partitioned_by_day(spark, tmp_path):
     assert back.count() == 1 and back.collect()[0]["host"] == "10.0.0.1"
 
 
+def test_file_to_kafka_collector_config(spark, tmp_path):
+    """v3 collector composition (file watch → Kafka): no broker in the
+    sandbox, so build without starting and assert the writer is fully
+    configured — source is the directory watch, sink format kafka, the
+    value column is the raw line."""
+    from logvision_spark.streaming.sinks import file_to_kafka_collector
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "a.log").write_text("line one\nline two\n")
+    writer = file_to_kafka_collector(
+        spark,
+        str(watch),
+        brokers="broker:9092",
+        topic="raw_logs",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        path_glob="*.log",
+        start=False,
+    )
+    assert writer._df.isStreaming
+    assert writer._df.columns == ["value"]
+    # same lineage, batch-read: the collector forwards raw lines verbatim
+    batch = spark.read.format("text").option("pathGlobFilter", "*.log").load(
+        str(watch)
+    )
+    assert {r["value"] for r in batch.collect()} == {"line one", "line two"}
+
+
 def test_scored_record_json_roundtrip(spark):
     """T7 + serving-side parse: the scored-record payload serializes with
     to_json and parses back with from_json on the declared scored schema —

@@ -43,6 +43,50 @@ def log_dir(tmp_path_factory):
     return str(d)
 
 
+def test_streaming_exact_dedup_equals_batch(spark, tmp_path):
+    """Streaming dedup (dropDuplicatesWithinWatermark over the content
+    hash) must keep exactly one row per distinct content across
+    micro-batches — same survivor COUNT as batch dedup over the
+    concatenated input."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from logvision_spark.operators.dedup import streaming_exact_dedup
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    # 3 files × 20 rows with heavy cross-file duplication: 10 distinct texts
+    for i in range(3):
+        with open(d / f"docs-{i}.json", "w") as f:
+            for j in range(20):
+                f.write(json.dumps({
+                    "ts": f"2024-01-01T00:{i:02d}:{j:02d}",
+                    "text": f"document body number {(i * 20 + j) % 10}",
+                }) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    deduped = streaming_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").collect()
+    batch = spark.read.schema("ts timestamp, text string").json(str(d))
+    expected = streaming_exact_dedup(batch, watermark="10 minutes").count()
+    assert len(got) == expected == 10
+    assert len({r["text"] for r in got}) == 10  # one survivor per content
+
+
 def test_streaming_counters_equal_batch(spark, log_dir, tmp_path):
     """Accumulated streaming state == one batch aggregation over all input:
     the property Redis zincrby provides in the reference (streaming.scala:163),
