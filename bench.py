@@ -60,6 +60,10 @@ def main() -> None:
         "a11_value_sum_faithful",
         "a12_class_counts",
         "a13_class_timeline",
+        "q8_market_share",
+        "q13_order_distribution",
+        "q21_waiting_suppliers",
+        "text_term_doc_freq",
     ]
     headline_new = [q for q in headline_new if q in CATALOG]
 

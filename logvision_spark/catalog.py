@@ -1467,6 +1467,59 @@ def text_term_doc_freq(spark, sf_dir):
 
 
 @register(
+    "text_redact_pii",
+    oracle=r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || ' tel +1 (555) 000-'
+         || CAST(1000 + doc_id % 9000 AS VARCHAR),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+    '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM documents
+""",
+    doc="PII scrubbing pass (pre-training corpus hygiene): emails, IPv4s, "
+    "phone-like digit runs → typed placeholders via sequential JVM "
+    "regexp_replace (operators/text.redact_pii). The fixture corpus has "
+    "no PII, so deterministic spans are synthesized from doc_id on BOTH "
+    "engines before redacting — the oracle checks the actual rewrite.",
+)
+def text_redact_pii(spark, sf_dir):
+    from logvision_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel +1 (555) 000-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return d.select("doc_id", redact_pii(synth).alias("redacted"))
+
+
+@register(
+    "corpus_split_counts",
+    oracle="SELECT CASE WHEN doc_id % 100 < 80 THEN 'train' "
+    "WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS split, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
+    doc="Deterministic train/val/test split sizes (operators/text."
+    "corpus_split): id-mod assignment, stable across engines/runs/"
+    "partitionings — the reproducible-snapshot property sampleBy lacks.",
+)
+def corpus_split_counts(spark, sf_dir):
+    from logvision_spark.operators.text import corpus_split
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(corpus_split(F.col("doc_id")).alias("split")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
     "text_quality_percentiles",
     oracle="""
 SELECT round(quantile_cont(tc, 0.25), 6) AS p25,

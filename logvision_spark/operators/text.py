@@ -103,3 +103,44 @@ def fingerprint(text: Column) -> Column:
     """Deterministic 63-bit document fingerprint (portable rolling hash) —
     the content-identity key for exact dedup and change detection."""
     return poly_hash(text)
+
+
+# PII-ish patterns for corpus redaction. Deliberately conservative,
+# cross-engine-portable regex (no lookaround, no \b-dialect surprises):
+# the redaction *op* is the deliverable; pattern packs are pluggable.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(
+    text: Column, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+) -> Column:
+    """Sequential regexp_replace of PII-ish spans (emails, IPs, phone-like
+    digit runs) with typed placeholders — the standard pre-training
+    scrubbing pass. Pure JVM regex, whole-stage-codegens; order matters
+    (emails first so their digits don't half-match as phones)."""
+    out = text
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def corpus_split(
+    id_col: Column, train_pct: int = 80, val_pct: int = 10, modulus: int = 100
+) -> Column:
+    """Deterministic train/val/test assignment from the document id:
+    id mod 100 → train (<80) / val (<90) / test. Pure arithmetic, so the
+    split is stable across engines, runs, and partitionings — the
+    property a reproducible corpus snapshot needs (sampleBy is
+    seed+partitioning dependent). For ids with structure (e.g.
+    monotonically increasing), pre-hash with xxhash64 when uniformity
+    matters more than cross-engine portability."""
+    bucket = F.pmod(id_col.cast("long"), F.lit(modulus))
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

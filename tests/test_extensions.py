@@ -327,6 +327,38 @@ def test_frame_sampling_row_expansion(spark):
         assert r["count"] == expected
 
 
+def test_redact_pii_replaces_typed_spans(spark):
+    from logvision_spark.operators.text import redact_pii
+
+    rows = [
+        (0, "mail me at john.doe+spam@corp.example.org thanks"),
+        (1, "server 192.168.001.042 rebooted"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["red"]
+        for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert out[0] == "mail me at <EMAIL> thanks"
+    assert out[1] == "server <IP> rebooted"
+    assert out[2] == "call <PHONE> now"
+    assert out[3] == rows[3][1]  # untouched
+
+
+def test_corpus_split_deterministic_and_sized(spark, sf_dir):
+    from logvision_spark.operators.text import corpus_split
+
+    d = load_table(spark, "documents", sf_dir)
+    split = d.select("doc_id", corpus_split(F.col("doc_id")).alias("s"))
+    counts = {r["s"]: r["cnt"] for r in split.groupBy("s").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    assert counts["train"] / n == 0.8 and counts["val"] / n == 0.1
+    again = {r["doc_id"]: r["s"] for r in split.collect()}
+    assert all(again[r["doc_id"]] == r["s"] for r in split.collect())  # stable
+
+
 def test_lang_id_on_clear_text(spark):
     rows = [
         (0, "the cat is in the house and it is warm"),
