@@ -1713,6 +1713,35 @@ def a_multi_counter_grouping_sets(spark, sf_dir):
 
 
 @register(
+    "a_rollup_day_type",
+    oracle="""
+SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(GROUPING(day, event_type) AS INTEGER) AS gid
+FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type
+      FROM events)
+GROUP BY ROLLUP (day, event_type)
+""",
+    doc="Time-hierarchy rollup (leaf / per-day / grand-total in ONE scan "
+    "and shuffle): the OLAP drill-down cascade the reference would need "
+    "three separate jobs for; grouping_id disambiguates levels from "
+    "genuine NULL keys.",
+)
+def a_rollup_day_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_ru")
+    return spark.sql(
+        """
+        SELECT day, event_type, count(*) AS cnt,
+               CAST(grouping_id() AS INT) AS gid
+        FROM (SELECT date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS day,
+                     event_type
+              FROM _events_ru)
+        GROUP BY ROLLUP (day, event_type)
+        """
+    )
+
+
+@register(
     "j4_anti_join",
     oracle="""
 SELECT n_name, CAST(count(*) AS BIGINT) AS inactive_customers

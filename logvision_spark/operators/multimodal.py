@@ -173,7 +173,9 @@ def right_size_partitions(
             # target even when it underestimates
             n_rows = max(1, int(str(stats.sizeInBytes())) // max(1, avg_asset_bytes))
     num_parts = max(1, (n_rows + rows_per_part - 1) // rows_per_part)
-    return df.repartition(num_parts)
+    # cap: sizeInBytes can wildly overestimate (e.g. in-memory relations);
+    # 1M partitions is already beyond any sane single-table fan-out
+    return df.repartition(min(num_parts, 1 << 20))
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

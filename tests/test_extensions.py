@@ -307,6 +307,20 @@ def test_feature_extraction_feeds_similarity(spark):
     assert len(top) == 5 and top[0]["cos_sim"] >= top[-1]["cos_sim"]
 
 
+def test_right_size_partitions_no_extra_scan(spark):
+    from logvision_spark.operators.multimodal import right_size_partitions
+
+    media = synth_media(spark, n=40)
+    # caller-supplied row count: exact partition math, zero jobs
+    out = right_size_partitions(
+        media, avg_asset_bytes=512, target_partition_bytes=4096, n_rows=40
+    )
+    assert out.rdd.getNumPartitions() == 5  # 8 rows/part → ceil(40/8)
+    # stats path (no n_rows): still yields a sane positive partitioning
+    out2 = right_size_partitions(media, avg_asset_bytes=512, target_partition_bytes=4096)
+    assert out2.rdd.getNumPartitions() >= 1
+
+
 def test_resize_plumbing(spark):
     from logvision_spark.operators.multimodal import resize_images
 
