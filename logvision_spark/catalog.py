@@ -1293,6 +1293,65 @@ def q21_waiting_suppliers(spark, sf_dir):
 
 
 @register(
+    "q21_waiting_suppliers_agg",
+    oracle="""
+WITH ll AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ll l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM ll l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ll l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    doc="Q21 reformulated for scale: per-order supplier stats replace the "
+    "EXISTS/NOT-EXISTS pair — n_supp≥2 ≡ 'another supplier exists', "
+    "n_late_supp=1 (l1 being late) ≡ 'no OTHER late supplier'. One "
+    "grouped pass over the joined frame instead of two extra "
+    "lineitem⋈orders branches (the semi/anti plan scans lineitem 3×); "
+    "same oracle as q21_waiting_suppliers, results identical.",
+)
+def q21_waiting_suppliers_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    ll = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = ll.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        ll.where(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
     "emb_label_counts",
     oracle="SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM embeddings GROUP BY label",
     doc="Embedding table sanity aggregate (also exercises array-column scan "
