@@ -2096,6 +2096,123 @@ def w_cumulative_revenue(spark, sf_dir):
 
 
 @register(
+    "j7_intersect_except",
+    oracle="""
+(SELECT user_id FROM events WHERE event_type = 'click'
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'purchase')
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+    doc="Set-operation surface: users who clicked AND purchased but never "
+    "errored — INTERSECT then EXCEPT with distinct semantics. Spark plans "
+    "these as left-semi / left-anti aggregated joins; inputs are "
+    "pre-distinct key sets, so the shuffles carry keys only.",
+)
+def j7_intersect_except(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def users_of(t: str):
+        return ev.where(F.col("event_type") == t).select("user_id")
+
+    return (
+        users_of("click")
+        .intersect(users_of("purchase"))
+        .subtract(users_of("error"))
+    )
+
+
+@register(
+    "w_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+FROM events WHERE user_id % 20 = 0
+""",
+    doc="Bounded ROWS-frame moving average (3-event trailing mean per "
+    "user, ordered by the unique event id so frame contents are "
+    "deterministic). Both engines average the same ≤3 doubles in the "
+    "same order — identical IEEE results, rounded for safety.",
+)
+def w_moving_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+    )
+
+
+@register(
+    "w_window_zoo",
+    oracle="""
+SELECT event_id, event_type,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+  round(percent_rank() OVER w, 6) AS pr
+FROM events WHERE user_id % 25 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+""",
+    doc="Navigation/distribution window functions over one spec: "
+    "lag/lead neighbors, ntile quartiles, percent_rank — all "
+    "deterministic because the ordering key (event_id) is unique within "
+    "each partition.",
+)
+def w_window_zoo(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@register(
+    "a_unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, val
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_discount AS DOUBLE) AS disc,
+             CAST(l_tax AS DOUBLE) AS tax
+      FROM lineitem WHERE l_orderkey % 500 = 0)
+UNPIVOT (val FOR metric IN (qty, price, disc, tax))
+""",
+    doc="UNPIVOT (wide measures → long rows): the melt shape feature "
+    "pipelines use before per-metric aggregation — a generated "
+    "projection+explode, no shuffle at all.",
+)
+def a_unpivot_measures(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 500 == 0)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("disc"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty", "price", "disc", "tax"],
+        "metric",
+        "val",
+    )
+
+
+@register(
     "t_string_funcs",
     oracle="""
 SELECT upper(substr(event_type, 1, 3)) AS code,
