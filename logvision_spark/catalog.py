@@ -2096,6 +2096,80 @@ def w_cumulative_revenue(spark, sf_dir):
 
 
 @register(
+    "w_sliding_counts",
+    oracle="""
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS win_start, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT to_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300) AS ws FROM events
+  UNION ALL
+  SELECT to_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300) - INTERVAL 300 SECOND AS ws
+  FROM events)
+GROUP BY ws
+""",
+    doc="Sliding-window counts (10 min window, 5 min slide) verified in "
+    "batch: length = 2×slide means every event lands in EXACTLY two "
+    "epoch-aligned windows, so the oracle is two shifted tumbling "
+    "bucketings unioned — the same assignment window() computes. The "
+    "identical builder runs streaming with a watermark "
+    "(streaming/pipeline.sliding_window_counts).",
+)
+def w_sliding_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return ev.groupBy(w.alias("win")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("win_start"),
+        "cnt",
+    )
+
+
+@register(
+    "w_session_windows",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id % 10 = 0),
+ s AS (SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+       FROM o)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    doc="Gap-based sessionization verified in batch: session_window "
+    "(30 min gap) vs the classic lag/cumulative-sum SQL sessionizer. "
+    "Boundary semantics matched exactly: a gap of precisely 30 min "
+    "STARTS a new session (Spark merges only while ts < prev + gap); "
+    "session_end = last event + gap on both engines. Streaming runs the "
+    "same builder with a watermark (pipeline.session_window_counts).",
+)
+def w_session_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+@register(
     "j7_intersect_except",
     oracle="""
 (SELECT user_id FROM events WHERE event_type = 'click'

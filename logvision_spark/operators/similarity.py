@@ -288,6 +288,23 @@ def ml_minhash_lsh_pairs(
     )
 
 
+def fit_ivf(
+    df: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Train the IVF coarse quantizer ONCE (offline at scale); the fitted
+    KMeans model is shareable across all `ivf_topk` queries."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(array_to_vector(F.col(vec_col)).alias("_v"))
+    return KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell").fit(
+        vecs
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: DataFrame,
@@ -298,6 +315,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_vec_col: str = "qe",
     seed: int = 42,
+    model=None,
 ) -> DataFrame:
     """IVF-flat ANN: k-means coarse centroids; probe the n_probe nearest
     cells. Returns exact cosine over the probed subset.
@@ -306,15 +324,18 @@ def ivf_topk(
     centroids plus ONE query vector (`first()`). For a query batch,
     compute cell assignments for the whole batch as a DataFrame
     (broadcast the centroid table, argmax via greatest/struct) and join
-    on cell — don't loop this single-query form."""
-    from pyspark.ml.clustering import KMeans
+    on cell — don't loop this single-query form.
+
+    Pass a pre-fitted ``model`` (`fit_ivf`) to skip the per-call KMeans
+    fit — at scale the quantizer is trained once offline and shared by
+    every query; cell assignments would likewise be precomputed columns."""
     from pyspark.ml.functions import array_to_vector
 
     vecs = df.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell")
-    model = km.fit(vecs)
+    if model is None:
+        model = fit_ivf(df, n_cells=n_cells, seed=seed, vec_col=vec_col)
     assigned = model.transform(vecs).drop("_v")
 
     centers = model.clusterCenters()
