@@ -2347,6 +2347,57 @@ def j6_asof_join(spark, sf_dir):
     )
 
 
+def _events_stream(spark, sf_dir):
+    """File-source stream over the events table (ts arrives as raw nanos;
+    typed to a micros timestamp like sources/readers.load_table does)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return src.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+@register(
+    "stream_dedup_distinct_props",
+    oracle="SELECT DISTINCT props FROM events",
+    doc="Streaming exact dedup, batch-verified: "
+    "dropDuplicatesWithinWatermark over the content column keeps exactly "
+    "the first occurrence per distinct value (100 survivors from 10k "
+    "rows at sf0.01); the survivor SET must equal DISTINCT — the "
+    "training-pipeline dedup op as a correctness gate, not just a "
+    "behavior test.",
+)
+def stream_dedup_distinct_props(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from logvision_spark.operators.dedup import streaming_exact_dedup
+
+    src = _events_stream(spark, sf_dir)
+    deduped = streaming_exact_dedup(
+        src, content_col="props", ts_col="ts", watermark="7 days"
+    ).select("props")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 @register(
     "stream_a7_count_by_type",
     oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type",
