@@ -137,6 +137,19 @@ def test_q13_left_outer_keeps_zero_count_customers(feats):
     assert not f.python_eval
 
 
+def test_q21_agg_variant_halves_lineitem_scans(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS plan necessarily scans lineitem 3× (one per
+    subquery branch); the aggregation reformulation must stay at ≤2
+    (base + per-order stats). This is the scale difference between the
+    two registered formulations."""
+    from logvision_spark.plans.checks import explain_str
+
+    semi = explain_str(CATALOG["q21_waiting_suppliers"].builder(spark, sf_dir))
+    agg = explain_str(CATALOG["q21_waiting_suppliers_agg"].builder(spark, sf_dir))
+    assert semi.count("lineitem.parquet") == 3
+    assert agg.count("lineitem.parquet") <= 2
+
+
 def test_sim_near_pairs_lsh_has_no_cross_join(spark, sf_dir):
     """The LSH near-pair variant must candidate via (table, bucket)
     equi-joins — no nested-loop/cartesian all-pairs product anywhere."""
