@@ -155,6 +155,25 @@ class ServingCatalog:
             .limit(k)
         )
 
+    # --- scored feed re-chunk (S4; app.py:345-423 Kafka→SocketIO loop) ----
+    def scored_feed_json(
+        self, prediction: float | None = None, k: int = 50
+    ) -> DataFrame:
+        """S4 engine-side: the latest-k scored records (optionally one
+        class), each serialized to ONE JSON payload string — exactly the
+        per-record chunks the reference's poller reads off Kafka and
+        re-emits over SocketIO. The socket transport stays out of engine
+        scope; any pusher can collect this view on its own schedule."""
+        if self.scored is None:
+            raise ValueError("scored_feed_json requires the scored frame")
+        base = (
+            self.scored
+            if prediction is None
+            else self.scored.where(F.col("prediction") == prediction)
+        )
+        latest = base.orderBy(F.desc("ts"), F.asc("host")).limit(k)
+        return latest.select(F.to_json(F.struct("*")).alias("payload"))
+
     def all_views(self) -> dict[str, DataFrame]:
         """The queryable catalog (geo/class views included when inputs
         allow) — name → DataFrame, ready for a poller to collect."""

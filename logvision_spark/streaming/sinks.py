@@ -55,6 +55,37 @@ def to_json_archive(
     return writer.start()
 
 
+def websocket_push_sink(
+    view: DataFrame,
+    send: Callable[[str], None],
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> StreamingQuery:
+    """W5 engine-side: push each trigger's changed rows to a connected
+    client — foreachBatch serializes rows to JSON strings and hands them
+    one at a time to ``send`` (a SocketIO emit, websocket.send, any
+    callable). The reference couples this to Flask-SocketIO
+    (flask/app.py emit loops); here the transport is injected and the
+    engine only produces payloads.
+
+    Deliberately driver-side: a push feed fans IN to one socket, so the
+    contract is that ``view`` is a small counter/feed view (update-mode
+    deltas), never a raw fact stream."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        for row in (
+            batch_df.select(F.to_json(F.struct("*")).alias("j")).toLocalIterator()
+        ):
+            send(row["j"])
+
+    return (
+        view.writeStream.foreachBatch(_sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def file_to_kafka_collector(
     spark,
     watch_dir: str,

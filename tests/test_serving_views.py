@@ -75,6 +75,22 @@ def test_class_views(catalog):
     assert len(bd) == 2 and all(r["prediction"] == 1.0 for r in bd)
 
 
+def test_scored_feed_json_payloads(catalog):
+    """S4: the re-chunk feed emits one JSON payload per scored record,
+    newest first, class-filterable."""
+    import json
+
+    rows = catalog.scored_feed_json(k=3).collect()
+    assert len(rows) == 3
+    payloads = [json.loads(r["payload"]) for r in rows]
+    assert all({"host", "url", "prediction"} <= set(p) for p in payloads)
+    bad_only = [
+        json.loads(r["payload"])
+        for r in catalog.scored_feed_json(prediction=1.0).collect()
+    ]
+    assert len(bad_only) == 2 and all(p["prediction"] == 1.0 for p in bad_only)
+
+
 def test_all_views_complete_catalog(catalog):
     views = catalog.all_views()
     expected = {

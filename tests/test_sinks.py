@@ -41,6 +41,35 @@ def test_json_archive_partitioned_by_day(spark, tmp_path):
     assert back.count() == 1 and back.collect()[0]["host"] == "10.0.0.1"
 
 
+def test_websocket_push_sink_delivers_payloads(spark, tmp_path):
+    """W5: every changed counter row reaches the injected send callable
+    as a JSON string."""
+    import json
+
+    from logvision_spark.streaming.sinks import websocket_push_sink
+
+    src_dir = tmp_path / "ws_in"
+    src_dir.mkdir()
+    (src_dir / "a.log").write_text("\n".join(LINES) + "\n")
+    stream = spark.readStream.format("text").load(str(src_dir))
+    counts = (
+        parse_access_log(stream)
+        .where(F.col("parsed"))
+        .groupBy("req_method")
+        .count()
+    )
+    got: list[str] = []
+    q = websocket_push_sink(
+        counts, got.append, str(tmp_path / "ws_ckpt"), output_mode="update"
+    )
+    # AvailableNow isn't exposed by the helper; drain the one file manually
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    decoded = {json.loads(p)["req_method"]: json.loads(p)["count"] for p in got}
+    assert decoded == {"GET": 1, "POST": 1}
+
+
 def test_file_to_kafka_collector_config(spark, tmp_path):
     """v3 collector composition (file watch → Kafka): no broker in the
     sandbox, so build without starting and assert the writer is fully
