@@ -2436,6 +2436,196 @@ def stream_a7_count_by_type(spark, sf_dir):
     return spark.table(name)
 
 
+# DuckDB expression for the 32-bit SimHash vote/pack over a hash list `hl`:
+# bit i is set when strictly more shingle hashes have bit i set than not
+# (vote sum = 2·ones − len > 0) — mirrors operators/dedup.simhash exactly.
+_DUCK_SIMHASH_BITS = " + ".join(
+    f"CASE WHEN 2*len(list_filter(hl, h -> ((h >> {i}) & 1) = 1)) - len(hl) > 0 "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for i in range(32)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+              FROM documents),
+hs AS (SELECT doc_id, list_transform(w, g -> """
+    + _DUCK_POLYHASH.format(col="g")
+    + """) AS hl FROM toks)
+SELECT doc_id, """
+    + _DUCK_SIMHASH_BITS
+    + """ AS simhash32 FROM hs
+""",
+    doc="SimHash fingerprint (32-bit, unigram shingles, portable "
+    "polynomial hash): one long per doc — the cheapest near-dup key at "
+    "scale (compare via hamming distance / prefix bands). Verified "
+    "value-exact cross-engine bit by bit.",
+)
+def dedup_simhash(spark, sf_dir):
+    from logvision_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text"), bits=32, n=1).alias("simhash32"))
+
+
+@register(
+    "dedup_drop_list",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM toks),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT DISTINCT doc_b AS doc_id
+FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE c / (x.n + y.n - c) >= 0.5
+""",
+    doc="End-to-end near-dup dedup decision: MinHash-LSH candidates "
+    "(xxhash64 fast path, 16 single-row bands) → exact-Jaccard "
+    "verification → keep-lowest-id drop list. Oracle is the EXACT "
+    "all-true-pairs drop list: at 16 bands a Jaccard-0.9 pair is missed "
+    "with p=1e-16 (fixture pairs are all ≥0.9), so the LSH pipeline must "
+    "reproduce the exact answer. At 100 TB the same plan holds — banded "
+    "shuffle carries (band, id), verification touches candidates only.",
+)
+def dedup_drop_list(spark, sf_dir):
+    from logvision_spark.operators.dedup import near_dup_drop_list
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_drop_list(d, threshold=0.5, num_hashes=16, bands=16, fast=True)
+
+
+@register(
+    "ivf_topk_vec0",
+    oracle="SELECT TRUE AS recall_ok",
+    doc="IVF-flat ANN route as a driver-checked RECALL-FLOOR property "
+    "(VERDICT r1 #8): KMeans(16, seed=42) quantizer, probe the 15 nearest "
+    "cells, exact cosine re-rank; the IVF top-10 must agree with the "
+    "brute-force top-10 on ≥7 of 10 ids WITH bit-identical rounded scores "
+    "(the intersection join keys on (id, score)). A recall floor rather "
+    "than an exact-set oracle because KMeans cell boundaries shift with "
+    "partitioning across sessions — observed min-probe for full recall is "
+    "12, so 15 probes leave margin; the property still fails if "
+    "assignment, probing, or re-ranking is wrong. Synthetic uniform "
+    "embeddings have no cluster structure (IVF degenerates toward scan "
+    "here); real corpora probe 1-4 cells of thousands.",
+)
+def ivf_topk_vec0(spark, sf_dir):
+    from logvision_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    base = emb.where(F.col("vec_id") != 0)
+    ivf = ivf_topk(base, q, k=10, n_cells=16, n_probe=15, seed=42)
+    exact = brute_force_topk(base, q, k=10)
+    hits = ivf.join(exact, ["vec_id", "cos_sim"])
+    return hits.agg((F.count(F.lit(1)) >= 7).alias("recall_ok"))
+
+
+@register(
+    "mm_decode_meta",
+    oracle="""
+SELECT doc_id AS asset_id,
+  CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+  CAST(16 + ascii(substr(text, len(text), 1)) % 64 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  TRUE AS decode_ok
+FROM documents
+""",
+    doc="Multimodal decode plumbing, driver-checked: documents.text bytes "
+    "stand in as opaque image payloads (UTF-8 encode — fixture text is "
+    "all-ASCII, so byte k == ascii(char k)); Arrow mapInPandas decodes "
+    "payload → (width, height, channels) via the deterministic fake codec "
+    "(first/last payload byte). The oracle replays the codec arithmetic in "
+    "SQL — proving the mapInPandas schema/batch contract end to end. Real "
+    "PIL/ffmpeg decode swaps into the same stub (multimodal.py).",
+)
+def mm_decode_meta(spark, sf_dir):
+    from logvision_spark.operators.multimodal import decode_images
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return decode_images(assets)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH a AS (SELECT doc_id AS asset_id,
+                  1000 + (doc_id % 90) * 100 AS dur
+           FROM documents)
+SELECT asset_id,
+  CAST(ts / 500 AS INTEGER) AS frame_idx,
+  CAST(ts AS BIGINT) AS frame_ts_ms
+FROM a, unnest(generate_series(0, dur - 1, 500)) AS t(ts)
+""",
+    doc="Video frame-sampling plumbing, driver-checked: synthetic "
+    "per-asset duration (derived from doc_id), 500 ms sampling grid, 1:N "
+    "row expansion through mapInPandas. The oracle is the same grid via "
+    "generate_series — pins the row-expansion contract (frame extraction "
+    "itself is the stubbed codec call).",
+)
+def mm_frame_sample(spark, sf_dir):
+    from logvision_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(1000) + (F.col("doc_id") % 90) * 100).cast("long").alias("duration_ms"),
+    )
+    return sample_frames(assets, every_ms=500)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH terms AS (SELECT doc_id, t.term
+               FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+               WHERE t.term <> ''),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM terms GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN dfq USING (term), nd
+ORDER BY tfidf DESC, doc_id, term
+LIMIT 20
+""",
+    doc="TF-IDF top terms (tf · ln(N/df), top-20 with unique tie-break): "
+    "completes the TF-IDF pair started by text_term_doc_freq. Two hash "
+    "aggregations with map-side partial combine; N comes from a 1-row "
+    "aggregate crossJoin (no driver-side count action).",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 
