@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from logvision_spark.operators.aggregations import count_by, count_by_second
-from logvision_spark.operators.joins import geo_enrich, timeline_full_outer
+from logvision_spark.operators.joins import geo_enrich
 from logvision_spark.operators.topk import top_k, top_k_ranked
 
 
@@ -129,20 +129,26 @@ class ServingCatalog:
 
     # --- url_cate_count_timeline (app.py:425-458) ---------------------------
     def class_timeline(self) -> DataFrame:
-        """Good vs bad per-second full-outer timeline, zero-filled (J2)."""
+        """Good vs bad per-second timeline, zero-filled.
+
+        Single-pass conditional aggregation: one scan, one shuffle. The
+        reference materializes two Redis hashes and full-outer-merges them
+        client-side (flask/app.py:425-458); the output is identical — any
+        second present has ≥1 record, and the absent class counts 0, which
+        is exactly the full-outer zero-fill (that two-feed merge shape
+        itself is pinned by `j2_timeline_full_outer`). At 100 TB this
+        halves the scan and drops a shuffle+join."""
         if self.scored is None:
             raise ValueError("class_timeline requires the scored frame")
-        good = (
-            self.scored.where(F.col("prediction") == 0.0)
+        return (
+            self.scored.where(F.col("prediction").isin(0.0, 1.0))
             .groupBy(F.date_trunc("second", "ts").alias("second"))
-            .agg(F.count(F.lit(1)).alias("good_cnt"))
+            .agg(
+                F.sum((F.col("prediction") == 0.0).cast("long")).alias("good_cnt"),
+                F.sum((F.col("prediction") == 1.0).cast("long")).alias("bad_cnt"),
+            )
+            .orderBy("second")
         )
-        bad = (
-            self.scored.where(F.col("prediction") == 1.0)
-            .groupBy(F.date_trunc("second", "ts").alias("second"))
-            .agg(F.count(F.lit(1)).alias("bad_cnt"))
-        )
-        return timeline_full_outer(good, bad).orderBy("second")
 
     # --- good/bad detail feeds (app.py:345-423) -----------------------------
     def class_detail(self, prediction: float, k: int = 50) -> DataFrame:
