@@ -2626,6 +2626,209 @@ def text_tfidf_top_terms(spark, sf_dir):
     )
 
 
+@register(
+    "j8_range_join_incidents",
+    oracle="""
+SELECT i.event_id AS incident_id, CAST(count(*) AS BIGINT) AS hit_cnt
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') i
+JOIN events e ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 60 SECOND
+GROUP BY incident_id
+""",
+    doc="Range (point-in-interval) join: events falling in the 60 s "
+    "window after each error event, counted per incident. Spark plans a "
+    "bare inequality join as a nested-loop cartesian — "
+    "operators/joins.range_interval_join instead explodes intervals to "
+    "coarse time buckets and equi-joins on the bucket id (work bounded "
+    "by true temporal overlap, shuffle keyed by uniformly-distributed "
+    "time). Oracle is the direct inequality join (DuckDB IEJoin).",
+)
+def j8_range_join_incidents(spark, sf_dir):
+    from logvision_spark.operators.joins import range_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 60 SECONDS")).alias("end_ts"),
+    )
+    pts = ev.select("ts")
+    matched = range_interval_join(
+        pts, incidents, "ts", "start_ts", "end_ts", bucket_seconds=60
+    )
+    return matched.groupBy("incident_id").agg(F.count(F.lit(1)).alias("hit_cnt"))
+
+
+@register(
+    "j6_asof_forward",
+    oracle="""
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND s.ts >= p.ts
+""",
+    doc="Forward as-of join (direction='forward'): each purchase gets the "
+    "user's EARLIEST signup at-or-after it — the mirror of j6_asof_join, "
+    "same union + fill-window formulation sorted descending. Oracle is "
+    "DuckDB's native ASOF with the >= comparator.",
+)
+def j6_asof_forward(spark, sf_dir):
+    from logvision_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(purchases, signups, key="user_id", direction="forward")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("ts_asof", fmt).alias("ts_asof"),
+    )
+
+
+@register(
+    "j6_asof_nearest",
+    oracle="""
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime((SELECT s.ts FROM events s
+                 WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+                 ORDER BY abs(epoch_us(s.ts) - epoch_us(p.ts)), s.ts
+                 LIMIT 1), '%Y-%m-%d %H:%M:%S.%f') AS ts_asof
+FROM events p WHERE p.event_type = 'purchase'
+""",
+    doc="Nearest as-of join (direction='nearest'): each purchase gets the "
+    "signup closest in time, either side, ties to the earlier row. One "
+    "shuffle, two per-partition sorts (backward + forward fills), closer "
+    "candidate chosen per row. DuckDB has no nearest ASOF — the oracle "
+    "is a correlated min-|Δt| subquery.",
+)
+def j6_asof_nearest(spark, sf_dir):
+    from logvision_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(purchases, signups, key="user_id", direction="nearest")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("ts_asof", fmt).alias("ts_asof"),
+    )
+
+
+@register(
+    "a3_count_by_user_salted",
+    oracle="SELECT user_id, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM events GROUP BY user_id",
+    doc="A3 through the generic two-phase salted aggregation "
+    "(operators/skew.salted_agg): phase 1 groups by (key, salt) so a "
+    "Zipf-hot key spreads over 16 reducers, phase 2 merges partials by "
+    "key. Must be value-identical to the plain groupBy (which the a3 "
+    "oracle also checks) — pinning that salting never changes results, "
+    "only the shuffle layout.",
+)
+def a3_count_by_user_salted(spark, sf_dir):
+    from logvision_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(ev, "user_id", F.count(F.lit(1)), F.sum("_partial"))
+    return out.withColumnRenamed("merged", "cnt")
+
+
+@register(
+    "stream_w_tumbling_counts",
+    oracle="""
+SELECT strftime(to_timestamp(CAST(floor(epoch(ts)/600) AS BIGINT)*600),
+                '%Y-%m-%d %H:%M:%S.%f') AS win_start,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1
+""",
+    doc="Event-time tumbling windows on the STREAMING path, batch-verified: "
+    "file source → watermark → window(ts, 10 min) count → AvailableNow → "
+    "memory sink; the accumulated window state must hash-match the batch "
+    "epoch-aligned bucketing. Complements stream_a7 (keyed running "
+    "counts) with the windowed-state operator.",
+)
+def stream_w_tumbling_counts(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "win_start"
+            ),
+            "cnt",
+        )
+    )
+    name = f"stream_wt_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "mm_feature_stats",
+    oracle="""
+WITH codes AS (SELECT doc_id,
+                      list_transform(string_split_regex(text, ''),
+                                     c -> ascii(c) % 64) AS bins
+               FROM documents),
+cnts AS (SELECT doc_id, b AS bin, CAST(count(*) AS BIGINT) AS c
+         FROM codes, unnest(bins) AS t(b) GROUP BY doc_id, b),
+nz AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS nnz FROM cnts GROUP BY doc_id),
+am AS (SELECT doc_id, CAST(bin AS INTEGER) AS argmax_bin FROM (
+         SELECT doc_id, bin,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, bin ASC) AS rn
+         FROM cnts) WHERE rn = 1)
+SELECT nz.doc_id AS asset_id, nnz, argmax_bin
+FROM nz JOIN am ON nz.doc_id = am.doc_id
+""",
+    doc="Multimodal feature-extraction plumbing, driver-checked: text "
+    "bytes as opaque payloads → Arrow mapInPandas byte-histogram "
+    "embedding (the deterministic fake model, multimodal.py) → integer "
+    "stats derived FROM the emitted array<float> (nonzero bins; argmax "
+    "bin, ties to lowest). The oracle recomputes both from raw bytes in "
+    "SQL, so the whole payload→vector→stats path must agree exactly.",
+)
+def mm_feature_stats(spark, sf_dir):
+    from logvision_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(assets, dim=64)
+    return feats.select(
+        "asset_id",
+        F.size(F.filter("feature", lambda x: x > 0)).alias("nnz"),
+        (F.array_position("feature", F.array_max("feature")) - 1)
+        .cast("int")
+        .alias("argmax_bin"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 

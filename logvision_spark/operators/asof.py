@@ -3,14 +3,18 @@ composed from existing DataFrame ops (the union + forward-fill-window
 formulation), per the engine rule: compose built-ins before reaching for
 Pandas UDFs.
 
-Semantics: for each left row, attach the latest right row with the same
-key and right.ts <= left.ts (ties: the right row wins, i.e. inclusive).
+Semantics (``direction``):
+- ``backward`` (default): latest right row with right.ts <= left.ts;
+- ``forward``: earliest right row with right.ts >= left.ts;
+- ``nearest``: whichever of the two candidates is closer in time
+  (ties prefer the backward/earlier row).
+Equal timestamps match in every direction (inclusive).
 
-Physical shape: one union, one shuffle by key, one sort per partition —
-the same cost class as a sort-merge join. No per-key driver loops, no
-Python. Scale note: partitioning is by key only; a single hyperactive key
-serializes its window — salt by coarse time bucket first if a key can
-exceed one task's memory.
+Physical shape: one union, one shuffle by key, one sort per partition
+(two sorts for ``nearest``) — the same cost class as a sort-merge join.
+No per-key driver loops, no Python. Scale note: partitioning is by key
+only; a single hyperactive key serializes its window — salt by coarse
+time bucket first if a key can exceed one task's memory.
 """
 
 from __future__ import annotations
@@ -27,12 +31,15 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: tuple[str, ...] = (),
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every left row + the most recent right row per key.
+    """Left as-of join: every left row + the matched right row per key.
 
-    ``value_cols``: right columns to carry (forward-filled); the matched
-    right timestamp always arrives as ``{right_ts}{suffix}``.
+    ``value_cols``: right columns to carry; the matched right timestamp
+    always arrives as ``{right_ts}{suffix}``.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lcols = left.columns
     l = left.withColumn("_src", F.lit(1)).withColumn("_ts", F.col(left_ts))
     r = right.select(
@@ -43,28 +50,65 @@ def asof_join(
 
     carried = [f"{c}{suffix}" for c in value_cols] + ["_rts"]
     combined = l.unionByName(
-        r.select(
-            key, "_src", "_ts", *carried
-        ),
+        r.select(key, "_src", "_ts", *carried),
         allowMissingColumns=True,
     )
-    # right rows sort before left rows at equal timestamps → inclusive <=
-    w = (
+    # right rows (_src=0) sort before left rows at equal timestamps in
+    # BOTH directions → equal-ts matches are inclusive
+    w_back = (
         Window.partitionBy(key)
         .orderBy(F.col("_ts").asc(), F.col("_src").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").desc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    suffixed = [f"{c}{suffix}" for c in value_cols]
+
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        filled = combined.select(
+            "*",
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(f"_f_{c}")
+                for c in carried
+            ],
+        )
+        return filled.where(F.col("_src") == 1).select(
+            *lcols,
+            *[F.col(f"_f_{name}").alias(name) for name in suffixed],
+            F.col("_f__rts").alias(f"{right_ts}{suffix}"),
+        )
+
+    # nearest: fill both directions, pick the closer candidate per row
     filled = combined.select(
         "*",
         *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_f_{c}")
+            F.last(F.col(c), ignorenulls=True).over(w_back).alias(f"_fb_{c}")
             for c in carried
         ],
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w_fwd).alias(f"_ff_{c}")
+            for c in carried
+        ],
+    ).where(F.col("_src") == 1)
+    l_us = F.unix_micros(F.col("_ts"))
+    back_us = F.unix_micros(F.col("_fb__rts"))
+    fwd_us = F.unix_micros(F.col("_ff__rts"))
+    use_back = F.col("_fb__rts").isNotNull() & (
+        F.col("_ff__rts").isNull() | ((l_us - back_us) <= (fwd_us - l_us))
     )
-    suffixed = [f"{c}{suffix}" for c in value_cols]
-    out = filled.where(F.col("_src") == 1).select(
+    return filled.select(
         *lcols,
-        *[F.col(f"_f_{name}").alias(name) for name in suffixed],
-        F.col("_f__rts").alias(f"{right_ts}{suffix}"),
+        *[
+            F.when(use_back, F.col(f"_fb_{name}"))
+            .otherwise(F.col(f"_ff_{name}"))
+            .alias(name)
+            for name in suffixed
+        ],
+        F.when(use_back, F.col("_fb__rts"))
+        .otherwise(F.col("_ff__rts"))
+        .alias(f"{right_ts}{suffix}"),
     )
-    return out

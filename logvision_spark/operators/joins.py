@@ -116,3 +116,57 @@ def geo_enrich_live(
             yield out[pd.Series(keep, index=out.index)]
 
     return facts.mapInPandas(enrich, schema=out_schema)
+
+
+def range_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    bucket_seconds: int = 60,
+) -> DataFrame:
+    """Point-in-interval range join (``start <= t < end``) without a
+    cross join — an operator Spark's join menu lacks (SparkSQL would plan
+    the bare inequality join as BroadcastNestedLoop/cartesian).
+
+    Physical shape: both sides map to coarse time buckets (intervals
+    explode to every bucket they overlap — ceil(span/bucket)+1 rows), the
+    join runs as an EQUI-join on the bucket id, and the exact inequality
+    filters the matched pairs. Work is O(points + Σ interval spans +
+    true matches·collision factor) instead of O(points × intervals).
+
+    Scale notes: pick ``bucket_seconds`` ≈ the typical interval length —
+    each interval then explodes to ~2 buckets and each bucket-join
+    partition holds one time-slice of both sides; the shuffle key is the
+    bucket id, which is uniformly distributed over time (no hot key
+    unless the data itself has a hot second). Empty/negative intervals
+    are dropped (they can match nothing; the guard also keeps
+    F.sequence from generating a descending bucket range).
+    Column names must not collide between the two inputs.
+    """
+    bucket_us = F.lit(bucket_seconds * 1_000_000)
+    p = points.withColumn(
+        "_b", F.floor(F.unix_micros(F.col(point_ts)) / bucket_us)
+    )
+    i = (
+        intervals.where(F.col(end_ts) > F.col(start_ts))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(start_ts)) / bucket_us),
+                    # end is exclusive: the last overlapped bucket is the
+                    # one containing end - 1 microsecond
+                    F.floor((F.unix_micros(F.col(end_ts)) - 1) / bucket_us),
+                )
+            ),
+        )
+    )
+    return (
+        p.join(i, "_b")
+        .where(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("_b")
+    )

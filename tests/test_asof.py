@@ -29,3 +29,63 @@ def test_asof_semantics(spark):
     assert out[3] == (None, None)   # u2's only right row is later
     assert out[4] == (None, None)   # u3 has no right rows
     assert len(out) == 4            # left rows all preserved
+
+
+def test_asof_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", ts(10)), (2, "u1", ts(5)), (3, "u2", ts(10)), (4, "u3", ts(10))],
+        ["event_id", "user", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u1", ts(5), "a"), ("u1", ts(12), "b"), ("u2", ts(8), "c")],
+        ["user", "ts", "tag"],
+    )
+    out = {
+        r["event_id"]: (r["ts_asof"], r["tag_asof"])
+        for r in asof_join(
+            left, right, key="user", value_cols=("tag",), direction="forward"
+        ).collect()
+    }
+    assert out[1] == (ts(12), "b")  # earliest >= 10
+    assert out[2] == (ts(5), "a")   # tie at 5 is inclusive
+    assert out[3] == (None, None)   # u2's only right row is earlier
+    assert out[4] == (None, None)   # u3 has no right rows
+
+
+def test_asof_nearest_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", ts(10)),  # back at 8 (Δ2) beats fwd at 15 (Δ5)
+            (2, "u1", ts(14)),  # fwd at 15 (Δ1) beats back at 8 (Δ6)
+            (3, "u1", ts(30)),  # only back exists → back
+            (4, "u2", ts(10)),  # only fwd exists → fwd
+            (5, "u3", ts(10)),  # no right rows → null
+        ],
+        ["event_id", "user", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u1", ts(8), "a"), ("u1", ts(15), "b"), ("u2", ts(20), "c")],
+        ["user", "ts", "tag"],
+    )
+    out = {
+        r["event_id"]: (r["ts_asof"], r["tag_asof"])
+        for r in asof_join(
+            left, right, key="user", value_cols=("tag",), direction="nearest"
+        ).collect()
+    }
+    assert out[1] == (ts(8), "a")
+    assert out[2] == (ts(15), "b")
+    assert out[3] == (ts(15), "b")
+    assert out[4] == (ts(20), "c")
+    assert out[5] == (None, None)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([(1, "u1", ts(10))], ["event_id", "user", "ts"])
+    right = spark.createDataFrame(
+        [("u1", ts(7), "back"), ("u1", ts(13), "fwd")], ["user", "ts", "tag"]
+    )
+    out = asof_join(
+        left, right, key="user", value_cols=("tag",), direction="nearest"
+    ).collect()[0]
+    assert (out["ts_asof"], out["tag_asof"]) == (ts(7), "back")

@@ -160,6 +160,18 @@ def test_sim_near_pairs_lsh_has_no_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_and_drop_list_queries_have_no_cross_join(spark, sf_dir):
+    """j8 turns its inequality predicate into a bucket equi-join, and the
+    end-to-end drop list candidates via banded equi-joins — neither may
+    degrade to a nested-loop/cartesian product."""
+    from logvision_spark.plans.checks import explain_str
+
+    for name in ("j8_range_join_incidents", "dedup_drop_list"):
+        plan = explain_str(CATALOG[name].builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_relational_queries_stay_jvm_side(feats):
     for name in (
         "q1_pricing_summary",
