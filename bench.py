@@ -64,6 +64,14 @@ def main() -> None:
         "q13_order_distribution",
         "q21_waiting_suppliers",
         "text_term_doc_freq",
+        "dedup_simhash",
+        "dedup_drop_list",
+        "dedup_clusters",
+        "j8_range_join_incidents",
+        "j6_asof_nearest",
+        "a3_count_by_user_salted",
+        "mm_feature_stats",
+        "text_tfidf_top_terms",
     ]
     headline_new = [q for q in headline_new if q in CATALOG]
 

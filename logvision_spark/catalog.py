@@ -2461,13 +2461,15 @@ SELECT doc_id, """
     doc="SimHash fingerprint (32-bit, unigram shingles, portable "
     "polynomial hash): one long per doc — the cheapest near-dup key at "
     "scale (compare via hamming distance / prefix bands). Verified "
-    "value-exact cross-engine bit by bit.",
+    "value-exact cross-engine bit by bit. Explode + aggregated-vote "
+    "formulation: each shingle hashed once, 32 conditional sums in one "
+    "codegen'd HashAggregate (the Column form is 30× slower at sf0.1).",
 )
 def dedup_simhash(spark, sf_dir):
-    from logvision_spark.operators.dedup import simhash
+    from logvision_spark.operators.dedup import simhash_agg
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash(F.col("text"), bits=32, n=1).alias("simhash32"))
+    return simhash_agg(d, bits=32, n=1)
 
 
 @register(
@@ -2826,6 +2828,142 @@ def mm_feature_stats(spark, sf_dir):
         (F.array_position("feature", F.array_max("feature")) - 1)
         .cast("int")
         .alias("argmax_bin"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM toks),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT doc_a, doc_b
+      FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      WHERE c / (x.n + y.n - c) >= 0.5),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+""",
+    doc="Near-dup clustering as CONNECTED COMPONENTS (iterative min-label "
+    "propagation, operators/dedup.connected_components) over the exact "
+    "Jaccard≥0.5 pair graph: every doc labeled with the smallest id "
+    "reachable through near-dup edges; keep cluster representatives "
+    "(cluster_id == doc_id) to dedup without the greedy rule's "
+    "chain-over-dropping. A genuinely iterative distributed algorithm "
+    "driver-checked against DuckDB's recursive-CTE transitive closure.",
+)
+def dedup_clusters(spark, sf_dir):
+    from logvision_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    return connected_components(pairs, d.select("doc_id"))
+
+
+@register(
+    "stream_j_interval_join",
+    oracle="""
+SELECT p.event_id AS p_id, e.event_id AS e_id
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 300 SECOND
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+""",
+    doc="STREAM-STREAM interval join, batch-verified: purchases and "
+    "errors as two live streams over the same source, joined on user "
+    "within 5 minutes after the purchase; watermarks on both sides bound "
+    "the join state (the 100 TB requirement — without them state grows "
+    "forever). Inner-join matches emit as found under AvailableNow; the "
+    "emitted set must hash-match the batch interval join.",
+)
+def stream_j_interval_join(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    purch = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    errs = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = purch.join(
+        errs,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 300 SECONDS")),
+        "inner",
+    ).select("p_id", "e_id")
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "sketch_accuracy_props",
+    oracle="""
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok,
+       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+       TRUE AS tdigest_ok
+FROM events
+""",
+    doc="Sketch operators as driver-checked accuracy properties: "
+    "HyperLogLog++ distinct count must land within 5% of the exact "
+    "count, and approx_percentile's median within 1% relative of the "
+    "exact interpolated median — both sketches are deterministic given "
+    "the data, and both exact references are recomputed by the oracle. "
+    "At 100 TB the sketches ARE the production path (mergeable, "
+    "bounded-memory partials); the exact aggregates exist to pin them.",
+)
+def sketch_accuracy_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("_hll"),
+        F.expr("percentile(value, 0.5D)").alias("_p50"),
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("_ap50"),
+    )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("hll_ok"),
+        F.round("_p50", 6).alias("exact_p50"),
+        (F.abs(F.col("_ap50") - F.col("_p50")) / F.col("_p50") <= 0.01).alias(
+            "tdigest_ok"
+        ),
     )
 
 

@@ -76,12 +76,19 @@ def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
 
 
 def exploded_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    outer: bool = False,
 ) -> DataFrame:
     """(id, shingle) rows with the token array staged as a real column
     first. Staging matters: an inline `split()` inside the shingle lambda
     is re-evaluated per element_at (no subexpression elimination in
-    interpreted higher-order functions) — measured 8× slower at sf0.1."""
+    interpreted higher-order functions) — measured 8× slower at sf0.1.
+
+    ``outer=True`` keeps shingle-less docs (< n tokens) as one NULL-shingle
+    row (explode_outer) so id-preserving aggregations don't drop them."""
     staged = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )
@@ -99,7 +106,8 @@ def exploded_shingles(
     guarded = F.when(F.size(tk) >= n, shingles).otherwise(
         F.array().cast("array<string>")
     )
-    return staged.select(id_col, F.explode(guarded).alias("shingle"))
+    exploder = F.explode_outer if outer else F.explode
+    return staged.select(id_col, exploder(guarded).alias("shingle"))
 
 
 def shingle_hashes(text: Column, n: int = 3, fast: bool = False) -> Column:
@@ -377,11 +385,59 @@ def streaming_exact_dedup(
     return hashed.dropDuplicates(["_content_hash"])
 
 
+def simhash_agg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n: int = 1,
+    fast: bool = False,
+) -> DataFrame:
+    """SimHash fingerprints via explode + aggregated bit votes — the scale
+    formulation (same pattern as `minhash_signatures_agg`): each shingle
+    is hashed ONCE, the per-bit ±1 votes are `bits` conditional sums
+    inside a single codegen'd HashAggregate with map-side combine, and
+    the fingerprint packs in a final projection. The Column-level
+    `simhash` re-evaluates the interpreted hash HOF once PER BIT (no
+    subexpression elimination in interpreted higher-order functions) —
+    measured 30× slower at sf0.1.
+
+    Docs with no shingles (< n tokens) survive as one NULL-shingle row
+    (explode_outer) whose NULL hash votes -1 on every bit → fingerprint
+    0, matching the Column form's empty-array fold."""
+    sh = exploded_shingles(df, id_col, text_col, n, outer=True)
+    if fast:
+        # keep NULL shingles NULL (xxhash64(NULL) would yield the seed)
+        h = F.when(
+            F.col("shingle").isNotNull(),
+            F.pmod(F.xxhash64(F.col("shingle")), F.lit(POLY_MOD)),
+        )
+    else:
+        h = poly_hash(F.col("shingle"))
+    hashed = sh.select(id_col, h.alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    voted = hashed.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return voted.select(id_col, fp.alias("simhash32" if bits == 32 else "simhash"))
+
+
 def simhash(text: Column, bits: int = 32, n: int = 1) -> Column:
     """SimHash fingerprint: per token-shingle hash, each output bit is the
     sign of the sum of ±1 votes across shingles (bit set in shingle hash →
     +1). Packed into a LONG. One number per doc — the cheapest near-dup
-    key at scale; compare via hamming distance or prefix bands."""
+    key at scale; compare via hamming distance or prefix bands.
+
+    Column-level convenience form: the shingle-hash HOF is re-evaluated
+    once per bit (interpreted HOFs get no subexpression elimination), so
+    for corpus-scale fingerprinting use `simhash_agg`."""
     hl = shingle_hashes(text, n)
 
     def vote(i: int):
@@ -396,3 +452,67 @@ def simhash(text: Column, bits: int = 32, n: int = 1) -> Column:
     for i, v in enumerate(bit_votes):
         fp = fp + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(0)
     return fp
+
+
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every id labeled
+    with the MINIMUM id reachable from it (`cluster_id`). Singletons label
+    themselves. The principled alternative to `near_dup_drop_list`'s
+    greedy rule: keep `cluster_id == doc_id` rows, drop the rest — no
+    over-dropping on chains (a~b, b~c keeps a, drops b and c, never
+    splits decisions across the chain).
+
+    Iterative min-label propagation as pure DataFrame joins: each round,
+    every node takes min(own label, neighbors' labels); converges in
+    ≤ graph-diameter rounds (near-dup clusters are tiny-diameter). Each
+    round is one shuffle join + one aggregation; `localCheckpoint`
+    truncates the growing lineage so round N doesn't replay rounds
+    1..N-1. The driver loop runs a bounded number of O(1)-row actions
+    (the convergence count) — the standard shape for iterative graph
+    algorithms on Spark (GraphX Pregel does the same); at extreme scale
+    swap in the large-star/small-star variant, which cuts rounds to
+    O(log n) on high-diameter graphs.
+    """
+    edges = pairs.select(
+        F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "_new")
+            .join(labels, "id")
+            .where(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -78,6 +78,23 @@ def test_near_dup_drop_list_end_to_end(spark, docs):
     assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3}
 
 
+def test_connected_components_chain_and_singletons(spark):
+    """A chain a~b~c must collapse to ONE cluster labeled min(id) (the
+    case the greedy drop list over-drops); untouched docs stay
+    singletons labeling themselves."""
+    from logvision_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, ids).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2}
+
+
 def test_dedup_handles_short_and_empty_docs(spark):
     """Docs with < n tokens must not crash the shingle expression (Spark 4
     ANSI: a descending F.sequence would hit element_at index 0) — they
@@ -176,6 +193,38 @@ def test_simhash_fingerprints(spark, docs):
     ham_near = bin(fp[0] ^ fp[2]).count("1")
     ham_far = bin(fp[0] ^ fp[3]).count("1")
     assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_simhash_agg_matches_column_form(spark, docs):
+    """The scale (explode+vote-agg) formulation must be bit-identical to
+    the Column-level fold — including docs with < n tokens, which the
+    outer-explode keeps as fingerprint 0 exactly like the Column form's
+    empty-array fold."""
+    from logvision_spark.operators.dedup import simhash_agg
+
+    extra = docs.union(
+        spark.createDataFrame([(90, ""), (91, "just two")], ["doc_id", "text"])
+    )
+    for n in (1, 3):
+        col_form = {
+            r["doc_id"]: r["fp"]
+            for r in extra.select(
+                "doc_id", simhash(F.col("text"), n=n).alias("fp")
+            ).collect()
+        }
+        agg_form = {
+            r["doc_id"]: r["simhash32"] for r in simhash_agg(extra, n=n).collect()
+        }
+        assert agg_form == col_form, f"n={n}"
+    # docs 90/91 have < 3 tokens → no 3-shingles → fingerprint 0
+    assert agg_form[90] == 0 and agg_form[91] == 0
+    # fast path keeps the same doc coverage (no dropped short docs)
+    fp_fast = {
+        r["doc_id"]: r["simhash32"]
+        for r in simhash_agg(extra, n=3, fast=True).collect()
+    }
+    assert set(fp_fast) == set(agg_form)
+    assert fp_fast[90] == 0 and fp_fast[91] == 0
 
 
 def test_srp_bucket_is_subset_of_bruteforce_order(spark, sf_dir):
