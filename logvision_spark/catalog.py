@@ -2360,9 +2360,9 @@ def _events_stream(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return src.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer DIV truncates exactly; a double division of int64 nanos
+    # (~1.8e18 > 2^53) silently drifts by a few micros
+    return src.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 @register(
@@ -2964,6 +2964,289 @@ def sketch_accuracy_props(spark, sf_dir):
         (F.abs(F.col("_ap50") - F.col("_p50")) / F.col("_p50") <= 0.01).alias(
             "tdigest_ok"
         ),
+    )
+
+
+@register(
+    "a_user_trend_slope",
+    oracle="""
+WITH s AS (SELECT user_id, value,
+                  epoch_us(ts) / 1000000.0 / 86400.0 AS x_days
+           FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(regr_slope(value, x_days), 6) AS slope_per_day
+FROM s GROUP BY user_id
+""",
+    doc="Per-entity model fit via Arrow grouped-map (applyInPandas): "
+    "least-squares slope of value over event time per user, in "
+    "value/day. The template for per-group science beyond SQL closed "
+    "forms — each group arrives as one pandas frame, shuffled once by "
+    "key; verified EXACTLY against DuckDB's regr_slope (centered days, "
+    "two-pass covariance, round 6 — the FP noise floor never reaches "
+    "the compare). For this particular fit the pure-JVM regr_slope "
+    "built-in is the production path; the grouped map is the escape "
+    "hatch it validates.",
+)
+def a_user_trend_slope(spark, sf_dir):
+    from logvision_spark.operators.aggregations import grouped_trend_slope
+
+    return grouped_trend_slope(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_j_left_outer",
+    oracle="""
+SELECT p.event_id AS p_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+       e.event_id AS e_id
+FROM events p LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.event_type = 'error'
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 300 SECOND
+WHERE p.event_type = 'purchase'
+  AND p.ts <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+""",
+    doc="STREAM-STREAM LEFT OUTER join with watermark-driven null "
+    "emission: purchases that saw no error within 5 minutes surface "
+    "(p_id, NULL) only when the global watermark passes p_ts+300s and "
+    "the state row is evicted — the semantics that make outer joins "
+    "bounded-state at 100 TB. Batch-verified on the time range the "
+    "watermark has provably closed (cutoff = max event time - 1 day, "
+    "far beyond the 10 min delay): there the streamed output must "
+    "equal the batch LEFT JOIN exactly, matched and unmatched rows "
+    "alike.",
+)
+def stream_j_left_outer(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("c"))
+        .first()["c"]
+    )
+    purch = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    errs = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = purch.join(
+        errs,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 300 SECONDS")),
+        "leftOuter",
+    ).select("p_id", "p_ts", "e_id")
+    name = f"stream_ssloj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .where(F.col("p_ts") <= F.lit(cutoff))
+        .select(
+            "p_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("p_ts"),
+            "e_id",
+        )
+    )
+
+
+@register(
+    "corpus_quality_funnel",
+    oracle="""
+WITH h AS (
+  SELECT text, len(string_split(text, ' ')) AS token_cnt,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS en_hits,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS de_hits,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ('el','la','de','que','y','en','un','por','con','para'))) AS es_hits,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS fr_hits
+  FROM documents),
+f AS (
+  SELECT text, token_cnt, en_hits, de_hits, es_hits, fr_hits,
+         en_hits * 1.0 / token_cnt AS sw_ratio
+  FROM h),
+g AS (
+  SELECT text,
+    (en_hits > 0 AND en_hits >= greatest(en_hits, de_hits, es_hits, fr_hits)) AS is_en,
+    (token_cnt >= 20 AND sw_ratio >= 0.05) AS is_quality
+  FROM f)
+SELECT stage, n FROM (
+  SELECT 's0_total' AS stage, CAST(count(*) AS BIGINT) AS n FROM g
+  UNION ALL
+  SELECT 's1_lang_en', CAST(count(*) FILTER (is_en) AS BIGINT) FROM g
+  UNION ALL
+  SELECT 's2_quality', CAST(count(*) FILTER (is_en AND is_quality) AS BIGINT) FROM g
+  UNION ALL
+  SELECT 's3_unique', CAST(count(DISTINCT CASE WHEN is_en AND is_quality
+                                               THEN text END) AS BIGINT) FROM g)
+""",
+    doc="End-to-end corpus curation funnel — the user story the text ops "
+    "exist for: total docs → language-ID'd English → quality-thresholded "
+    "(token count, stopword ratio) → exact-deduped survivors, as ONE "
+    "single-pass conditional aggregation (no per-stage rescans: every "
+    "stage is a count/countDistinct over the same projection, then "
+    "unpivoted to (stage, n) rows). At 100 TB this is one scan + one "
+    "1-row-per-stage result.",
+)
+def corpus_quality_funnel(spark, sf_dir):
+    from logvision_spark.operators.text import lang_id, quality_features
+
+    d = quality_features(lang_id(_t(spark, sf_dir, "documents")))
+    is_en = F.col("pred_lang") == "en"
+    is_q = (F.col("token_cnt") >= 20) & (F.col("stopword_ratio") >= 0.05)
+    agg = d.agg(
+        F.count(F.lit(1)).alias("s0_total"),
+        F.count(F.when(is_en, 1)).alias("s1_lang_en"),
+        F.count(F.when(is_en & is_q, 1)).alias("s2_quality"),
+        F.countDistinct(F.when(is_en & is_q, F.col("text"))).alias("s3_unique"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 's0_total', s0_total, 's1_lang_en', s1_lang_en, "
+            "'s2_quality', s2_quality, 's3_unique', s3_unique) AS (stage, n)"
+        )
+    )
+
+
+@register(
+    "pack_token_bins",
+    oracle="""
+WITH s AS (SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents)
+SELECT doc_id, shard, n_tok,
+       CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 512.0) AS BIGINT) AS bin_in_shard
+FROM s
+""",
+    doc="Training-batch sequence packing: docs assigned to 512-token bins "
+    "by exclusive prefix sum of token counts within pmod(doc_id, 8) "
+    "shards (operators/text.pack_token_bins) — the 'pack documents into "
+    "fixed-token training rows' pipeline step. Per-shard windows keep "
+    "the cumulative sum parallel (a single global ordered window "
+    "serializes onto one task at 100 TB); integer-exact math both "
+    "engines.",
+)
+def pack_token_bins_q(spark, sf_dir):
+    from logvision_spark.operators.text import pack_token_bins
+
+    return pack_token_bins(_t(spark, sf_dir, "documents"), budget=512, num_shards=8)
+
+
+@register(
+    "sim_topk_batch",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+SELECT q.q_id, e.vec_id, round(
+  list_sum(list_transform(range(1, len(e.embedding)+1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+  6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id >= 5
+QUALIFY row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY cos_sim DESC, e.vec_id) <= 3
+""",
+    doc="BATCHED similarity search: top-3 neighbors for a whole query "
+    "set in one pass (query batch broadcast — 5 vectors, constant "
+    "cardinality, so the pin is safe at any SF; corpus scanned ONCE for "
+    "all queries, ranked per-query by windowed row_number on the "
+    "rounded score with id tie-break). The shape that amortizes scan "
+    "cost when serving many probes — per-query TakeOrdered loops rescan "
+    "the corpus N times.",
+)
+def sim_topk_batch(spark, sf_dir):
+    from logvision_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = F.broadcast(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+    )
+    data = emb.where(F.col("vec_id") >= 5)
+    scored = data.crossJoin(qs).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+WITH b AS (SELECT date_trunc('minute', ts) AS minute,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+spine AS (SELECT unnest(generate_series(
+            (SELECT min(minute) FROM b),
+            (SELECT max(minute) FROM b),
+            INTERVAL 1 MINUTE)) AS minute)
+SELECT strftime(spine.minute, '%Y-%m-%d %H:%M:%S') AS minute,
+       coalesce(b.cnt, CAST(0 AS BIGINT)) AS cnt,
+       (b.minute IS NULL) AS gap_filled
+FROM spine LEFT JOIN b ON spine.minute = b.minute
+""",
+    doc="Time-series gap fill: per-minute purchase counts joined onto a "
+    "dense minute spine (sequence() of the observed range, exploded), "
+    "absent minutes filled with 0 and flagged — the densification step "
+    "before any rolling-window model. The spine generates from ONE "
+    "aggregated (min,max) row and the join is on the minute key; at "
+    "100 TB the spine stays tiny while the counts aggregate "
+    "map-side.",
+)
+def ts_gap_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    b = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    spine = (
+        b.agg(F.min("minute").alias("lo"), F.max("minute").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+            ).alias("minute")
+        )
+    )
+    return spine.join(b, "minute", "left").select(
+        F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        F.col("cnt").isNull().alias("gap_filled"),
     )
 
 

@@ -106,3 +106,56 @@ def counter_lookup(counter_df: DataFrame, key_col: str, member: str) -> DataFram
     (`zscore`, flask/app.py:84,106). Over a counter view this is a filter —
     at scale it prunes to one aggregation group, no full materialization."""
     return counter_df.where(F.col(key_col) == F.lit(member))
+
+
+def grouped_trend_slope(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key least-squares trend: slope of `value` over event time, in
+    value-units per DAY, via Arrow-batched ``applyInPandas`` — the
+    grouped-map template for per-entity model fits (churn slopes, sensor
+    drift, per-user engagement trends) that SQL aggregates can't express
+    once the per-group science outgrows closed forms.
+
+    Numerics are chosen for cross-engine exactness: x is centered days
+    (epoch-seconds / 86400, range ~30 at the fixture, not ~1e9), the
+    slope is the two-pass centered form Σ(x-x̄)(y-ȳ) / Σ(x-x̄)² — the
+    same numerically stable covariance shape DuckDB's `regr_slope`
+    computes — and the output rounds to 6 decimals, so the ~1e-15
+    relative FP noise between engines never reaches the compare.
+
+    Scale: groups shuffle once by `key`; each group is one pandas frame
+    on one executor (bounded: events-per-entity, not corpus size). The
+    pure-JVM alternative for THIS particular fit is
+    ``F.regr_slope(value, x)`` — kept in the docstring on purpose: use
+    the built-in when it exists, the grouped map when it doesn't."""
+    import pandas as pd
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["_x_days"].to_numpy()
+        y = pdf[value_col].to_numpy()
+        xc = x - x.mean()
+        yc = y - y.mean()
+        denom = (xc * xc).sum()
+        slope = float((xc * yc).sum() / denom) if denom > 0.0 else None
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_events": [len(pdf)],
+                "slope_per_day": [
+                    round(slope, 6) if slope is not None else None
+                ],
+            }
+        )
+
+    staged = df.select(
+        key,
+        value_col,
+        (F.col(ts_col).cast("double") / F.lit(86400.0)).alias("_x_days"),
+    )
+    return staged.groupBy(key).applyInPandas(
+        _fit, schema=f"{key} long, n_events long, slope_per_day double"
+    )

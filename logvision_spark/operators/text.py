@@ -144,3 +144,47 @@ def corpus_split(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def pack_token_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Training-batch sequence packing: assign documents to fixed
+    token-budget bins (the "pack documents into 2k-token training rows"
+    step of an LLM data pipeline). Deterministic contiguous packing:
+    within a shard, docs are taken in id order and
+    ``bin = floor(exclusive_prefix_sum(tokens) / budget)`` — bins are
+    budget-aligned, with the straddling doc joining the bin its prefix
+    sum starts in (bounded overflow of one doc; a real pipeline
+    pre-splits oversized docs).
+
+    Scale: the window partitions by ``pmod(id, num_shards)`` — packing is
+    per-shard, never a single global ordered window (a global cumulative
+    sum serializes onto one task at 100 TB). Shards are independent, so
+    bins are reproducible regardless of cluster layout; `pmod` (not
+    xxhash) keeps the shard function portable across engines for the
+    oracle. Output bin ids are (shard, bin_in_shard) pairs."""
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(num_shards))
+    staged = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return staged.select(
+        id_col,
+        "shard",
+        "n_tok",
+        F.floor(prior / F.lit(budget)).cast("long").alias("bin_in_shard"),
+    )

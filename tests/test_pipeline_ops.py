@@ -1,0 +1,87 @@
+"""Training-pipeline operator tests: grouped-map regression, sequence
+packing, and time-series gap fill — properties beyond the catalog's
+oracle equality (which test_catalog_vs_duckdb already mirrors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logvision_spark.operators.aggregations import grouped_trend_slope
+from logvision_spark.operators.text import pack_token_bins
+from logvision_spark.sources.readers import load_table
+
+
+def test_trend_slope_matches_jvm_regr_slope(spark, sf_dir):
+    """The applyInPandas fit must agree with Spark's own built-in
+    regr_slope (the pure-JVM production path it validates) to the same
+    6-decimal contract as the DuckDB oracle."""
+    ev = load_table(spark, "events", sf_dir)
+    pandas_fit = {
+        r["user_id"]: r["slope_per_day"]
+        for r in grouped_trend_slope(ev).collect()
+    }
+    jvm = {
+        r["user_id"]: r["s"]
+        for r in ev.select(
+            "user_id",
+            "value",
+            (F.col("ts").cast("double") / F.lit(86400.0)).alias("x"),
+        )
+        .groupBy("user_id")
+        .agg(F.round(F.expr("regr_slope(value, x)"), 6).alias("s"))
+        .collect()
+    }
+    assert pandas_fit == jvm
+
+
+def test_trend_slope_degenerate_group_is_null(spark):
+    """A single-event group (zero x-variance) must yield NULL, not a
+    division error — same as regr_slope's NULL contract."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0),
+         (2, "2024-01-01 00:00:00", 1.0),
+         (2, "2024-01-02 00:00:00", 3.0)],
+        ["user_id", "ts", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r["slope_per_day"] for r in grouped_trend_slope(df).collect()}
+    assert got[1] is None
+    assert got[2] == 2.0  # +2 value over exactly one day
+
+
+def test_pack_token_bins_budget_alignment(spark, sf_dir):
+    """Bins are exclusive-prefix-sum aligned: within every shard the doc
+    order is id order, bin ids are non-decreasing, and each doc's bin
+    equals its predecessor-sum divided by the budget. Also: no bin is
+    left empty between used bins (contiguity)."""
+    docs = load_table(spark, "documents", sf_dir)
+    rows = pack_token_bins(docs, budget=512, num_shards=8).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == set(range(8))
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        prior = 0
+        bins = []
+        for r in rs:
+            assert r["shard"] == r["doc_id"] % 8
+            assert r["bin_in_shard"] == prior // 512, (shard, r)
+            prior += r["n_tok"]
+            bins.append(r["bin_in_shard"])
+        assert bins == sorted(bins)
+        assert set(bins) == set(range(max(bins) + 1))  # contiguous
+
+
+def test_gap_fill_spine_is_dense(spark, sf_dir):
+    from logvision_spark.catalog import CATALOG
+
+    out = CATALOG["ts_gap_fill"].builder(spark, sf_dir).toPandas()
+    assert out["minute"].is_unique
+    import pandas as pd
+
+    minutes = pd.to_datetime(out["minute"]).sort_values()
+    deltas = minutes.diff().dropna().unique()
+    assert list(deltas) == [pd.Timedelta(minutes=1)]  # no holes, no dupes
+    filled = out[out["gap_filled"]]
+    assert (filled["cnt"] == 0).all()
+    assert len(filled) > 0  # the fixture really has gaps
