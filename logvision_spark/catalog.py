@@ -3250,6 +3250,95 @@ def ts_gap_fill(spark, sf_dir):
     )
 
 
+@register(
+    "decontam_ngram_overlap",
+    oracle="""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(range(1, len(w)-6),
+                i -> list_aggregate(w[i:i+7], 'string_agg', ' ')))) AS s
+       FROM toks WHERE len(w) >= 8),
+ev AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM (SELECT DISTINCT doc_id, s FROM sh WHERE source <> 'src0') c
+JOIN ev ON c.s = ev.s
+GROUP BY c.doc_id
+""",
+    doc="Benchmark decontamination (operators/dedup.cross_corpus_overlap): "
+    "corpus docs sharing any 8-gram with the eval set (source='src0' "
+    "standing in) are flagged with their overlap count — the eval-leak "
+    "screen every training corpus runs. Both sides reduce to DISTINCT "
+    "shingles before the join (shingle keys move, not documents); a "
+    "real constant-size eval set broadcasts via the threshold/AQE, "
+    "deliberately not pinned.",
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    from logvision_spark.operators.dedup import cross_corpus_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_corpus_overlap(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@register(
+    "emb_int8_quantize",
+    oracle="""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx,
+             list_max(e) - list_min(e) AS rng
+      FROM v)
+SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+       CASE WHEN rng > 0 THEN round(
+         list_sum(list_transform(e,
+           x -> abs(x - (mn + floor((x - mn) * 255.0 / rng) * rng / 255.0))))
+         / len(e), 6)
+       ELSE 0.0 END AS mae
+FROM m
+""",
+    doc="Embedding int8 scalar quantization report "
+    "(operators/similarity.int8_quantization_report): per-vector "
+    "min/max/range, floor-based 0..255 codes, and the mean absolute "
+    "reconstruction error — the 4× storage-compression step of an "
+    "embedding pipeline, value-exact across engines because floor "
+    "avoids rounding-mode divergence. One JVM-HOF projection pass, no "
+    "shuffle.",
+)
+def emb_int8_quantize(spark, sf_dir):
+    from logvision_spark.operators.similarity import int8_quantization_report
+
+    return int8_quantization_report(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS total,
+       CAST(count(*) FILTER (doc_id % 10 <
+         CASE WHEN lang = 'en' THEN 8 ELSE 3 END) AS BIGINT) AS kept
+FROM documents GROUP BY lang
+""",
+    doc="Deterministic stratified downsampling: per-language keep rates "
+    "(80% en, 30% otherwise — the 'rebalance the language mix' curation "
+    "step) decided by pmod(doc_id, 10), NOT sampleBy — reproducible "
+    "across engines, runs, and partitionings, and auditable (this query "
+    "IS the audit: kept vs total per stratum in one pass). sampleBy's "
+    "seed+partitioning dependence makes corpus snapshots unverifiable.",
+)
+def corpus_stratified_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 8).otherwise(3)
+    kept = F.pmod(F.col("doc_id"), F.lit(10)) < rate
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(kept, 1)).alias("kept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 

@@ -516,3 +516,32 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram (8-gram is the common contract) with an evaluation set —
+    the screen every training corpus runs so eval answers don't leak
+    into the training data. Returns (id, n_hits) for contaminated docs
+    only; anti-join the result against the corpus to clean it.
+
+    Scale: both sides reduce to DISTINCT shingles before the join, so
+    the join carries shingle keys, not documents. A real eval set is
+    constant-size (thousands of docs), so its shingle side broadcasts —
+    left to the autoBroadcastJoinThreshold / AQE rather than pinned,
+    since THIS query's fixture eval set scales with SF. For an adversarially
+    repetitive corpus, compose with the same `max_doc_freq` hot-shingle
+    cap used by `ngram_jaccard_pairs`."""
+    c = exploded_shingles(corpus, id_col, text_col, n).distinct()
+    e = exploded_shingles(evalset, id_col, text_col, n).select("shingle").distinct()
+    return (
+        c.join(e, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -181,3 +181,50 @@ def test_relational_queries_stay_jvm_side(feats):
         "text_lang_id",
     ):
         assert not feats(name).python_eval, f"{name} fell off codegen into Python"
+
+
+def test_new_pipeline_queries_stay_jvm_side(feats):
+    """The curation/compression/sampling additions are all built-in
+    expressions — none may fall into a Python eval node (the only
+    deliberate Python in the catalog is the grouped-map fit and the
+    multimodal mapInPandas plumbing)."""
+    for name in (
+        "decontam_ngram_overlap",
+        "emb_int8_quantize",
+        "corpus_stratified_sample",
+        "pack_token_bins",
+        "ts_gap_fill",
+        "corpus_quality_funnel",
+        "sim_topk_batch",
+    ):
+        assert not feats(name).python_eval, f"{name} fell off codegen into Python"
+
+
+def test_pack_token_bins_window_is_sharded(spark, sf_dir):
+    """The packing window must partition by shard — a global ordered
+    window (empty partition spec) serializes the cumulative sum onto a
+    single task at scale."""
+    from logvision_spark.plans.checks import explain_str
+
+    plan = explain_str(CATALOG["pack_token_bins"].builder(spark, sf_dir))
+    assert "Window" in plan
+    assert "partitionBy=[shard" in plan.replace(" ", "").replace("#", "").lower() or (
+        "windowspecdefinition(shard" in plan.replace(" ", "").lower()
+    ), plan[:2000]
+
+
+def test_decontam_joins_on_shingles_not_cross(spark, sf_dir):
+    from logvision_spark.plans.checks import explain_str
+
+    plan = explain_str(CATALOG["decontam_ngram_overlap"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_is_single_scan_single_aggregate(spark, sf_dir):
+    """The funnel's four stages must come from ONE scan of documents and
+    one aggregation tree (partial+final), not four rescans unioned."""
+    from logvision_spark.plans.checks import explain_str
+
+    plan = explain_str(CATALOG["corpus_quality_funnel"].builder(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan[:1500]
