@@ -72,6 +72,12 @@ def main() -> None:
         "a3_count_by_user_salted",
         "mm_feature_stats",
         "text_tfidf_top_terms",
+        "corpus_quality_funnel",
+        "decontam_ngram_overlap",
+        "emb_int8_quantize",
+        "a_user_trend_slope",
+        "text_chunk_windows",
+        "a_latest_event_per_user",
     ]
     headline_new = [q for q in headline_new if q in CATALOG]
 

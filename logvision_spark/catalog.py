@@ -3339,6 +3339,68 @@ def corpus_stratified_sample(spark, sf_dir):
     )
 
 
+@register(
+    "a_latest_event_per_user",
+    oracle="""
+SELECT user_id,
+       arg_max(event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
+               || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_event_id,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       arg_max(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
+               || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type
+FROM events GROUP BY user_id
+""",
+    doc="CDC latest-wins compaction: one row per key carrying the most "
+    "recent event's columns (max_by / arg_max with a deterministic "
+    "(ts, event_id) tie-break) — the upsert-to-snapshot step of a "
+    "change-feed pipeline, as ONE hash aggregation: no window, no sort, "
+    "no self-join; partial aggregation keeps only each partition's "
+    "current winner, so the shuffle carries one candidate row per "
+    "(partition, key) at any scale.",
+)
+def a_latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # deterministic total order: (ts, event_id) packed into one sortable
+    # string so both engines break ts ties identically
+    order = F.concat_ws(
+        "|",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", order).alias("last_event_id"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.max_by("event_type", order).alias("last_type"),
+    )
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+s AS (SELECT doc_id, w, n, unnest(range(0, n, 24)) AS st FROM t)
+SELECT doc_id, CAST(st / 24 AS BIGINT) AS chunk_id,
+       CAST(least(32, n - st) AS INTEGER) AS n_tokens,
+       list_aggregate(w[st+1 : st+32], 'string_agg', ' ') AS chunk_text
+FROM s
+""",
+    doc="Document chunking for embedding/RAG pipelines "
+    "(operators/text.chunk_windows): overlapping 32-token windows every "
+    "24 tokens (8-token overlap), emitted as (doc_id, chunk_id, "
+    "n_tokens, chunk_text). Sequence-explode + array-slice, all "
+    "JVM-side; output cardinality is ceil(n/stride) per doc — "
+    "predictable from token stats before running.",
+)
+def text_chunk_windows(spark, sf_dir):
+    from logvision_spark.operators.text import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), size=32, stride=24
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 

@@ -479,6 +479,12 @@ def connected_components(
     algorithms on Spark (GraphX Pregel does the same); at extreme scale
     swap in the large-star/small-star variant, which cuts rounds to
     O(log n) on high-diameter graphs.
+
+    The loop iterates ONLY over edge-touched nodes: nodes in no pair can
+    never change label, so they join back as self-labeled singletons in
+    one final anti-join — on a near-dup graph the iterated subgraph is
+    orders of magnitude smaller than the corpus (dup pairs are rare),
+    which is exactly the asymmetry a 100 TB corpus has.
     """
     edges = pairs.select(
         F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")
@@ -486,8 +492,9 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    touched = edges.select(F.col("src").alias("id")).distinct()
+    labels = touched.select(
+        "id", F.col("id").alias("label")
     ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         neigh = (
@@ -515,7 +522,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    singletons = ids.select(F.col(id_col).alias("id")).join(
+        touched, "id", "left_anti"
+    ).select("id", F.col("id").alias("label"))
+    return labels.unionByName(singletons).select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
 
 
 def cross_corpus_overlap(

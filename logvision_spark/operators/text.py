@@ -188,3 +188,39 @@ def pack_token_bins(
         "n_tok",
         F.floor(prior / F.lit(budget)).cast("long").alias("bin_in_shard"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the embed/RAG pipeline step
+    that turns documents into model-sized pieces. A chunk starts every
+    `stride` tokens (so consecutive chunks overlap by size-stride);
+    tail chunks are shorter. Pure explode of a start-position sequence +
+    array slice: JVM-side, one shuffle-free projection then explode, and
+    chunk counts per doc are ceil(n/stride) so output size is predictable
+    from token stats. Emits (id, chunk_id, n_tokens, chunk_text)."""
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    ).select(
+        id_col, "_toks", F.size("_toks").alias("_n")
+    )
+    exploded = staged.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+        ).alias("_s"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_s") + 1, F.lit(size))
+    return exploded.select(
+        id_col,
+        (F.col("_s") / stride).cast("long").alias("chunk_id"),
+        F.least(F.lit(size), F.col("_n") - F.col("_s")).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -70,3 +70,79 @@ def visit_tracker(parsed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-stateful-v2): typed, composable
+# per-key state primitives (ValueState/ListState/MapState + timers) behind
+# a StatefulProcessor class — the successor to applyInPandasWithState's
+# single opaque state tuple. Requires the RocksDB state store provider.
+# ---------------------------------------------------------------------------
+
+USER_TOTALS_SCHEMA = "user_id LONG, n_events LONG, value_cents LONG"
+
+
+def _user_totals_processor():
+    """Running per-user totals as a StatefulProcessor: one ValueState row
+    per key accumulates (count, integer cents) across micro-batches and
+    emits the updated totals each trigger. Cents arrive pre-rounded from
+    the JVM side so the Python sum is integer-exact (no FP order
+    sensitivity across batch boundaries)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events LONG, value_cents LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() or (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTotals()
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-cents) totals via
+    ``transformWithStateInPandas`` — the Spark 4 stateful-v2 template:
+    named typed state slots per key (vs applyInPandasWithState's one
+    tuple), per-key timers available for TTL/eviction, RocksDB-backed so
+    state scales past executor memory. Update-mode emission: one row per
+    key per trigger it appears in."""
+    from pyspark.sql import functions as F
+
+    staged = events.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return staged.groupBy("user_id").transformWithStateInPandas(
+        _user_totals_processor(),
+        outputStructType=USER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs `google.protobuf` for its state
+    server protocol (not bundled with pyspark); absent in minimal
+    installs, in which case callers fall back to
+    ``applyInPandasWithState`` (visit_tracker above)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

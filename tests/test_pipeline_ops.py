@@ -85,3 +85,57 @@ def test_gap_fill_spine_is_dense(spark, sf_dir):
     filled = out[out["gap_filled"]]
     assert (filled["cnt"] == 0).all()
     assert len(filled) > 0  # the fixture really has gaps
+
+
+def test_chunk_windows_reconstruction(spark):
+    """Chunks must tile the document: stride-aligned starts, overlap of
+    size-stride tokens between consecutive chunks, and concatenating the
+    non-overlapping prefixes reconstructs the original text."""
+    from logvision_spark.operators.text import chunk_windows
+
+    text = " ".join(f"w{i}" for i in range(70))  # 70 tokens → starts 0,24,48
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "x")], ["doc_id", "text"])
+    rows = chunk_windows(df, size=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    c1 = by_doc[1]
+    assert sorted(c1) == [0, 1, 2]
+    assert c1[0]["n_tokens"] == 32 and c1[1]["n_tokens"] == 32
+    assert c1[2]["n_tokens"] == 70 - 48
+    # overlap: last 8 tokens of chunk k = first 8 of chunk k+1
+    assert c1[0]["chunk_text"].split()[24:] == c1[1]["chunk_text"].split()[:8]
+    # reconstruction from stride-prefixes + final tail
+    recon = (
+        c1[0]["chunk_text"].split()[:24]
+        + c1[1]["chunk_text"].split()[:24]
+        + c1[2]["chunk_text"].split()
+    )
+    assert " ".join(recon) == text
+    # short docs: single chunk, full text
+    assert by_doc[2][0]["chunk_text"] == "a b" and by_doc[2][0]["n_tokens"] == 2
+    assert by_doc[3][0]["chunk_text"] == "x"
+
+
+def test_latest_event_ts_tie_broken_by_id(spark):
+    """Two events on the same timestamp must resolve to the higher
+    event_id on every engine — the tie-break the oracle encodes."""
+    from pyspark.sql import functions as F
+
+    from logvision_spark.catalog import CATALOG  # noqa: F401  (shape parity)
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "a"), (2, "2024-01-01 10:00:00", 7, "b"),
+         (3, "2024-01-01 09:00:00", 7, "c")],
+        ["event_id", "ts", "user_id", "event_type"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    order = F.concat_ws(
+        "|",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    got = df.groupBy("user_id").agg(
+        F.max_by("event_id", order).alias("last_id"),
+        F.max_by("event_type", order).alias("last_type"),
+    ).collect()[0]
+    assert got["last_id"] == 2 and got["last_type"] == "b"

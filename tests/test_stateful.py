@@ -58,3 +58,64 @@ def test_visit_tracker_accumulates_across_batches(spark, tmp_path):
     )
     expected = {r["host"]: (r["v"], r["b"]) for r in batch.collect()}
     assert last == expected
+
+
+def test_transform_with_state_user_totals(spark, sf_dir):
+    """Stateful-v2 (transformWithStateInPandas): per-user ValueState
+    totals under AvailableNow must equal the batch groupBy exactly.
+    Environment-gated: the API's state protocol needs google.protobuf."""
+    import pytest
+
+    from logvision_spark.streaming.stateful import tws_available, user_totals_tws
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed; stateful-v2 unavailable")
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from logvision_spark.sources.readers import load_table
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = user_totals_tws(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"], r["value_cents"])
+        for r in spark.table("tws_totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("value_cents").alias("value_cents"))
+        .collect()
+    }
+    exp = {
+        (r["user_id"], r["n"], r["c"])
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == exp
