@@ -3401,6 +3401,70 @@ def text_chunk_windows(spark, sf_dir):
     )
 
 
+@register(
+    "j_salted_skew_join",
+    oracle="""
+SELECT e.event_id, e.user_id, n.n_name
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+WHERE e.event_type = 'purchase'
+""",
+    doc="Skew-safe salted join (operators/skew.salted_skew_join), "
+    "driver-checked to be row-identical to the plain join: the big side "
+    "salts each row into one of 8 buckets deterministically "
+    "(pmod(xxhash64(row), 8)), the dimension replicates once per salt, "
+    "and the join key becomes (key, salt) — a Zipf-hot key spreads over "
+    "8 reducers instead of pinning one. The manual fallback for when "
+    "AQE's runtime skew split can't apply; correctness must not depend "
+    "on which path runs.",
+)
+def j_salted_skew_join(spark, sf_dir):
+    from logvision_spark.operators.skew import salted_skew_join
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.pmod(F.col("user_id"), F.lit(25)).alias("nkey"),
+        )
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"), "n_name"
+    )
+    return salted_skew_join(ev, nat, key="nkey", salt_buckets=8).select(
+        "event_id", "user_id", "n_name"
+    )
+
+
+@register(
+    "layout_zorder_key",
+    oracle="""
+SELECT event_id,
+       CAST(list_sum(list_transform(range(0, 16),
+         i -> ((((user_id % 65536) >> i) & 1) << (2*i))
+            + ((((CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 65536) >> i) & 1)
+               << (2*i+1))
+       )) AS BIGINT) AS zkey
+FROM events
+""",
+    doc="Z-order (Morton) layout key (sources/writers.zorder_key): "
+    "interleave user_id and epoch-second low bits so range-partitioning "
+    "by the key gives BOTH columns per-file min/max locality — the "
+    "data-skipping layout a 100 TB table applies once at ingest "
+    "(write_zordered) so later point/range filters on either dimension "
+    "prune whole files. Key computed as 32 static shift/mask terms, "
+    "integer-exact on both engines.",
+)
+def layout_zorder_key(spark, sf_dir):
+    from logvision_spark.sources.writers import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("user_id"), F.lit(65536))
+    b = F.pmod(F.unix_timestamp(F.date_trunc("second", F.col("ts"))), F.lit(65536))
+    return ev.select("event_id", zorder_key(a, b, bits=16).alias("zkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 

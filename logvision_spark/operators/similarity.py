@@ -371,21 +371,33 @@ def int8_quantization_report(
     quantize to code 0 with zero error.
 
     Pure JVM higher-order functions over the array column — one
-    projection pass, no shuffle, no Python."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mn = F.array_min(v)
-    mx = F.array_max(v)
-    rng = mx - mn
-    code = lambda x: F.floor((x - mn) * F.lit(255.0) / rng)  # noqa: E731
+    projection pass, no shuffle, no Python. min/max/range are STAGED as
+    real columns before the error fold: interpreted HOF lambdas get no
+    subexpression elimination, so an inline array_min re-walks the
+    array once per element (measured ~4x slower at sf0.1)."""
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select(
+        id_col,
+        "_v",
+        F.array_min("_v").alias("_mn"),
+        F.array_max("_v").alias("_mx"),
+    ).select(
+        id_col, "_v", "_mn", "_mx", (F.col("_mx") - F.col("_mn")).alias("_rng")
+    )
+    mn, rng = F.col("_mn"), F.col("_rng")
     err = F.aggregate(
-        v,
+        F.col("_v"),
         F.lit(0.0),
         lambda acc, x: acc
-        + F.abs(x - (mn + code(x) * rng / F.lit(255.0))),
-    ) / F.size(v)
-    return df.select(
+        + F.abs(
+            x - (mn + F.floor((x - mn) * F.lit(255.0) / rng) * rng / F.lit(255.0))
+        ),
+    ) / F.size("_v")
+    return staged.select(
         F.col(id_col),
         F.round(mn, 6).alias("vmin"),
-        F.round(mx, 6).alias("vmax"),
+        F.round(F.col("_mx"), 6).alias("vmax"),
         F.when(rng > 0, F.round(err, 6)).otherwise(F.lit(0.0)).alias("mae"),
     )

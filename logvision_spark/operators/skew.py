@@ -66,3 +66,36 @@ def salted_agg(
     return partial.groupBy(key).agg(merge_col.alias(partial_alias)).withColumnRenamed(
         partial_alias, "merged"
     )
+
+
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Skew-safe equi-join by salting: the big (skewed) side gets a
+    deterministic per-row salt in [0, buckets), the small side is
+    replicated once per salt value, and the join runs on (key, salt) —
+    a hot key's rows now spread over `buckets` reducers instead of
+    pinning one. Result is row-identical to the plain join.
+
+    This is the MANUAL fallback: AQE's skew join (on in session.py)
+    handles sort-merge skew at runtime and should be preferred; salting
+    is for when the engine can't help — e.g. a skewed key feeding a
+    subsequent aggregation that must stay co-partitioned, or an engine
+    boundary where AQE is off. The salt is pmod(xxhash64(whole row
+    surrogate), buckets) — deterministic, so retries/speculative tasks
+    agree. Replication multiplies the small side by `buckets`: keep it
+    for genuinely small dims."""
+    salted_big = big.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias(salt_col)
+    replicated = small.select("*", salts)
+    out = salted_big.join(replicated, on=[key, salt_col], how="inner")
+    return out.drop(salt_col)

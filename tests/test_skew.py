@@ -66,3 +66,25 @@ def test_salted_sum_equals_naive(spark):
         for r in salted_agg(df, "key", F.sum("num"), F.sum("_partial")).collect()
     }
     assert salted == naive
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """The salted form must be row-identical to the plain join, including
+    duplicate join matches (every big-side row keeps exactly its one
+    dimension match)."""
+    from pyspark.sql import functions as F
+
+    from logvision_spark.operators.skew import salted_skew_join
+    from logvision_spark.sources.readers import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", F.pmod(F.col("user_id"), F.lit(25)).alias("nkey")
+    )
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("nkey"), "n_name"
+    )
+    salted = {(r["event_id"], r["n_name"])
+              for r in salted_skew_join(ev, nat, key="nkey").collect()}
+    plain = {(r["event_id"], r["n_name"])
+             for r in ev.join(nat, "nkey").collect()}
+    assert salted == plain and len(salted) == ev.count()
