@@ -3465,6 +3465,240 @@ def layout_zorder_key(spark, sf_dir):
     return ev.select("event_id", zorder_key(a, b, bits=16).alias("zkey"))
 
 
+@register(
+    "profile_columns",
+    oracle="""
+SELECT col, null_cnt, distinct_cnt FROM (
+  SELECT 'user_id' AS col,
+         CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS null_cnt,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_cnt FROM events
+  UNION ALL
+  SELECT 'event_type', CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+         CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value', CAST(count(*) FILTER (value IS NULL) AS BIGINT),
+         CAST(count(DISTINCT value) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'props', CAST(count(*) FILTER (props IS NULL) AS BIGINT),
+         CAST(count(DISTINCT props) AS BIGINT) FROM events)
+""",
+    doc="Data profiling — the observability pass a pipeline runs before "
+    "trusting a new drop: per-column null and distinct counts in ONE "
+    "aggregation (Catalyst plans multi-column distinct via a single "
+    "Expand, not N rescans), unpivoted to (col, null_cnt, distinct_cnt) "
+    "rows. Exact distincts here for the oracle; at 100 TB swap in "
+    "approx_count_distinct per the distinct_count operator's escape "
+    "hatch.",
+)
+def profile_columns(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value", "props"]
+    agg = ev.agg(
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_{c}")
+            for c in cols
+        ],
+        *[F.countDistinct(F.col(c)).alias(f"d_{c}") for c in cols],
+    )
+    pairs = ", ".join(f"'{c}', n_{c}, d_{c}" for c in cols)
+    return agg.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (col, null_cnt, distinct_cnt)")
+    )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+SELECT rule, violations FROM (
+  SELECT 'value_non_negative' AS rule,
+         CAST(count(*) FILTER (value < 0) AS BIGINT) AS violations FROM events
+  UNION ALL
+  SELECT 'ts_not_null', CAST(count(*) FILTER (ts IS NULL) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'known_event_type', CAST(count(*) FILTER (event_type NOT IN
+    ('view','click','purchase','error','login')) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'user_nation_exists', CAST(count(*) AS BIGINT) FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM nation n
+                    WHERE n.n_nationkey = e.user_id % 25))
+""",
+    doc="Data-quality expectations — declarative constraint validation "
+    "(value ranges, non-null, domain membership, referential integrity) "
+    "evaluated as violation COUNTS per rule: the in-row rules fold into "
+    "one conditional-aggregation scan; the referential rule is one "
+    "anti-join against the dimension (broadcast-size here; at scale the "
+    "anti-join shuffles on the key like any join). The gate a pipeline "
+    "runs per batch before publishing.",
+)
+def dq_expectations(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    known = ["view", "click", "purchase", "error", "login"]
+    row_rules = ev.agg(
+        F.count(F.when(F.col("value") < 0, 1)).alias("value_non_negative"),
+        F.count(F.when(F.col("ts").isNull(), 1)).alias("ts_not_null"),
+        F.count(F.when(~F.col("event_type").isin(known), 1)).alias(
+            "known_event_type"
+        ),
+    ).select(
+        F.expr(
+            "stack(3, 'value_non_negative', value_non_negative, "
+            "'ts_not_null', ts_not_null, "
+            "'known_event_type', known_event_type) AS (rule, violations)"
+        )
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey")
+    )
+    orphans = (
+        ev.select(F.pmod(F.col("user_id"), F.lit(25)).alias("nkey"))
+        .join(nat, "nkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("user_nation_exists").alias("rule"), "violations")
+    )
+    return row_rules.unionByName(orphans)
+
+
+@register(
+    "stream_j_static_enrich",
+    oracle="""
+SELECT e.event_id, n.n_name
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+WHERE e.event_type = 'purchase'
+""",
+    doc="STREAM-STATIC enrichment join, batch-verified: the live event "
+    "stream joins a static dimension snapshot (re-read per micro-batch, "
+    "broadcast under the threshold) — the standard streaming enrichment "
+    "shape, stateless unlike stream-stream joins: no watermark, no join "
+    "state, so it costs a broadcast probe per batch at any scale.",
+)
+def stream_j_static_enrich(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    src = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id", F.pmod(F.col("user_id"), F.lit(25)).alias("nkey")
+        )
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"), "n_name"
+    )
+    joined = src.join(nat, "nkey").select("event_id", "n_name")
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "a_conversion_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT step, n FROM (
+  SELECT 's1_view' AS step, CAST(count(*) AS BIGINT) AS n FROM v
+  UNION ALL SELECT 's2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL SELECT 's3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
+""",
+    doc="ORDERED conversion funnel: users who viewed, then clicked "
+    "strictly after their first view, then purchased strictly after "
+    "that first qualifying click — the event-sequence analysis a plain "
+    "groupBy can't express (order matters, not just presence). Each "
+    "stage is a keyed min-aggregation joined to the previous stage's "
+    "anchor time: per-user rows stay on their reducer across stages "
+    "(same join key), so the funnel costs one scan plus two "
+    "co-partitioned joins at any scale.",
+)
+def a_conversion_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        v.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("s1_view").alias("step"), "n"
+        ),
+        c.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("s2_click_after_view").alias("step"), "n"
+        ),
+        p.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("s3_purchase_after_click").alias("step"), "n"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "a_weekly_retention",
+    oracle="""
+WITH uw AS (SELECT DISTINCT user_id,
+                   date_trunc('week', ts) AS wk FROM events),
+c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('week', c.cohort, uw.wk) AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2
+""",
+    doc="Cohort retention: users grouped by first-active week, counted "
+    "in each later week they return — the (cohort_week, week_offset, "
+    "n_users) triangle every activation dashboard draws. One distinct "
+    "pass to (user, week), a keyed min for the cohort anchor, and a "
+    "co-partitioned join back (same user_id key, no second shuffle of "
+    "the big side); Monday-anchored weeks on both engines.",
+)
+def a_weekly_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    c = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        uw.join(c, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.col("wk"), F.col("cohort")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 
