@@ -3699,6 +3699,105 @@ def a_weekly_retention(spark, sf_dir):
     )
 
 
+@register(
+    "a_value_decile_histogram",
+    oracle="""
+WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+           FROM events),
+e AS (SELECT value, q FROM events, b)
+SELECT bucket_id, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT CASE
+    WHEN value <= q[1] THEN 0 WHEN value <= q[2] THEN 1
+    WHEN value <= q[3] THEN 2 WHEN value <= q[4] THEN 3
+    WHEN value <= q[5] THEN 4 WHEN value <= q[6] THEN 5
+    WHEN value <= q[7] THEN 6 WHEN value <= q[8] THEN 7
+    WHEN value <= q[9] THEN 8 ELSE 9 END AS bucket_id
+  FROM e)
+GROUP BY bucket_id
+""",
+    doc="Equi-depth decile histogram of `value`: exact interpolated "
+    "decile boundaries (one aggregation), then one conditional-bucket "
+    "counting pass — NOT a global ntile window, which would sort the "
+    "whole table on one task at scale. The boundaries row is a 1-row "
+    "cross join (broadcast for free); at 100 TB swap the exact "
+    "percentile for approx_percentile and keep the same two-pass "
+    "shape.",
+)
+def a_value_decile_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    qs = [i / 10 for i in range(1, 10)]
+    b = ev.agg(
+        F.expr(
+            "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("q")
+    )
+    e = ev.select("value").crossJoin(b)
+    bucket = F.lit(9)
+    for i in range(len(qs) - 1, -1, -1):
+        bucket = F.when(
+            F.col("value") <= F.col("q")[i], F.lit(i)
+        ).otherwise(bucket)
+    return (
+        e.select(bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "sketch_freq_items",
+    oracle="""
+WITH t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS frac
+           FROM events GROUP BY event_type)
+SELECT event_type, cnt, TRUE AS in_sketch FROM t WHERE frac > 0.05
+""",
+    doc="Frequent-items sketch as a driver-checked GUARANTEE: "
+    "df.stat.freqItems (Karp-Papadimitriou-Shenker streaming counters, "
+    "mergeable partials, bounded memory) must contain every item whose "
+    "true frequency exceeds the support — the sketch's one hard "
+    "promise, which holds REGARDLESS of partitioning even though the "
+    "sketch's false-positive extras don't. The query returns the exact "
+    "frequent set with its per-item membership flag, so any missed item "
+    "fails the hash compare.",
+)
+def sketch_freq_items(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    items = ev.stat.freqItems(["event_type"], support=0.05).collect()[0][0]
+    total = ev.count()
+    t = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return t.where(F.col("cnt") / F.lit(float(total)) > 0.05).select(
+        "event_type",
+        "cnt",
+        F.col("event_type").isin([str(i) for i in items]).alias("in_sketch"),
+    )
+
+
+@register(
+    "privacy_pseudonymize",
+    oracle="""
+SELECT sha256('pepper:' || CAST(user_id AS VARCHAR)) AS pseudonym,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""",
+    doc="Pseudonymization for privacy-preserving analytics: user ids "
+    "replaced by a peppered SHA-256 digest — deterministic (joins and "
+    "counts still work on the pseudonym) but not reversible without the "
+    "pepper. Counts per pseudonym must equal counts per raw id, and the "
+    "digest must agree byte-for-byte across engines. Pure JVM hash in "
+    "the projection; the pepper would come from a secret store, never "
+    "the query text, in production.",
+)
+def privacy_pseudonymize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pseud = F.sha2(
+        F.concat(F.lit("pepper:"), F.col("user_id").cast("string")), 256
+    )
+    return ev.groupBy(pseud.alias("pseudonym")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 
