@@ -3798,6 +3798,64 @@ def privacy_pseudonymize(spark, sf_dir):
     )
 
 
+@register(
+    "stream_w_append_finalized",
+    oracle="""
+WITH m AS (SELECT epoch(max(ts)) - 86400 AS cut FROM events),
+w AS (SELECT CAST(floor(epoch(ts)/600) AS BIGINT)*600 AS ws FROM events)
+SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S.%f') AS win_start,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM w, m
+GROUP BY ws, m.cut
+HAVING ws + 600 <= m.cut
+""",
+    doc="APPEND-mode windowed aggregation, batch-verified: with append "
+    "output a window emits exactly once, only after the watermark "
+    "closes it — the write-once contract downstream exactly-once sinks "
+    "rely on (update mode re-emits, append never does). Verified on "
+    "windows provably closed (window end ≤ max ts - 1 day, far past "
+    "the 10-min delay): the emitted set must equal the batch bucketing "
+    "of those windows exactly.",
+)
+def stream_w_append_finalized(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("c"))
+        .first()["c"]
+    )
+    src = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    win = (
+        src.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "cnt",
+        )
+    )
+    name = f"stream_append_{uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .where(F.col("we") <= F.lit(cutoff))
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("win_start"),
+            "cnt",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 

@@ -228,3 +228,38 @@ def test_funnel_is_single_scan_single_aggregate(spark, sf_dir):
 
     plan = explain_str(CATALOG["corpus_quality_funnel"].builder(spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+def test_analytics_queries_stay_jvm_side(feats):
+    for name in (
+        "a_conversion_funnel",
+        "a_weekly_retention",
+        "a_value_decile_histogram",
+        "privacy_pseudonymize",
+        "profile_columns",
+        "dq_expectations",
+        "a_latest_event_per_user",
+        "layout_zorder_key",
+        "j_salted_skew_join",
+    ):
+        assert not feats(name).python_eval, f"{name} fell off codegen into Python"
+
+
+def test_profile_uses_expand_not_rescans(spark, sf_dir):
+    """Multi-column distinct profiling must plan as ONE scan + Expand,
+    not one scan per column."""
+    from logvision_spark.plans.checks import explain_str
+
+    plan = explain_str(CATALOG["profile_columns"].builder(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+    assert "Expand" in plan
+
+
+def test_latest_event_is_single_aggregation_no_window(spark, sf_dir):
+    """CDC compaction must plan as hash aggregation (max_by with partial
+    combine), never a row_number window over a global sort."""
+    from logvision_spark.plans.checks import explain_str
+
+    plan = explain_str(CATALOG["a_latest_event_per_user"].builder(spark, sf_dir))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
