@@ -3856,6 +3856,37 @@ def stream_w_append_finalized(spark, sf_dir):
     )
 
 
+@register(
+    "mm_partition_packing",
+    oracle="""
+WITH s AS (SELECT doc_id AS asset_id, doc_id % 8 AS shard,
+                  CAST(length(text) AS BIGINT) AS n_bytes
+           FROM documents)
+SELECT asset_id, shard, n_bytes,
+       CAST(floor(coalesce(sum(n_bytes) OVER (PARTITION BY shard
+              ORDER BY asset_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 4096.0) AS BIGINT) AS bin_in_shard
+FROM s
+""",
+    doc="Multimodal payload packing "
+    "(operators/multimodal.pack_assets_by_bytes): opaque assets "
+    "assigned to ~4 KB byte-budget bins by per-shard exclusive prefix "
+    "sums — repartitioning by (shard, bin) then bounds every "
+    "mapInPandas decode batch's memory footprint regardless of asset "
+    "size skew. Text length stands in for payload bytes in the "
+    "fixture; integer-exact on both engines.",
+)
+def mm_partition_packing(spark, sf_dir):
+    from logvision_spark.operators.multimodal import pack_assets_by_bytes
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.length("text").alias("n_bytes"),
+    )
+    return pack_assets_by_bytes(d, budget=4096, num_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.builder for name, e in CATALOG.items()}
 

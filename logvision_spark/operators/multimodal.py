@@ -193,3 +193,39 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     from logvision_spark.schemas import MEDIA_SCHEMA
 
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def pack_assets_by_bytes(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    weight_col: str = "n_bytes",
+    budget: int = 4096,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Assign opaque assets to byte-budget bins — the partition-sizing
+    step for payload-bearing tables (`right_size_partitions`' static
+    sibling): within pmod(id, shards) shards, assets are taken in id
+    order and bin = floor(exclusive_prefix_sum(bytes) / budget), so each
+    bin holds ~budget bytes and a downstream repartition("shard","bin")
+    gives mapInPandas batches a bounded memory footprint. Same
+    per-shard-window shape as text.pack_token_bins: never a global
+    ordered window."""
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("_w"),
+        F.pmod(F.col(id_col), F.lit(num_shards)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("_w").over(w), F.lit(0))
+    return staged.select(
+        id_col,
+        "shard",
+        F.col("_w").alias(weight_col),
+        F.floor(prior / F.lit(budget)).cast("long").alias("bin_in_shard"),
+    )
