@@ -56,16 +56,25 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized across the Arrow batch: pandas' bytes accessor gives
+        # C-looped len/first/last-byte; same arithmetic as _fake_decode
+        # (kept above as the single-asset reference / real-codec swap point)
         for pdf in batches:
-            out = []
-            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    w, h, c = _fake_decode(payload)
-                    out.append((asset_id, w, h, c, True))
-                except Exception:
-                    out.append((asset_id, None, None, None, False))
+            p = pdf["payload"]
+            n = p.str.len()
+            ok = n.notna() & (n > 0)
+            first = p.str[0]
+            last = p.str[-1]
             yield pd.DataFrame(
-                out, columns=["asset_id", "width", "height", "channels", "decode_ok"]
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "width": (16 + first % 64).where(ok).astype("Int32"),
+                    "height": (16 + last % 64).where(ok).astype("Int32"),
+                    "channels": pd.Series(3, index=pdf.index, dtype="Int32").where(
+                        ok, pd.NA
+                    ),
+                    "decode_ok": ok.to_numpy(dtype=bool),
+                }
             )
 
     narrow = df.select("asset_id", "payload")
@@ -79,14 +88,26 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     contract (explode-by-duration) is the part Spark cares about."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized 1:N expansion: frame counts per asset → np.repeat ids,
+        # per-asset frame index via a cumulative-offset subtraction
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for asset_id, dur in zip(pdf["asset_id"], pdf["duration_ms"]):
-                if dur is None or pd.isna(dur):
-                    continue
-                for i, ts in enumerate(range(0, int(dur), every_ms)):
-                    rows.append((asset_id, i, ts))
-            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_ts_ms"])
+            dur = pd.to_numeric(pdf["duration_ms"], errors="coerce")
+            keep = dur.notna().to_numpy()
+            ids = pdf["asset_id"].to_numpy()[keep]
+            d = dur.to_numpy(dtype="float64")[keep].astype("int64")
+            counts = np.maximum(0, (d + every_ms - 1) // every_ms)
+            total = int(counts.sum())
+            offsets = np.repeat(np.cumsum(counts) - counts, counts)
+            idx = np.arange(total, dtype="int64") - offsets
+            yield pd.DataFrame(
+                {
+                    "asset_id": np.repeat(ids, counts),
+                    "frame_idx": idx.astype("int32"),
+                    "frame_ts_ms": idx * every_ms,
+                }
+            )
 
     return df.select("asset_id", "duration_ms").mapInPandas(
         _sample, schema=FRAME_SAMPLE_SCHEMA
@@ -109,16 +130,25 @@ def extract_features(df: DataFrame, dim: int = 64, use_fake: bool = True) -> Dat
         )
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized across the batch: one concatenated byte buffer, a
+        # single scatter-add into the (rows × dim) histogram matrix, one
+        # row-normalize — no per-asset Python in the hot loop
         import numpy as np
 
         for pdf in batches:
-            out = []
-            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-                hist = np.bincount(buf % dim, minlength=dim).astype("float32")
-                norm = float(np.linalg.norm(hist)) or 1.0
-                out.append((asset_id, (hist / norm).tolist()))
-            yield pd.DataFrame(out, columns=["asset_id", "feature"])
+            payloads = [p if p else b"\x00" for p in pdf["payload"]]
+            n = len(payloads)
+            lens = np.fromiter(map(len, payloads), dtype=np.int64, count=n)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            hist = np.zeros((n, dim), dtype=np.int64)
+            np.add.at(hist, (np.repeat(np.arange(n), lens), buf % dim), 1)
+            hist = hist.astype("float32")
+            norms = np.linalg.norm(hist, axis=1)
+            norms[norms == 0] = 1.0
+            feats = hist / norms.astype("float32")[:, None]
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"].to_numpy(), "feature": feats.tolist()}
+            )
 
     return df.select("asset_id", "payload").mapInPandas(_feat, schema=FEATURE_SCHEMA)
 
@@ -135,14 +165,29 @@ def resize_images(
     n_bytes = target_w * target_h
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized truncate-or-pad: scatter all clipped payload bytes
+        # into one zero-initialized (rows × n_bytes) matrix, then slice
+        # bytes back out per row (the only per-row step — bytes objects
+        # have to be materialized one per row regardless)
+        import numpy as np
+
         for pdf in batches:
-            out = []
-            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                p = (payload or b"")[:n_bytes]
-                p = p + b"\x00" * (n_bytes - len(p))
-                out.append((asset_id, target_w, target_h, p))
+            clipped = [(p or b"")[:n_bytes] for p in pdf["payload"]]
+            n = len(clipped)
+            lens = np.fromiter(map(len, clipped), dtype=np.int64, count=n)
+            mat = np.zeros((n, n_bytes), dtype=np.uint8)
+            if n and lens.sum():
+                buf = np.frombuffer(b"".join(clipped), dtype=np.uint8)
+                rows = np.repeat(np.arange(n), lens)
+                cols = np.arange(len(buf)) - np.repeat(np.cumsum(lens) - lens, lens)
+                mat[rows, cols] = buf
             yield pd.DataFrame(
-                out, columns=["asset_id", "width", "height", "payload"]
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "width": np.full(n, target_w, dtype="int32"),
+                    "height": np.full(n, target_h, dtype="int32"),
+                    "payload": [r.tobytes() for r in mat],
+                }
             )
 
     return df.select("asset_id", "payload").mapInPandas(_resize, schema=RESIZE_SCHEMA)
