@@ -28,11 +28,18 @@ from logvision_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read them as raw
-# nanos via the legacy long fallback and truncate to micros — matching
-# DuckDB, which also truncates (not rounds) nanos → micros.
-NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Event-time columns whose parquet physical type has varied across
+# testdata generations: TIMESTAMP(NANOS) (rounds 1-2), which Spark's
+# vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]) and we read
+# as raw nanos via the legacy long fallback, truncating to micros exactly
+# like DuckDB does; or TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 3+),
+# which Spark reads as TIMESTAMP_NTZ. Both normalize to the session-zone
+# TIMESTAMP type so every downstream operator and oracle sees one type:
+# NTZ → LTZ is a wall-clock-preserving round trip (collect renders it back
+# in the same session zone), and epoch-based math on it matches the naive
+# DuckDB reading whenever the session runs UTC (session.py pins UTC; the
+# harness container is UTC for vanilla sessions).
+EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
@@ -40,10 +47,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or DEFAULT_SF_DIR
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in NANOS_TS_COLS.get(name, ()):
+    for c in EVENT_TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer DIV 1000 truncates — same as DuckDB's nanos→micros
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

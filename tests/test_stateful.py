@@ -81,16 +81,9 @@ def test_transform_with_state_user_totals(spark, sf_dir):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from logvision_spark.catalog import _events_stream
+
+    src = _events_stream(spark, sf_dir)
     out = user_totals_tws(src)
     q = (
         out.writeStream.format("memory")
