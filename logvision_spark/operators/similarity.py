@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -321,10 +321,10 @@ def ivf_topk(
     cells. Returns exact cosine over the probed subset.
 
     Driver-side work is deliberately tiny and bounded: the ≤`n_cells`
-    centroids plus ONE query vector (`first()`). For a query batch,
-    compute cell assignments for the whole batch as a DataFrame
-    (broadcast the centroid table, argmax via greatest/struct) and join
-    on cell — don't loop this single-query form.
+    centroids plus ONE query vector (`first()`). For a query batch use
+    `ivf_topk_batch` — broadcast-centroid probe selection + equi-join
+    on cell, fully distributed — instead of looping this single-query
+    form.
 
     Pass a pre-fitted ``model`` (`fit_ivf`) to skip the per-call KMeans
     fit — at scale the quantizer is trained once offline and shared by
@@ -354,6 +354,81 @@ def ivf_topk(
         cand.select(F.col(id_col), score.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "qe",
+    seed: int = 42,
+    model=None,
+) -> DataFrame:
+    """IVF-flat ANN for a query BATCH — the production serving shape
+    `ivf_topk`'s docstring promises: no per-query driver loop, no
+    `.first()`; the whole batch stays distributed end to end.
+
+    Plan: (1) base vectors get their cell from the coarse quantizer
+    (precomputed columns at scale — here `model.transform`, consistent
+    with the single-query path); (2) the ≤`n_cells` centroids — driver-
+    side by construction, the quantizer IS tiny — become a broadcast
+    table, and each query picks its `n_probe` nearest cells via a
+    per-query window rank over the broadcast crossJoin (queries ×
+    centroids is |Q|·n_cells rows, trivially small); (3) candidates =
+    equi-join of assigned vectors to (query, cell) probe pairs on
+    `cell`, so each query scans only its probed cells; (4) exact cosine
+    re-rank per query via row_number ≤ k.
+
+    One corpus pass serves the whole batch; candidate volume is
+    Σ_q Σ_probed-cells |cell|. Returns (q_id, id, cos_sim).
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    )
+    if model is None:
+        model = fit_ivf(df, n_cells=n_cells, seed=seed, vec_col=vec_col)
+    assigned = model.transform(vecs).drop("_v")
+
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    qw = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_qc_cos"), F.asc("cell")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            "cell",
+            cosine(F.col(query_vec_col), F.col("centroid")).alias("_qc_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(qw))
+        .where(F.col("_rn") <= n_probe)
+        .select(query_id_col, "cell")
+    )
+
+    cand = assigned.join(probes, "cell").join(
+        F.broadcast(queries), query_id_col
+    )
+    score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    rw = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        cand.select(F.col(query_id_col), F.col(id_col), score.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(rw))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

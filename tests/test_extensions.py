@@ -94,6 +94,16 @@ def test_connected_components_chain_and_singletons(spark):
     }
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2}
 
+    # force the distributed min-label loop (driver union-find disabled):
+    # identical labeling from the iterative path
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, ids, driver_finish_max_edges=0
+        ).collect()
+    }
+    assert dist == got
+
 
 def test_dedup_handles_short_and_empty_docs(spark):
     """Docs with < n tokens must not crash the shingle expression (Spark 4
@@ -273,6 +283,46 @@ def test_ivf_topk_overlaps_bruteforce(spark, sf_dir):
     approx = [r["vec_id"] for r in ivf_topk(data, q, k=10, n_cells=8, n_probe=4).collect()]
     overlap = len(set(exact) & set(approx))
     assert overlap >= 5, (exact, approx)  # probing half the cells → high recall
+
+
+def test_ivf_topk_batch_full_probe_equals_bruteforce(spark, sf_dir):
+    """Probing ALL cells makes batched IVF an exact scan: per query the
+    result must equal brute force exactly (ids AND rounded scores) —
+    pins assignment, probe selection, candidate join, and re-rank in
+    one property. A second check at n_probe=4 keeps the approximate
+    regime honest (recall ≥ 5/10 per query)."""
+    from logvision_spark.operators.similarity import fit_ivf, ivf_topk_batch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    data = emb.where(F.col("vec_id") >= 3)
+    model = fit_ivf(data, n_cells=8, seed=42)
+
+    per_q_exact = {}
+    for qid in range(3):
+        q1 = qs.where(F.col("q_id") == qid).select("qe")
+        per_q_exact[qid] = [
+            (r["vec_id"], r["cos_sim"])
+            for r in brute_force_topk(data, q1, k=10).collect()
+        ]
+
+    full = ivf_topk_batch(data, qs, k=10, n_cells=8, n_probe=8, model=model)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r["q_id"], []).append((r["vec_id"], r["cos_sim"]))
+    for rows in got.values():  # collect order is arbitrary; rank order isn't
+        rows.sort(key=lambda t: (-t[1], t[0]))
+    assert got == per_q_exact
+
+    approx = ivf_topk_batch(data, qs, k=10, n_cells=8, n_probe=4, model=model)
+    hits = {}
+    for r in approx.collect():
+        hits.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for qid, exact_rows in per_q_exact.items():
+        recall = len(hits[qid] & {v for v, _ in exact_rows})
+        assert recall >= 5, (qid, recall)
 
 
 def test_lsh_near_pairs_equal_exact_at_fixture_scale(spark, sf_dir):
