@@ -5,9 +5,16 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing counts full query execution (build + execute + fetch results to the
-driver via collect) per query, after a warm-up that triggers JVM/codegen
-warm paths on a trivial action.
+Each measurement set runs in its OWN JVM (a subprocess per set): the
+r1-comparable core number must not absorb GC/page-cache state left by the
+new-query set, and parse throughput is measured first in a JVM that has
+run nothing else — the r2 parse number moved −46% on byte-identical code
+purely from cross-set JVM state, which is exactly the contamination this
+isolates away.
+
+Timing counts full query execution (build + execute + fetch results to
+the driver via collect) per query, min of 2 runs after a warm-up that
+triggers JVM/codegen warm paths on a trivial action.
 """
 
 from __future__ import annotations
@@ -15,74 +22,73 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
+# Headline set: the flagship + the shapes that stress scan, shuffle agg,
+# broadcast + shuffle joins, top-k, text array ops, similarity search.
+# FROZEN since r1 — comparable across rounds and vs BASELINE.
+CORE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q18_large_orders",
+    "a3_count_by_user",
+    "a6_count_by_second",
+    "k2_top14_users",
+    "j2_timeline_full_outer",
+    "j3_region_enrich",
+    "j4_anti_join",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_minhash_fast",
+    "text_quality",
+    "text_lang_id",
+    "sim_top10_vec0",
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+# Round-2+ additions, timed separately so regressions are attributable:
+# "value" stays the ORIGINAL headline total (comparable across rounds /
+# vs BASELINE); the new set gets its own subtotal.
+NEW = [
+    "a11_value_sum_faithful",
+    "a12_class_counts",
+    "a13_class_timeline",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q21_waiting_suppliers",
+    "text_term_doc_freq",
+    "dedup_simhash",
+    "dedup_drop_list",
+    "dedup_clusters",
+    "j8_range_join_incidents",
+    "j6_asof_nearest",
+    "a3_count_by_user_salted",
+    "mm_feature_stats",
+    "text_tfidf_top_terms",
+    "corpus_quality_funnel",
+    "decontam_ngram_overlap",
+    "emb_int8_quantize",
+    "a_user_trend_slope",
+    "text_chunk_windows",
+    "a_latest_event_per_user",
+    "ivf_topk_batch",
+]
 
+
+def _get_spark():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from logvision_spark import get_spark
-    from logvision_spark.catalog import CATALOG
 
     spark = get_spark("logvision-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    # Headline set: the flagship + the shapes that stress scan, shuffle agg,
-    # broadcast + shuffle joins, top-k, text array ops, similarity search.
-    headline = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_nation_revenue",
-        "q18_large_orders",
-        "a3_count_by_user",
-        "a6_count_by_second",
-        "k2_top14_users",
-        "j2_timeline_full_outer",
-        "j3_region_enrich",
-        "j4_anti_join",
-        "dedup_exact",
-        "dedup_minhash_sig",
-        "dedup_minhash_fast",
-        "text_quality",
-        "text_lang_id",
-        "sim_top10_vec0",
-    ]
-    headline = [q for q in headline if q in CATALOG]
 
-    # Round-2 additions, timed separately so regressions are attributable:
-    # "value" stays the ORIGINAL headline total (comparable across rounds /
-    # vs BASELINE); the new set gets its own subtotal.
-    headline_new = [
-        "a11_value_sum_faithful",
-        "a12_class_counts",
-        "a13_class_timeline",
-        "q8_market_share",
-        "q13_order_distribution",
-        "q21_waiting_suppliers",
-        "text_term_doc_freq",
-        "dedup_simhash",
-        "dedup_drop_list",
-        "dedup_clusters",
-        "j8_range_join_incidents",
-        "j6_asof_nearest",
-        "a3_count_by_user_salted",
-        "mm_feature_stats",
-        "text_tfidf_top_terms",
-        "corpus_quality_funnel",
-        "decontam_ngram_overlap",
-        "emb_int8_quantize",
-        "a_user_trend_slope",
-        "text_chunk_windows",
-        "a_latest_event_per_user",
-    ]
-    headline_new = [q for q in headline_new if q in CATALOG]
-
-    # Warm-up: JVM classloading, codegen compile paths (scan → hash agg →
-    # broadcast join → sort) and parquet footer reads, off the clock.
+def _warm_up(spark, sf_dir: str) -> None:
+    # JVM classloading, codegen compile paths (scan → hash agg → broadcast
+    # join → sort) and parquet footer reads, off the clock
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000)
@@ -95,47 +101,30 @@ def main() -> None:
         .collect()
     )
 
+
+def _time_set(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     # min of 2 runs per query: the first execution of a plan pays one-time
     # codegen/classload costs (measured 0.8-4.5 s) that say nothing about
     # engine throughput; the min reflects steady state.
-    def time_set(names: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in names:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                CATALOG[name].builder(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 4)
-        return out
+    from logvision_spark.catalog import CATALOG
 
-    timings = time_set(headline)
-    timings_new = time_set(headline_new)
-
-    # Parse-pipeline throughput: synthesize combined-log lines once, then
-    # measure parse → per-host count end-to-end (the reference's hot path;
-    # its demo rate is 2.5 lines/s, streaming.scala + log_gen).
-    parse_rows_per_sec = _bench_parse_throughput(spark)
-
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {**timings, **timings_new},
-                "core_total": total,
-                "new_total": round(sum(timings_new.values()), 4),
-                "sf": sf,
-                "parse_rows_per_sec": parse_rows_per_sec,
-            }
-        )
-    )
-    spark.stop()
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in CATALOG:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            CATALOG[name].builder(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    return out
 
 
 def _bench_parse_throughput(spark, n_rows: int = 400_000) -> float:
+    # Parse-pipeline throughput: synthesize combined-log lines once, then
+    # measure parse → per-host count end-to-end (the reference's hot path;
+    # its demo rate is 2.5 lines/s, streaming.scala + log_gen).
     import tempfile
 
     from pyspark.sql import functions as F
@@ -153,11 +142,93 @@ def _bench_parse_throughput(spark, n_rows: int = 400_000) -> float:
             )
     lines = spark.read.text(d)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         parse_access_log(lines).where(F.col("parsed")).groupBy("host").count().count()
         best = min(best, time.perf_counter() - t0)
     return round(n_rows / best)
+
+
+def _run_child(which: str, sf_dir: str) -> None:
+    """Run one measurement set in this (fresh) JVM; print partial JSON."""
+    spark = _get_spark()
+    if which == "parse":
+        result = {"parse_rows_per_sec": _bench_parse_throughput(spark)}
+    else:
+        _warm_up(spark, sf_dir)
+        names = CORE if which == "core" else NEW
+        result = {"queries": _time_set(spark, sf_dir, names)}
+    print(json.dumps(result))
+    spark.stop()
+
+
+def _spawn(which: str, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--run", which],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1800,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"bench child '{which}' produced no JSON "
+        f"(rc={proc.returncode}): {proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    if "--run" in sys.argv:
+        _run_child(sys.argv[sys.argv.index("--run") + 1], sf_dir)
+        return
+
+    # parse first — in a JVM that has run nothing else — then core, then new
+    try:
+        parse = _spawn("parse", sf_dir)
+        core = _spawn("core", sf_dir)
+        new = _spawn("new", sf_dir)
+        timings = core["queries"]
+        timings_new = new["queries"]
+        parse_rows = parse["parse_rows_per_sec"]
+        isolated = True
+    except (RuntimeError, OSError, subprocess.TimeoutExpired) as exc:
+        # fallback: single-JVM in-process run (the r1/r2 behavior) so the
+        # driver always gets a number; flagged so the contamination caveat
+        # is visible in the JSON
+        print(f"bench: subprocess isolation failed ({exc}); "
+              "falling back to single-JVM", file=sys.stderr)
+        spark = _get_spark()
+        parse_rows = _bench_parse_throughput(spark)
+        _warm_up(spark, sf_dir)
+        timings = _time_set(spark, sf_dir, CORE)
+        timings_new = _time_set(spark, sf_dir, NEW)
+        spark.stop()
+        isolated = False
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {**timings, **timings_new},
+                "core_total": total,
+                "new_total": round(sum(timings_new.values()), 4),
+                "sf": sf,
+                "parse_rows_per_sec": parse_rows,
+                "isolated_jvms": isolated,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
