@@ -342,25 +342,27 @@ def near_dup_drop_list(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, n=n, fast=fast,
     )
+    # capped shingle sizes ride along as a count window (same single
+    # shuffle on id as a separate sizes aggregate, but no pair-side join
+    # exchanges afterwards — the ngram_jaccard_pairs layout)
     sh = capped_shingles(df, id_col, text_col, n, max_doc_freq)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a, b = sh.alias("a"), sh.alias("b")
     # verify ONLY candidate pairs: join candidates into the shingle match
     common = (
         cands.join(a, cands.doc_a == F.col("a.id"))
         .join(b, (cands.doc_b == F.col("b.id")) & (F.col("a.s") == F.col("b.s")))
-        .groupBy("doc_a", "doc_b")
+        .groupBy(
+            "doc_a",
+            "doc_b",
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    verified = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(
-            F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-            >= F.lit(threshold)
-        )
+    verified = common.where(
+        F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        >= F.lit(threshold)
     )
     return verified.select(F.col("doc_b").alias(id_col)).distinct()
 

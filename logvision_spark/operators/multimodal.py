@@ -17,6 +17,13 @@ Scale notes:
 - metadata-only transforms (filtering by mime/width, joining labels)
   must NOT touch the payload column — column pruning keeps the scan cheap;
   these helpers select narrow schemas explicitly.
+- batch bodies are numpy/pandas VECTOR ops (scatter-add histograms,
+  np.repeat expansions, C-looped bytes accessors), not per-row Python.
+  Measured floor at sf0.1 (5k docs, 1 partition): the parquet scan is
+  ~0.17 s and the fixed Arrow/Python-worker round trip ~0.18 s, so
+  wall time there reflects per-stage constants, not the batch body —
+  the vectorization matters at real asset counts, where the body is
+  the only term that scales.
 """
 
 from __future__ import annotations

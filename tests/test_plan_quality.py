@@ -172,6 +172,31 @@ def test_range_and_drop_list_queries_have_no_cross_join(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_ivf_batch_probe_joins_corpus_without_shuffle_or_python(spark, sf_dir):
+    """The batched IVF probe's only nested-loop join must be the bounded
+    queries × centroids crossJoin (≤ |Q|·n_cells rows); the corpus side
+    reaches candidates via broadcast-hash joins on cell/q_id — never a
+    sort-merge shuffle of the vectors, never a cartesian over the
+    corpus, and no Python in the plan."""
+    from pyspark.sql import functions as F
+
+    from logvision_spark.operators.similarity import fit_ivf, ivf_topk_batch
+    from logvision_spark.plans.checks import explain_str
+    from logvision_spark.sources.readers import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    base = emb.where(F.col("vec_id") >= 3)
+    model = fit_ivf(base, n_cells=8, seed=42)
+    plan = explain_str(ivf_topk_batch(base, qs, k=10, n_cells=8, model=model))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # queries × centroids
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_relational_queries_stay_jvm_side(feats):
     for name in (
         "q1_pricing_summary",
