@@ -619,13 +619,16 @@ def cross_corpus_overlap(
     only; anti-join the result against the corpus to clean it.
 
     Scale: both sides reduce to DISTINCT shingles before the join, so
-    the join carries shingle keys, not documents. A real eval set is
+    the join carries shingle keys, not documents. The corpus side is
+    already distinct per doc (`exploded_shingles` applies array_distinct
+    before the explode) — no extra shuffle to re-distinct it; only the
+    eval side needs a cross-doc DISTINCT. A real eval set is
     constant-size (thousands of docs), so its shingle side broadcasts —
     left to the autoBroadcastJoinThreshold / AQE rather than pinned,
     since THIS query's fixture eval set scales with SF. For an adversarially
     repetitive corpus, compose with the same `max_doc_freq` hot-shingle
     cap used by `ngram_jaccard_pairs`."""
-    c = exploded_shingles(corpus, id_col, text_col, n).distinct()
+    c = exploded_shingles(corpus, id_col, text_col, n)
     e = exploded_shingles(evalset, id_col, text_col, n).select("shingle").distinct()
     return (
         c.join(e, "shingle")
