@@ -16,8 +16,9 @@ instead of approximate):
   noise is ~1e-15 so the rounding boundary is never in play.
 - Every ORDER BY ... LIMIT carries a unique-key tie-break, so the selected
   row *set* is deterministic.
-- Timestamps: `events.ts` is parquet TIMESTAMP(NANOS); both engines
-  truncate to micros (see sources/readers.py).
+- Timestamps: `events.ts` has shipped as parquet TIMESTAMP(NANOS) (both
+  engines truncate to micros) and as TIMESTAMP(MICROS, NTZ); readers
+  sniff the footer and normalize (see sources/readers.py).
 
 Scale notes live on each builder — the sf0.01 oracle checks correctness,
 but the plan shapes (partial agg, broadcast joins, TakeOrdered top-k,
