@@ -151,6 +151,8 @@ def _bench_parse_throughput(spark, n_rows: int = 400_000) -> float:
 
 def _run_child(which: str, sf_dir: str) -> None:
     """Run one measurement set in this (fresh) JVM; print partial JSON."""
+    if which not in ("parse", "core", "new"):
+        raise SystemExit(f"unknown bench set: {which!r}")
     spark = _get_spark()
     if which == "parse":
         result = {"parse_rows_per_sec": _bench_parse_throughput(spark)}
