@@ -55,6 +55,74 @@ def poly_hash(scol: Column) -> Column:
     )
 
 
+def shingle_poly_hashes_from_tokens(toks: Column, n: int = 3) -> Column:
+    """array<long> of `poly_hash` values of the n-word shingles of
+    ``toks`` — bit-identical to hashing the ``concat_ws(' ')`` shingle
+    strings, WITHOUT building them. Uses the exact modular identity
+
+        fold(A over w) = (A · 31^len(w) + P(w)) mod p,
+
+    where P(w) is the word's own char fold from 0 and 31^len(w) is
+    tracked alongside it in a struct accumulator, so every character in
+    the document is folded ONCE (per word) instead of once per shingle
+    it appears in (n× for interior words) — and no shingle strings are
+    concatenated, carried, or re-walked. Separators fold in as their
+    ascii (32) between words, reproducing the concatenated string's
+    character sequence exactly (including empty tokens from doubled
+    separators). Docs with fewer than n tokens yield an empty array.
+
+    Every intermediate stays < p·31 + 255 or < p² ≈ 1.07e18 — inside
+    int64 under ANSI.
+
+    CALLER CONTRACT: compose via the two staged halves
+    (`word_poly_folds` selected as a REAL column, then
+    `shingle_hashes_from_folds` over that column). Interpreted
+    higher-order functions get no common-subexpression elimination, so
+    an inline word-fold array is re-evaluated on every element_at —
+    O(shingles × doc chars) instead of O(doc chars) (the same trap
+    exploded_shingles documents for split). This convenience wrapper is
+    for tests/small data."""
+    return shingle_hashes_from_folds(word_poly_folds(toks), F.size(toks), n)
+
+
+def word_poly_folds(toks: Column) -> Column:
+    """array<struct<h,pw>> of per-word (P(w), 31^len(w) mod p) folds —
+    stage THIS as a real column before composing shingle hashes."""
+    return F.transform(
+        toks,
+        lambda w: F.aggregate(
+            F.filter(F.split(w, ""), lambda c: c != F.lit("")),
+            F.struct(
+                F.lit(0).cast("long").alias("h"),
+                F.lit(1).cast("long").alias("pw"),
+            ),
+            lambda acc, c: F.struct(
+                ((acc["h"] * POLY_BASE + F.ascii(c)) % POLY_MOD).alias("h"),
+                ((acc["pw"] * POLY_BASE) % POLY_MOD).alias("pw"),
+            ),
+        ),
+    )
+
+
+def shingle_hashes_from_folds(wh: Column, n_tokens: Column, n: int = 3) -> Column:
+    """Compose n-word shingle hashes from staged `word_poly_folds`:
+    ~2n long multiply-adds per shingle, zero string work."""
+
+    def shingle_hash(i: Column) -> Column:
+        acc = F.lit(POLY_INIT).cast("long")
+        for j in range(n):
+            w = F.element_at(wh, i + j + 1)
+            acc = (acc * w["pw"] + w["h"]) % POLY_MOD
+            if j < n - 1:
+                acc = (acc * POLY_BASE + F.lit(32)) % POLY_MOD  # ' '
+        return acc
+
+    hashes = F.transform(F.sequence(F.lit(0), n_tokens - n), shingle_hash)
+    return F.when(n_tokens >= n, hashes).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     """Distinct n-word shingles of a document (array<string>).
 
@@ -156,14 +224,35 @@ def minhash_signatures_agg(
 
     fast=True swaps the portable polynomial hash for xxhash64 (~10×): the
     production path; signatures are then engine-specific.
+
+    The portable path never materializes shingle STRINGS: hashes come
+    from word-composed folds (`shingle_poly_hashes_from_tokens` — each
+    char folded once per word, not once per shingle) and explode as
+    longs straight into the min-aggregate. It also skips the per-doc
+    distinct: a min over a multiset equals the min over its value set,
+    so duplicate shingles (and even hash collisions) cannot change any
+    signature — the volume saved by distinct is smaller than the pass
+    it costs.
     """
-    sh = exploded_shingles(df, id_col, text_col, n)
     if fast:
+        sh = exploded_shingles(df, id_col, text_col, n)
         # pmod into the prime field so permutation math can't overflow ANSI
         h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(POLY_MOD))
+        hashed = sh.select(id_col, h.alias("_h"))
     else:
-        h = poly_hash(F.col("shingle"))
-    hashed = sh.select(id_col, h.alias("_h"))
+        staged = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        ).select(
+            id_col,
+            word_poly_folds(F.col("_toks")).alias("_wh"),
+            F.size("_toks").alias("_nt"),
+        )
+        hashed = staged.select(
+            id_col,
+            F.explode(
+                shingle_hashes_from_folds(F.col("_wh"), F.col("_nt"), n)
+            ).alias("_h"),
+        )
     aggs = []
     for j in range(num_hashes):
         a, b = MINHASH_SEEDS[j % len(MINHASH_SEEDS)]
