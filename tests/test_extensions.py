@@ -105,6 +105,49 @@ def test_connected_components_chain_and_singletons(spark):
     assert dist == got
 
 
+def test_word_composed_shingle_hashes_match_string_hashes(spark):
+    """The word-composed portable shingle hash must be bit-identical to
+    poly_hash over the concat_ws(' ') shingle strings on every edge
+    shape: doubled separators (empty tokens), short/empty docs,
+    duplicate shingles, punctuation."""
+    from logvision_spark.operators.dedup import (
+        poly_hash,
+        shingle_poly_hashes_from_tokens,
+    )
+
+    rows = [
+        ("a b c d e",), ("x y z",), ("one two",), ("",), ("a  b c d",),
+        ("Hello, World! foo bar baz qux",), ("s",), ("aa aa aa aa",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    toks = F.split(F.col("text"), " ")
+    composed = [
+        r[0]
+        for r in df.select(
+            shingle_poly_hashes_from_tokens(toks, 3).alias("hl")
+        ).collect()
+    ]
+    ref_shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ref = [
+        r[0]
+        for r in df.select(
+            F.transform(ref_shingles, poly_hash).alias("hl")
+        ).collect()
+    ]
+    assert composed == ref
+
+
 def test_dedup_handles_short_and_empty_docs(spark):
     """Docs with < n tokens must not crash the shingle expression (Spark 4
     ANSI: a descending F.sequence would hit element_at index 0) — they
