@@ -287,20 +287,28 @@ def capped_shingles(
 
     This is the guard that makes shared-shingle joins survive 100 TB: one
     stop-phrase gram shared by 1M docs otherwise yields ~5·10¹¹ candidate
-    pairs from that single key. The hot set is tiny (shingle frequency is
-    Zipfian), so the anti-join broadcasts. `max_doc_freq=None` disables
-    the cap (exact semantics at fixture scale)."""
+    pairs from that single key.
+
+    The cap is a document-frequency count WINDOW over the shingle key
+    plus a filter — not a groupBy-the-hot-set + anti-join. One shuffle
+    on `s` replaces [aggregate shuffle + join], there is no broadcast
+    to outgrow a driver heap (a fixed absolute df cap means the "tiny
+    Zipf head" grows with corpus size — 10× the fixture already pushed
+    a pinned broadcast build past a 1 GiB heap), and the output comes
+    back hash-partitioned BY `s`, which is exactly the partitioning the
+    downstream shared-shingle self-joins need — Catalyst skips their
+    re-shuffle entirely. `max_doc_freq=None` disables the cap (exact
+    semantics at fixture scale)."""
     sh = exploded_shingles(df, id_col, text_col, n).toDF("id", "s")
     if max_doc_freq is None:
         return sh
-    # per-doc shingles are distinct, so count == document frequency
-    hot = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") > max_doc_freq)
-        .select("s")
+    # per-doc shingles are distinct, so count-over-s == document frequency
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    return (
+        sh.withColumn("_df", dfreq)
+        .where(F.col("_df") <= max_doc_freq)
+        .drop("_df")
     )
-    return sh.join(F.broadcast(hot), "s", "left_anti")
 
 
 def ngram_jaccard_pairs(

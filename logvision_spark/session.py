@@ -62,6 +62,15 @@ def get_spark(
     builder = builder.master(master)
 
     conf = dict(DEFAULT_CONF)
+    if master.startswith("local"):
+        # In local mode the driver JVM IS the engine; the 1g JVM default is
+        # mis-sized relative to the 64m broadcast threshold (a deserialized
+        # broadcast build needs several× its on-wire estimate). Cluster
+        # deployments size driver/executor memory via spark-submit instead.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     if shuffle_partitions is None:
         # Local: a few × cores is plenty. Cluster deployments override to
         # ~2-3× total executor cores (AQE coalesces the excess).
