@@ -543,23 +543,34 @@ def simhash(text: Column, bits: int = 32, n: int = 1) -> Column:
     +1). Packed into a LONG. One number per doc — the cheapest near-dup
     key at scale; compare via hamming distance or prefix bands.
 
-    Column-level convenience form: the shingle-hash HOF is re-evaluated
-    once per bit (interpreted HOFs get no subexpression elimination), so
-    for corpus-scale fingerprinting use `simhash_agg`."""
+    Column-level convenience form. All `bits` vote counters accumulate
+    in ONE fold over the shingle-hash list (array accumulator + index-
+    aware transform), so the shingle hashing runs once per row — the
+    earlier per-bit fold re-evaluated it `bits`× (interpreted HOFs get
+    no subexpression elimination; measured 450 s vs 14 s at 50k docs).
+    For corpus-scale fingerprinting still prefer `simhash_agg`, whose
+    explode + conditional-sum HashAggregate is codegen'd."""
     hl = shingle_hashes(text, n)
-
-    def vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_votes = [
-        F.aggregate(hl, F.lit(0).cast("long"), vote(i)) for i in range(bits)
-    ]
-    fp = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        fp = fp + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return fp
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    # bit i of h set ⟺ h & 2^i != 0 — identical to (h >> i) & 1 == 1
+    # for any two's-complement h, so the vote matches simhash_agg's
+    votes = F.aggregate(
+        hl,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(
+                h.bitwiseAND(F.element_at(powers, i + 1)) != 0, 1
+            ).otherwise(-1),
+        ),
+    )
+    packed = F.zip_with(
+        votes,
+        powers,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def connected_components(
