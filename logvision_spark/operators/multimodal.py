@@ -137,9 +137,10 @@ def extract_features(df: DataFrame, dim: int = 64, use_fake: bool = True) -> Dat
         )
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # vectorized across the batch: one concatenated byte buffer, a
-        # single scatter-add into the (rows × dim) histogram matrix, one
-        # row-normalize — no per-asset Python in the hot loop
+        # vectorized across the batch: one concatenated byte buffer, one
+        # flat bincount into the (rows × dim) histogram matrix (buffered —
+        # ~2× the whole-query speed of np.add.at's unbuffered scatter at
+        # sf0.1), one row-normalize — no per-asset Python in the hot loop
         import numpy as np
 
         for pdf in batches:
@@ -147,14 +148,14 @@ def extract_features(df: DataFrame, dim: int = 64, use_fake: bool = True) -> Dat
             n = len(payloads)
             lens = np.fromiter(map(len, payloads), dtype=np.int64, count=n)
             buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            hist = np.zeros((n, dim), dtype=np.int64)
-            np.add.at(hist, (np.repeat(np.arange(n), lens), buf % dim), 1)
+            flat = np.repeat(np.arange(n), lens) * dim + (buf % dim)
+            hist = np.bincount(flat, minlength=n * dim).reshape(n, dim)
             hist = hist.astype("float32")
             norms = np.linalg.norm(hist, axis=1)
             norms[norms == 0] = 1.0
             feats = hist / norms.astype("float32")[:, None]
             yield pd.DataFrame(
-                {"asset_id": pdf["asset_id"].to_numpy(), "feature": feats.tolist()}
+                {"asset_id": pdf["asset_id"].to_numpy(), "feature": list(feats)}
             )
 
     return df.select("asset_id", "payload").mapInPandas(_feat, schema=FEATURE_SCHEMA)
