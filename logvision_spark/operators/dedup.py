@@ -215,6 +215,7 @@ def minhash_signatures_agg(
     num_hashes: int = 8,
     n: int = 3,
     fast: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures via explode + partial-aggregated min — the scale
     formulation: each shingle is hashed ONCE (vs once per permutation in
@@ -233,9 +234,14 @@ def minhash_signatures_agg(
     so duplicate shingles (and even hash collisions) cannot change any
     signature — the volume saved by distinct is smaller than the pass
     it costs.
+
+    ``shingles`` (fast path only) supplies a pre-exploded (id, shingle)
+    table — e.g. one persisted and shared with a downstream verify pass.
     """
     if fast:
-        sh = exploded_shingles(df, id_col, text_col, n)
+        sh = shingles if shingles is not None else exploded_shingles(
+            df, id_col, text_col, n
+        )
         # pmod into the prime field so permutation math can't overflow ANSI
         h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(POLY_MOD))
         hashed = sh.select(id_col, h.alias("_h"))
@@ -281,9 +287,13 @@ def capped_shingles(
     text_col: str = "text",
     n: int = 3,
     max_doc_freq: int | None = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle) rows with hot shingles removed: any shingle present
     in more than `max_doc_freq` docs is dropped BEFORE any self-join.
+    ``shingles`` supplies a pre-exploded (id, shingle) table (e.g. a
+    persisted one shared with the signature pass) instead of re-deriving
+    it from ``df``.
 
     This is the guard that makes shared-shingle joins survive 100 TB: one
     stop-phrase gram shared by 1M docs otherwise yields ~5·10¹¹ candidate
@@ -299,7 +309,9 @@ def capped_shingles(
     downstream shared-shingle self-joins need — Catalyst skips their
     re-shuffle entirely. `max_doc_freq=None` disables the cap (exact
     semantics at fixture scale)."""
-    sh = exploded_shingles(df, id_col, text_col, n).toDF("id", "s")
+    if shingles is None:
+        shingles = exploded_shingles(df, id_col, text_col, n)
+    sh = shingles.toDF("id", "s")
     if max_doc_freq is None:
         return sh
     # per-doc shingles are distinct, so count-over-s == document frequency
@@ -372,6 +384,7 @@ def minhash_candidate_pairs(
     bands: int = 4,
     n: int = 3,
     fast: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on at least one band of their
     MinHash signature. rows_per_band = num_hashes/bands controls precision;
@@ -379,7 +392,8 @@ def minhash_candidate_pairs(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sig = minhash_signatures_agg(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n, fast=fast
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n,
+        fast=fast, shingles=shingles,
     ).withColumnRenamed(id_col, "id")
     band_cols = []
     for bi in range(bands):
@@ -419,6 +433,7 @@ def near_dup_drop_list(
     n: int = 3,
     fast: bool = True,
     max_doc_freq: int | None = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup dedup decision: MinHash-LSH candidates →
     exact-Jaccard verification → greedy keep-lowest-id. Returns the DROP
@@ -434,15 +449,29 @@ def near_dup_drop_list(
     Verification Jaccard runs over the hot-shingle-capped shingle space
     (see `capped_shingles`) so the verify join cannot blow up on a
     stop-phrase gram either.
+
+    ``shingles`` lets a caller that manages cache lifecycle supply ONE
+    persisted (id, shingle) table for both the signature pass and the
+    verify pass (fast path only — the portable path derives signatures
+    from word-composed folds, not shingle strings). With an
+    already-materialized cache the whole operator runs ~2× faster at
+    sf0.1; WITHOUT caller-side persistence sharing is a loss, not a win
+    (measured 3.4s vs 2.1s steady-state): a persist created inside this
+    function caches into a plan used exactly once per pass, so every
+    invocation pays the cache write + read on top of the explode it was
+    meant to save. Hence no internal persist — the default recomputes
+    the explode per pass, which Catalyst pipelines into each side's
+    shuffle map stage.
     """
+    shared = shingles if fast else None
     cands = minhash_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, bands=bands, n=n, fast=fast,
+        num_hashes=num_hashes, bands=bands, n=n, fast=fast, shingles=shared,
     )
     # capped shingle sizes ride along as a count window (same single
     # shuffle on id as a separate sizes aggregate, but no pair-side join
     # exchanges afterwards — the ngram_jaccard_pairs layout)
-    sh = capped_shingles(df, id_col, text_col, n, max_doc_freq)
+    sh = capped_shingles(df, id_col, text_col, n, max_doc_freq, shingles=shared)
     sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a, b = sh.alias("a"), sh.alias("b")
     # verify ONLY candidate pairs: join candidates into the shingle match

@@ -78,6 +78,29 @@ def test_near_dup_drop_list_end_to_end(spark, docs):
     assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3}
 
 
+def test_near_dup_drop_list_shared_shingles_identical(spark, docs):
+    """A caller-persisted (id, shingle) table shared between the
+    signature and verify passes must not change the drop list — the
+    lifecycle-managed fast path for repeated dedup over one corpus."""
+    from pyspark import StorageLevel
+
+    from logvision_spark.operators.dedup import (
+        exploded_shingles,
+        near_dup_drop_list,
+    )
+
+    sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        base = {r["doc_id"] for r in near_dup_drop_list(docs).collect()}
+        shared = {
+            r["doc_id"]
+            for r in near_dup_drop_list(docs, shingles=sh).collect()
+        }
+        assert shared == base
+    finally:
+        sh.unpersist()
+
+
 def test_connected_components_chain_and_singletons(spark):
     """A chain a~b~c must collapse to ONE cluster labeled min(id) (the
     case the greedy drop list over-drops); untouched docs stay
