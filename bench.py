@@ -122,6 +122,12 @@ def _time_set(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def _bench_parse_throughput(spark, n_rows: int = 400_000) -> float:
+    # NOTE on stability: at 400 k rows the measured window is ~0.8 s and
+    # the figure swings ±25% BETWEEN fresh JVMs (JIT/page-cache luck; the
+    # within-JVM min is tight). The 4 M-row companion metric below runs in
+    # the amortized regime (~2 s window, ~1.9 M rows/s) and is the stable
+    # engine-throughput number; the 400 k one is kept for round-over-round
+    # comparability with BASELINE.
     # Parse-pipeline throughput: synthesize combined-log lines once, then
     # measure parse → per-host count end-to-end (the reference's hot path;
     # its demo rate is 2.5 lines/s, streaming.scala + log_gen).
@@ -155,7 +161,12 @@ def _run_child(which: str, sf_dir: str) -> None:
         raise SystemExit(f"unknown bench set: {which!r}")
     spark = _get_spark()
     if which == "parse":
-        result = {"parse_rows_per_sec": _bench_parse_throughput(spark)}
+        result = {
+            "parse_rows_per_sec": _bench_parse_throughput(spark),
+            "parse_rows_per_sec_4m": _bench_parse_throughput(
+                spark, n_rows=4_000_000
+            ),
+        }
     else:
         _warm_up(spark, sf_dir)
         names = CORE if which == "core" else NEW
@@ -200,6 +211,7 @@ def main() -> None:
         timings = core["queries"]
         timings_new = new["queries"]
         parse_rows = parse["parse_rows_per_sec"]
+        parse_rows_4m = parse.get("parse_rows_per_sec_4m")
         isolated = True
     except (RuntimeError, OSError, subprocess.TimeoutExpired) as exc:
         # fallback: single-JVM in-process run (the r1/r2 behavior) so the
@@ -209,6 +221,7 @@ def main() -> None:
               "falling back to single-JVM", file=sys.stderr)
         spark = _get_spark()
         parse_rows = _bench_parse_throughput(spark)
+        parse_rows_4m = None
         _warm_up(spark, sf_dir)
         timings = _time_set(spark, sf_dir, CORE)
         timings_new = _time_set(spark, sf_dir, NEW)
@@ -227,6 +240,7 @@ def main() -> None:
                 "new_total": round(sum(timings_new.values()), 4),
                 "sf": sf,
                 "parse_rows_per_sec": parse_rows,
+                "parse_rows_per_sec_4m": parse_rows_4m,
                 "isolated_jvms": isolated,
             }
         )
