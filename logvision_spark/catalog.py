@@ -2355,7 +2355,16 @@ def _events_stream(spark, sf_dir):
     TIMESTAMP(NANOS) (read as raw long via the legacy fallback, integer
     DIV 1000 truncating to micros exactly like DuckDB) and
     TIMESTAMP(MICROS, NTZ) — so the declared stream schema follows a
-    one-time batch-footer sniff of the actual file."""
+    one-time batch-footer sniff of the actual file.
+
+    Handles both physical layouts of the table: a single file named
+    events.parquet (the testdata generator's) is picked out of sf_dir
+    with a pathGlobFilter; a DIRECTORY events.parquet/ of part-files
+    (what any Spark write produces) is streamed directly — the glob
+    filter matches LEAF file names, so pointing it at the directory
+    layout would silently produce an empty stream."""
+    import os
+
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -2366,11 +2375,11 @@ def _events_stream(spark, sf_dir):
         f"event_id long, ts {ts_decl}, user_id long, event_type string, "
         "value double, props string"
     )
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(os.path.join(sf_dir, "events.parquet")):
+        src = reader.parquet(f"{sf_dir}/events.parquet")
+    else:
+        src = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if nanos:
         # integer DIV truncates exactly; a double division of int64 nanos
         # (~1.8e18 > 2^53) silently drifts by a few micros
