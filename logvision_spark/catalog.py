@@ -2738,9 +2738,15 @@ ORDER BY tfidf DESC, doc_id, term
 LIMIT 20
 """,
     doc="TF-IDF top terms (tf · ln(N/df), top-20 with unique tie-break): "
-    "completes the TF-IDF pair started by text_term_doc_freq. Two hash "
-    "aggregations with map-side partial combine; N comes from a 1-row "
-    "aggregate crossJoin (no driver-side count action).",
+    "completes the TF-IDF pair started by text_term_doc_freq. Document "
+    "frequency is a count WINDOW over term on the tf table — ONE shuffle "
+    "of tf by term, no self-derived join (a tf⋈dfreq join re-computes "
+    "the whole explode+tf subtree for the dfreq branch: Catalyst does "
+    "not reuse the exchange across the two aggregation branches — "
+    "measured 2× slower warm and 6× cold at 50k docs, identical "
+    "output). Skew exposure is unchanged: both forms key the full tf "
+    "table by term. N comes from a 1-row aggregate crossJoin (no "
+    "driver-side count action).",
 )
 def text_tfidf_top_terms(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -2748,10 +2754,9 @@ def text_tfidf_top_terms(spark, sf_dir):
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     ).where(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",

@@ -42,9 +42,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# Resolved-DataFrame cache, keyed by (session id, sf_dir, table). A
+# DataFrame is an immutable logical plan, so handing the same one to every
+# query against a table is exactly what a metastore-backed catalog does —
+# and it skips the per-query file listing + parquet schema inference
+# (~0.1-0.2 s of driver-side metadata work per build on local fs; far
+# worse on object stores). Bounded: one entry per table per sf_dir per
+# session. Trade-off (documented): files added to a table directory
+# mid-session are invisible to cached plans until `load_table_cache_clear`.
+# The value keeps the session object itself alongside the DataFrame so
+# the id() key cannot be recycled by a GC'd session while the entry lives.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def load_table_cache_clear() -> None:
+    """Drop all cached table resolutions (e.g. after rewriting testdata)."""
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one testdata table (TESTDATA.md) as a DataFrame."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached[1]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in EVENT_TS_COLS.get(name, ()):
@@ -53,6 +75,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
         elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 

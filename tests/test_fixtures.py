@@ -49,3 +49,21 @@ def test_geo_enrich_live_matches_broadcast_join(spark):
         map(tuple, via_live.collect())
     )
     assert via_live.count() == 3  # 10.0.0.3 unresolved → dropped
+
+
+def test_load_table_resolution_cache(spark, sf_dir):
+    """Repeated loads of one table reuse the resolved DataFrame (the
+    metastore-catalog behavior: no re-listing/schema inference per
+    query); clearing the cache re-resolves."""
+    from logvision_spark.sources.readers import (
+        load_table,
+        load_table_cache_clear,
+    )
+
+    a = load_table(spark, "nation", sf_dir)
+    b = load_table(spark, "nation", sf_dir)
+    assert a is b
+    load_table_cache_clear()
+    c = load_table(spark, "nation", sf_dir)
+    assert c is not a
+    assert c.count() == a.count()
