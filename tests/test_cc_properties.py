@@ -10,7 +10,10 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from logvision_spark.operators.dedup import connected_components
+from logvision_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
 
 N_NODES = 10
 
@@ -62,10 +65,27 @@ def test_both_cc_paths_match_reference(spark, edges):
     }
     assert driver == expected
 
-    dist = {
+    for algo in ("star", "label"):
+        dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, ids, driver_finish_max_edges=0, distributed_algorithm=algo
+            ).collect()
+        }
+        assert dist == expected, algo
+
+
+def test_star_converges_on_long_chain(spark):
+    """The shape the star variant exists for: a path graph of diameter
+    n-1, where min-label propagation needs ~n rounds but alternating
+    stars need O(log^2 n)."""
+    n = 40
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    out = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(
-            pairs, ids, driver_finish_max_edges=0
-        ).collect()
+        for r in connected_components_star(pairs, ids, max_iter=12).collect()
     }
-    assert dist == expected
+    assert out == {i: 0 for i in range(n)}
