@@ -49,7 +49,16 @@ def test_never_sampled_entries_export_first():
 
 def test_checked_names_come_from_reports_on_disk():
     reports = glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
-    if not reports:  # fresh clone: ordering degrades to registration order
-        assert list(catalog.queries()) == list(catalog.CATALOG)
+    if not reports:  # fresh clone: registration order with variants demoted
+        expected = sorted(catalog.CATALOG, key=lambda n: n in catalog._FRESH_BACK)
+        assert list(catalog.queries()) == expected
     else:
         assert catalog._driver_checked_names() == frozenset(_checked())
+
+
+def test_demoted_variants_are_real_catalog_entries():
+    assert set(catalog._FRESH_BACK) <= set(catalog.CATALOG)
+    # demotion only reorders within the fresh segment — every demoted
+    # entry still exports (covered by the permutation test), and each
+    # names a variant whose family keeps an earlier representative
+    assert len(set(catalog._FRESH_BACK)) == len(catalog._FRESH_BACK)
