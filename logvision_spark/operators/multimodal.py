@@ -2,9 +2,11 @@
 
 Image/audio/video assets are opaque ``binary`` columns plus typed metadata
 (schemas.MEDIA_SCHEMA). Heavy per-asset work (decode, resize, feature
-extraction, frame sampling) runs as Arrow-batched ``mapInPandas`` — the
-Spark-side plumbing (schema contracts, batch shapes, partition sizing) is
-real and tested; the codec call itself is stubbed behind
+extraction, frame sampling) runs as Arrow-batched ``mapInPandas`` /
+``mapInArrow`` (the latter zero-copy on both sides for the hot
+feature-extraction path) — the Spark-side plumbing (schema contracts,
+batch shapes, partition sizing) is real and tested; the codec call
+itself is stubbed behind
 ``NotImplementedError`` / a deterministic fake because no image/audio
 libraries ship in this container. Swapping in PIL/ffmpeg is a one-function
 change inside the stub.
@@ -136,29 +138,53 @@ def extract_features(df: DataFrame, dim: int = 64, use_fake: bool = True) -> Dat
             "call with use_fake=True for the plumbing path"
         )
 
-    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # vectorized across the batch: one concatenated byte buffer, one
-        # flat bincount into the (rows × dim) histogram matrix (buffered —
-        # ~2× the whole-query speed of np.add.at's unbuffered scatter at
-        # sf0.1), one row-normalize — no per-asset Python in the hot loop
+    def _feat(batches):
+        # mapInArrow, zero-copy both directions: the payload bytes are
+        # read straight out of the Arrow binary array's (offsets, data)
+        # buffers — no per-row bytes objects — and the output list<float>
+        # column is assembled from the flat histogram matrix with a
+        # constant-stride offsets vector — no per-row boxing of numpy
+        # rows into an object column (which cost ~40% of this stage's
+        # wall time in the mapInPandas form at sf0.1). One bincount does
+        # the histogram (buffered — ~2× np.add.at's unbuffered scatter).
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            payloads = [p if p else b"\x00" for p in pdf["payload"]]
-            n = len(payloads)
-            lens = np.fromiter(map(len, payloads), dtype=np.int64, count=n)
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            flat = np.repeat(np.arange(n), lens) * dim + (buf % dim)
+        for rb in batches:
+            n = rb.num_rows
+            ids = rb.column(rb.schema.get_field_index("asset_id"))
+            if ids.type != pa.int64():  # mapInArrow does not coerce
+                ids = ids.cast(pa.int64())
+            pay = rb.column(rb.schema.get_field_index("payload"))
+            if pay.null_count:
+                pay = pay.fill_null(b"")  # null ≡ empty: both fall back to bin 0
+            pay = pay.combine_chunks() if isinstance(pay, pa.ChunkedArray) else pay
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            bufs = pay.buffers()
+            offsets = np.frombuffer(
+                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
+            )[pay.offset :].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+            lens = np.diff(offsets)
+            flat = np.repeat(np.arange(n), lens) * dim + (data % dim)
             hist = np.bincount(flat, minlength=n * dim).reshape(n, dim)
+            hist[lens == 0, 0] = 1  # empty payload ≡ b"\x00" histogram
             hist = hist.astype("float32")
             norms = np.linalg.norm(hist, axis=1)
             norms[norms == 0] = 1.0
             feats = hist / norms.astype("float32")[:, None]
-            yield pd.DataFrame(
-                {"asset_id": pdf["asset_id"].to_numpy(), "feature": list(feats)}
+            feature = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * dim),
+                pa.array(feats.ravel(), type=pa.float32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, feature],
+                schema=pa.schema(
+                    [("asset_id", ids.type), ("feature", pa.list_(pa.float32()))]
+                ),
             )
 
-    return df.select("asset_id", "payload").mapInPandas(_feat, schema=FEATURE_SCHEMA)
+    return df.select("asset_id", "payload").mapInArrow(_feat, schema=FEATURE_SCHEMA)
 
 
 def resize_images(

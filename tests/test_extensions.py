@@ -446,6 +446,28 @@ def test_multimodal_decode_real_codec_gate(spark):
         decode_images(media, use_fake=False)
 
 
+def test_feature_extraction_null_and_empty_payloads(spark):
+    """The zero-copy Arrow path must keep mapInPandas-era semantics for
+    degenerate payloads: null and b'' both map to the b'\\x00' histogram
+    (unit vector on bin 0), and int32 asset ids are coerced to long."""
+    from logvision_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(0, b"ab"), (1, b""), (2, None), (3, b"\x00")],
+        "asset_id int, payload binary",
+    )
+    rows = {r["asset_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    assert len(rows) == 4
+    e0 = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    assert rows[1] == e0 and rows[2] == e0 and rows[3] == e0
+    # non-degenerate: 'a'=97→bin 1, 'b'=98→bin 2 at dim=8, unit-normalized
+    import math
+
+    assert rows[0][1] == pytest.approx(1 / math.sqrt(2))
+    assert rows[0][2] == pytest.approx(1 / math.sqrt(2))
+    assert sum(1 for v in rows[0] if v != 0) == 2
+
+
 def test_feature_extraction_feeds_similarity(spark):
     """Multimodal → similarity pipeline: extracted features are unit-norm
     array<float> usable by the cosine operators."""
