@@ -198,33 +198,63 @@ def resize_images(
 
     n_bytes = target_w * target_h
 
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # vectorized truncate-or-pad: scatter all clipped payload bytes
-        # into one zero-initialized (rows × n_bytes) matrix, then slice
-        # bytes back out per row (the only per-row step — bytes objects
-        # have to be materialized one per row regardless)
+    def _resize(batches):
+        # mapInArrow truncate-or-pad, zero-copy both directions: input
+        # bytes are gathered straight from the binary array's buffers
+        # into one zero-initialized (rows × n_bytes) matrix; the output
+        # binary column is rebuilt from that matrix's flat buffer with
+        # constant-stride offsets. Resize is the payload-OUT op, so the
+        # per-row bytes-object materialization the pandas form paid on
+        # emit was its dominant row-scaling cost.
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            clipped = [(p or b"")[:n_bytes] for p in pdf["payload"]]
-            n = len(clipped)
-            lens = np.fromiter(map(len, clipped), dtype=np.int64, count=n)
+        for rb in batches:
+            n = rb.num_rows
+            ids = rb.column(rb.schema.get_field_index("asset_id"))
+            if ids.type != pa.int64():  # mapInArrow does not coerce
+                ids = ids.cast(pa.int64())
+            pay = rb.column(rb.schema.get_field_index("payload"))
+            if pay.null_count:
+                pay = pay.fill_null(b"")  # null pads to all-zero bytes
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            bufs = pay.buffers()
+            offsets = np.frombuffer(
+                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
+            )[pay.offset :].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            starts = offsets[:-1]
+            eff = np.minimum(np.diff(offsets), n_bytes)
             mat = np.zeros((n, n_bytes), dtype=np.uint8)
-            if n and lens.sum():
-                buf = np.frombuffer(b"".join(clipped), dtype=np.uint8)
-                rows = np.repeat(np.arange(n), lens)
-                cols = np.arange(len(buf)) - np.repeat(np.cumsum(lens) - lens, lens)
-                mat[rows, cols] = buf
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"].to_numpy(),
-                    "width": np.full(n, target_w, dtype="int32"),
-                    "height": np.full(n, target_h, dtype="int32"),
-                    "payload": [r.tobytes() for r in mat],
-                }
+            total = int(eff.sum())
+            if total:
+                row_of = np.repeat(np.arange(n), eff)
+                prefix = np.concatenate(([0], np.cumsum(eff[:-1])))
+                intra = np.arange(total) - np.repeat(prefix, eff)
+                mat[row_of, intra] = data[np.repeat(starts, eff) + intra]
+            payload = pa.Array.from_buffers(
+                pa.binary(),
+                n,
+                [
+                    None,
+                    pa.py_buffer(
+                        (np.arange(n + 1, dtype=np.int32) * n_bytes).tobytes()
+                    ),
+                    pa.py_buffer(mat.tobytes()),
+                ],
+            )
+            const = np.full(n, 0, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(const + target_w),
+                    pa.array(const + target_h),
+                    payload,
+                ],
+                names=["asset_id", "width", "height", "payload"],
             )
 
-    return df.select("asset_id", "payload").mapInPandas(_resize, schema=RESIZE_SCHEMA)
+    return df.select("asset_id", "payload").mapInArrow(_resize, schema=RESIZE_SCHEMA)
 
 
 def right_size_partitions(

@@ -467,6 +467,18 @@ def test_feature_extraction_null_and_empty_payloads(spark):
     assert rows[0][2] == pytest.approx(1 / math.sqrt(2))
     assert sum(1 for v in rows[0] if v != 0) == 2
 
+    # resize on the same degenerate inputs: truncate-or-zero-pad to 2x2
+    from logvision_spark.operators.multimodal import resize_images
+
+    rz = {r["asset_id"]: r for r in resize_images(media, 2, 2).collect()}
+    assert rz[0]["payload"] == b"ab\x00\x00"  # padded
+    assert rz[1]["payload"] == b"\x00" * 4  # empty → all zeros
+    assert rz[2]["payload"] == b"\x00" * 4  # null → all zeros
+    long_doc = spark.createDataFrame(
+        [(9, b"abcdefgh")], "asset_id long, payload binary"
+    )
+    assert resize_images(long_doc, 2, 2).collect()[0]["payload"] == b"abcd"  # truncated
+
 
 def test_feature_extraction_feeds_similarity(spark):
     """Multimodal → similarity pipeline: extracted features are unit-norm
