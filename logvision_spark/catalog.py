@@ -2676,10 +2676,10 @@ FROM documents
 """,
     doc="Multimodal decode plumbing, driver-checked: documents.text bytes "
     "stand in as opaque image payloads (UTF-8 encode — fixture text is "
-    "all-ASCII, so byte k == ascii(char k)); Arrow mapInPandas decodes "
+    "all-ASCII, so byte k == ascii(char k)); zero-copy Arrow mapInArrow decodes "
     "payload → (width, height, channels) via the deterministic fake codec "
     "(first/last payload byte). The oracle replays the codec arithmetic in "
-    "SQL — proving the mapInPandas schema/batch contract end to end. Real "
+    "SQL — proving the Arrow-batch schema contract end to end. Real "
     "PIL/ffmpeg decode swaps into the same stub (multimodal.py).",
 )
 def mm_decode_meta(spark, sf_dir):
@@ -2949,7 +2949,7 @@ SELECT nz.doc_id AS asset_id, nnz, argmax_bin
 FROM nz JOIN am ON nz.doc_id = am.doc_id
 """,
     doc="Multimodal feature-extraction plumbing, driver-checked: text "
-    "bytes as opaque payloads → Arrow mapInPandas byte-histogram "
+    "bytes as opaque payloads → zero-copy Arrow mapInArrow byte-histogram "
     "embedding (the deterministic fake model, multimodal.py) → integer "
     "stats derived FROM the emitted array<float> (nonzero bins; argmax "
     "bin, ties to lowest). The oracle recomputes both from raw bytes in "
@@ -4015,7 +4015,7 @@ FROM s
     "(operators/multimodal.pack_assets_by_bytes): opaque assets "
     "assigned to ~4 KB byte-budget bins by per-shard exclusive prefix "
     "sums — repartitioning by (shard, bin) then bounds every "
-    "mapInPandas decode batch's memory footprint regardless of asset "
+    "Arrow decode batch's memory footprint regardless of asset "
     "size skew. Text length stands in for payload bytes in the "
     "fixture; integer-exact on both engines.",
 )

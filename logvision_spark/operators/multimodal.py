@@ -64,30 +64,48 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
             "container; call with use_fake=True for the plumbing path"
         )
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # vectorized across the Arrow batch: pandas' bytes accessor gives
-        # C-looped len/first/last-byte; same arithmetic as _fake_decode
-        # (kept above as the single-asset reference / real-codec swap point)
-        for pdf in batches:
-            p = pdf["payload"]
-            n = p.str.len()
-            ok = n.notna() & (n > 0)
-            first = p.str[0]
-            last = p.str[-1]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"].to_numpy(),
-                    "width": (16 + first % 64).where(ok).astype("Int32"),
-                    "height": (16 + last % 64).where(ok).astype("Int32"),
-                    "channels": pd.Series(3, index=pdf.index, dtype="Int32").where(
-                        ok, pd.NA
-                    ),
-                    "decode_ok": ok.to_numpy(dtype=bool),
-                }
+    def _decode(batches):
+        # mapInArrow: length / first byte / last byte come straight from
+        # the binary array's (offsets, data) buffers — no per-row object
+        # traffic at all; same arithmetic as _fake_decode (kept above as
+        # the single-asset reference / real-codec swap point)
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            ids = rb.column(rb.schema.get_field_index("asset_id"))
+            if ids.type != pa.int64():  # mapInArrow does not coerce
+                ids = ids.cast(pa.int64())
+            pay = rb.column(rb.schema.get_field_index("payload"))
+            if pay.null_count:
+                pay = pay.fill_null(b"")  # null decodes like empty: not ok
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            bufs = pay.buffers()
+            offsets = np.frombuffer(
+                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
+            )[pay.offset :].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            lens = np.diff(offsets)
+            ok = lens > 0
+            safe_start = np.where(ok, offsets[:-1], 0)
+            safe_end = np.where(ok, offsets[1:] - 1, 0)
+            first = data[safe_start] if len(data) else np.zeros(n, np.uint8)
+            last = data[safe_end] if len(data) else np.zeros(n, np.uint8)
+            mask = ~ok
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array((16 + first % 64).astype(np.int32), mask=mask),
+                    pa.array((16 + last % 64).astype(np.int32), mask=mask),
+                    pa.array(np.full(n, 3, dtype=np.int32), mask=mask),
+                    pa.array(ok),
+                ],
+                names=["asset_id", "width", "height", "channels", "decode_ok"],
             )
 
     narrow = df.select("asset_id", "payload")
-    return narrow.mapInPandas(_decode, schema=DECODED_IMAGE_SCHEMA)
+    return narrow.mapInArrow(_decode, schema=DECODED_IMAGE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -479,6 +479,18 @@ def test_feature_extraction_null_and_empty_payloads(spark):
     )
     assert resize_images(long_doc, 2, 2).collect()[0]["payload"] == b"abcd"  # truncated
 
+    # decode on the same degenerate inputs: null/empty → decode_ok=false,
+    # all-null metadata; non-empty derives dims from first/last byte
+    from logvision_spark.operators.multimodal import decode_images
+
+    dec = {r["asset_id"]: r for r in decode_images(media).collect()}
+    assert dec[0]["decode_ok"] and dec[0]["width"] == 16 + 97 % 64  # 'a'
+    assert dec[0]["height"] == 16 + 98 % 64  # 'b'
+    for i in (1, 2):  # empty, null
+        assert not dec[i]["decode_ok"]
+        assert dec[i]["width"] is None and dec[i]["channels"] is None
+    assert dec[3]["decode_ok"] and dec[3]["width"] == 16  # b'\x00'
+
 
 def test_feature_extraction_feeds_similarity(spark):
     """Multimodal → similarity pipeline: extracted features are unit-norm

@@ -1,0 +1,86 @@
+"""Property tests for the zero-copy mapInArrow multimodal paths: random
+payload tables (including nulls, empties, and >target sizes) must agree
+byte-for-byte with straightforward per-row Python references — the
+buffer-offset arithmetic (gathers, prefix sums, masked scatters) is
+exactly the code a row loop can't get wrong, so the references pin it.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from logvision_spark.operators.multimodal import (
+    decode_images,
+    extract_features,
+    resize_images,
+)
+
+payloads = st.lists(
+    st.one_of(st.none(), st.binary(min_size=0, max_size=80)),
+    min_size=1,
+    max_size=24,
+)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _media(spark, items):
+    return spark.createDataFrame(
+        list(enumerate(items)), "asset_id long, payload binary"
+    )
+
+
+def _ref_feature(p: bytes | None, dim: int) -> list[float]:
+    b = p if p else b"\x00"
+    hist = [0.0] * dim
+    for byte in b:
+        hist[byte % dim] += 1.0
+    norm = math.sqrt(sum(v * v for v in hist)) or 1.0
+    return [v / norm for v in hist]
+
+
+@given(payloads)
+@SET
+def test_extract_features_matches_per_row_reference(spark, items):
+    rows = {r["asset_id"]: r["feature"] for r in extract_features(_media(spark, items), dim=16).collect()}
+    assert set(rows) == set(range(len(items)))
+    for i, p in enumerate(items):
+        expect = _ref_feature(p, 16)
+        assert all(
+            abs(a - b) < 1e-6 for a, b in zip(rows[i], expect)
+        ), f"payload {p!r}: {rows[i]} != {expect}"
+
+
+@given(payloads, st.integers(min_value=1, max_value=6), st.integers(min_value=1, max_value=6))
+@SET
+def test_resize_matches_per_row_reference(spark, items, w, h):
+    n_bytes = w * h
+    rows = {r["asset_id"]: r for r in resize_images(_media(spark, items), w, h).collect()}
+    for i, p in enumerate(items):
+        expect = (p or b"")[:n_bytes].ljust(n_bytes, b"\x00")
+        r = rows[i]
+        assert r["payload"] == expect, f"payload {p!r}"
+        assert r["width"] == w and r["height"] == h
+
+
+@given(payloads)
+@SET
+def test_decode_matches_per_row_reference(spark, items):
+    rows = {r["asset_id"]: r for r in decode_images(_media(spark, items)).collect()}
+    for i, p in enumerate(items):
+        r = rows[i]
+        if p:
+            assert r["decode_ok"]
+            assert r["width"] == 16 + p[0] % 64
+            assert r["height"] == 16 + p[-1] % 64
+            assert r["channels"] == 3
+        else:  # null or empty payload
+            assert not r["decode_ok"]
+            assert r["width"] is None and r["height"] is None and r["channels"] is None
