@@ -3080,18 +3080,25 @@ SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
 FROM events
 """,
     doc="Sketch operators as driver-checked accuracy properties: "
-    "HyperLogLog++ distinct count must land within 5% of the exact "
-    "count, and approx_percentile's median within 1% relative of the "
-    "exact interpolated median — both sketches are deterministic given "
-    "the data, and both exact references are recomputed by the oracle. "
-    "At 100 TB the sketches ARE the production path (mergeable, "
-    "bounded-memory partials); the exact aggregates exist to pin them.",
+    "HyperLogLog++ distinct count must land within 3×rsd of the exact "
+    "count (rsd is the STANDARD DEVIATION of the estimator's relative "
+    "error, so a 1×rsd band would reject ~1/3 of all datasets — the "
+    "three-sigma band is the guarantee HLL actually makes; rsd=0.02 "
+    "keeps the absolute band at 6%), and approx_percentile's median "
+    "within 1% relative of the exact interpolated median — both "
+    "sketches are deterministic given the data, and both exact "
+    "references are recomputed by the oracle. At 100 TB the sketches "
+    "ARE the production path (mergeable, bounded-memory partials); the "
+    "exact aggregates exist to pin them. The 1×rsd fragility was found "
+    "by running this mirror at sf0.1: rsd=0.05 landed 1400/1500 = "
+    "6.7% off, a routine 1.3σ draw.",
 )
 def sketch_accuracy_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    rsd = 0.02
     agg = ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id", 0.05).alias("_hll"),
+        F.approx_count_distinct("user_id", rsd).alias("_hll"),
         F.expr("percentile(value, 0.5D)").alias("_p50"),
         F.expr("approx_percentile(value, 0.5D, 10000)").alias("_ap50"),
     )
@@ -3100,7 +3107,7 @@ def sketch_accuracy_props(spark, sf_dir):
         (
             F.abs(F.col("_hll") - F.col("exact_users"))
             / F.col("exact_users")
-            <= 0.05
+            <= 3 * rsd
         ).alias("hll_ok"),
         F.round("_p50", 6).alias("exact_p50"),
         (F.abs(F.col("_ap50") - F.col("_p50")) / F.col("_p50") <= 0.01).alias(

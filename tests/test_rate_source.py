@@ -104,9 +104,12 @@ def test_processing_time_uv_exact_batch(spark, sf_dir):
 
 
 def test_approx_distinct_within_band(spark, sf_dir):
+    # rsd is the STANDARD DEVIATION of the relative error, so assert the
+    # 3-sigma band — a 1×rsd band rejects ~1/3 of datasets (bit us at
+    # sf0.1: rsd=0.05 landed 6.7% off, a routine 1.3σ draw)
     ev = load_table(spark, "events", sf_dir)
     exact = ev.agg(F.count_distinct("user_id")).collect()[0][0]
     approx = ev.agg(F.approx_count_distinct("user_id")).collect()[0][0]
-    assert abs(approx - exact) / exact <= 0.05  # default rsd 0.05
+    assert abs(approx - exact) / exact <= 3 * 0.05  # default rsd 0.05
     tight = ev.agg(F.approx_count_distinct("user_id", rsd=0.01)).collect()[0][0]
-    assert abs(tight - exact) / exact <= 0.02
+    assert abs(tight - exact) / exact <= 3 * 0.01
