@@ -390,6 +390,21 @@ def test_ivf_topk_batch_full_probe_equals_bruteforce(spark, sf_dir):
         recall = len(hits[qid] & {v for v, _ in exact_rows})
         assert recall >= 5, (qid, recall)
 
+    # stored-cell fast path: probing over a materialized assignment
+    # column (assign_cells, the write-time production layout) must be
+    # row-identical to the per-call transform at every probe width
+    from logvision_spark.operators.similarity import assign_cells
+
+    stored = assign_cells(data, model)
+    for n_probe in (4, 8):
+        a = ivf_topk_batch(
+            stored, qs, k=10, n_cells=8, n_probe=n_probe, model=model, cell_col="cell"
+        ).collect()
+        b = ivf_topk_batch(
+            data, qs, k=10, n_cells=8, n_probe=n_probe, model=model
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), n_probe
+
 
 def test_lsh_near_pairs_equal_exact_at_fixture_scale(spark, sf_dir):
     from logvision_spark.operators.similarity import (
