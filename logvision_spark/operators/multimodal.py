@@ -176,7 +176,6 @@ def extract_features(df: DataFrame, dim: int = 64, use_fake: bool = True) -> Dat
             pay = rb.column(rb.schema.get_field_index("payload"))
             if pay.null_count:
                 pay = pay.fill_null(b"")  # null ≡ empty: both fall back to bin 0
-            pay = pay.combine_chunks() if isinstance(pay, pa.ChunkedArray) else pay
             off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
             bufs = pay.buffers()
             offsets = np.frombuffer(
