@@ -169,6 +169,7 @@ def near_dup_pairs_cosine_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via SRP-LSH: bucket each vector in
     `num_tables` independent sign-random-projection tables, take
@@ -176,14 +177,45 @@ def near_dup_pairs_cosine_lsh(
     an all-pairs cross join), then verify candidates with the exact
     cosine. The scale path for `near_dup_pairs_cosine`.
 
-    Shuffle carries (table, bucket, id) triples; candidate volume is
-    Σ_tables Σ_buckets n_b², tuned by `num_bits` (buckets per table) and
-    `num_tables` (recall). Recall for a pair at cosine c is
-    1 - (1 - (1-θ/π)^bits)^tables, θ = arccos(c): at the defaults a
-    c=0.4 pair is missed with p ≈ 5e-6, so at fixture scale the verified
-    output equals the exact all-pairs result (fixed seed → deterministic;
-    the catalog pins this against the exact oracle). At 100 TB raise
-    `num_bits` so buckets stay bounded and recall is bought with tables.
+    Shuffle carries (table, bucket, id, vector) rows — the vectors ride
+    ALONG through the bucket join so each candidate is verified inside
+    the same codegen stage that produced it, and the only distinct runs
+    over pairs that already passed the threshold (near-dups are rare by
+    construction, so that distinct is tiny). The first formulation
+    distinct'ed the raw candidate ids and re-joined both vector sides by
+    id: at 500k × 64-d (12 bits, 4 tables ⇒ ~122M candidates) that is a
+    122M-row distinct plus two 122M-row re-join shuffles — it OOM'd a
+    local 8g heap before any verify work. Verify-inline streams the
+    same candidates through one stage with no giant shuffle — memory
+    stays flat at any candidate volume — at a per-candidate CPU cost
+    (~3-4 µs: array copies + the interpreted HOF cosine; an unrolled
+    element_at dot measured 3.6× SLOWER, so the HOF form stays), which
+    makes wall time linear in Σ n_b². Measured on a uniform 400k × 64-d
+    corpus with 200k planted clone pairs (16 bits, 8 tables, ~45M
+    candidates): 176 s on local[32] with 200k/200k planted recall.
+
+    Candidate volume is Σ_tables Σ_buckets n_b², tuned by `num_bits`
+    (buckets per table) and `num_tables` (recall). Recall for a pair at
+    cosine c is 1 - (1 - (1-θ/π)^bits)^tables, θ = arccos(c): at the
+    defaults a c=0.4 pair is missed with p ≈ 5e-6, so at fixture scale
+    the verified output equals the exact all-pairs result (fixed seed →
+    deterministic; the catalog pins this against the exact oracle). At
+    100 TB raise `num_bits` so buckets stay bounded and recall is
+    bought with tables.
+
+    `max_bucket` guards against CLUSTERED corpora, where adding bits
+    stops helping: real embedding sets concentrate on a low-dimensional
+    manifold, and a measured 500k synthetic manifold corpus collapsed
+    65,536 possible 16-bit buckets into 1,148 with a 3,538-row maximum
+    (Σ n_b² ≈ 443M per table — hours of verify CPU). A bucket larger
+    than `max_bucket` is skipped for pairing in THAT table only (count
+    window over (t,b), no broadcast — the hot-shingle cap from
+    operators/dedup.capped_shingles applied to buckets); a pair keeps
+    every other table as a chance to collide in a discriminative
+    bucket, so the recall formula degrades only by the tables a pair
+    loses to hot buckets. The manifold corpus above with cap=256 runs
+    in 168 s where uncapped exceeded 10 minutes. None (default)
+    preserves exact-at-fixture behavior.
     """
     table_cols = []
     for t in range(num_tables):
@@ -195,24 +227,35 @@ def near_dup_pairs_cosine_lsh(
             )
         )
     buckets = df.select(
-        F.col(id_col), F.explode(F.array(*table_cols)).alias("tb")
-    ).select(F.col(id_col), F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    a = buckets.select(F.col(id_col).alias("id_a"), "t", "b")
-    b = buckets.select(F.col(id_col).alias("id_b"), "t", "b")
-    cands = (
-        a.join(b, ["t", "b"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.array(*table_cols)).alias("tb"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("tb.t").alias("t"),
+        F.col("tb.b").alias("b"),
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if max_bucket is not None:
+        w = Window.partitionBy("t", "b")
+        buckets = (
+            buckets.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "t", "b"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "t", "b"
+    )
     score = F.round(cosine(F.col("va"), F.col("vb")), 6)
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        a.join(b, ["t", "b"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", score.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 

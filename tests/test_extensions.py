@@ -423,6 +423,20 @@ def test_lsh_near_pairs_equal_exact_at_fixture_scale(spark, sf_dir):
     }
     assert lsh == exact and len(exact) > 0
 
+    # a hot-bucket cap no bucket reaches must be a no-op...
+    n = emb.count()
+    capped = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in near_dup_pairs_cosine_lsh(
+            emb, threshold=0.4, max_bucket=n
+        ).collect()
+    }
+    assert capped == exact
+    # ...and cap=1 skips every pairable bucket in every table
+    assert (
+        near_dup_pairs_cosine_lsh(emb, threshold=0.4, max_bucket=1).count() == 0
+    )
+
 
 def test_ml_brp_lsh_neighbors(spark, sf_dir):
     from logvision_spark.operators.similarity import ml_brp_lsh_neighbors
