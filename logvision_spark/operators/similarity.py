@@ -99,6 +99,7 @@ def srp_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qe",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """ANN top-k: restrict the exact re-rank to vectors sharing the
     query's SRP bucket in AT LEAST ONE of `num_tables` independent
@@ -107,7 +108,11 @@ def srp_bucket_topk(
 
     At scale, bucket ids are precomputed/persisted with the vectors and
     the probe is a partition-pruned equi-lookup per table, not a full
-    scan; candidate volume is Σ_t n_bucket(t)."""
+    scan; candidate volume is Σ_t n_bucket(t). On clustered corpora a
+    query can land in a degenerate mega-bucket (see
+    `near_dup_pairs_cosine_lsh`); `max_bucket` skips buckets above the
+    cap per table, bounding re-rank work at the documented recall
+    trade."""
     table_cols, q_cols = [], []
     for t in range(num_tables):
         planes = _hyperplanes(dim, num_bits, seed + 1000 * t)
@@ -126,6 +131,13 @@ def srp_bucket_topk(
     data_b = df.select(
         F.col(id_col), F.explode(F.array(*table_cols)).alias("tb")
     ).select(F.col(id_col), F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    if max_bucket is not None:
+        w = Window.partitionBy("t", "b")
+        data_b = (
+            data_b.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     q_b = query.select(F.explode(F.array(*q_cols)).alias("tb")).select(
         F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
     )

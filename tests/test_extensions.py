@@ -318,6 +318,13 @@ def test_srp_bucket_is_subset_of_bruteforce_order(spark, sf_dir):
         assert exact_scores[r["vec_id"]] == r["cos_sim"]
     # recall sanity: bucket restriction should still surface some true top-50
     assert any(r["vec_id"] in exact for r in approx)
+    # a cap no bucket reaches is a no-op on the probe path too
+    capped = srp_bucket_topk(
+        data, q, dim=64, k=10, num_bits=4, max_bucket=data.count()
+    ).collect()
+    assert {(r["vec_id"], r["cos_sim"]) for r in capped} == {
+        (r["vec_id"], r["cos_sim"]) for r in approx
+    }
 
 
 def test_srp_multitable_recall_vs_bruteforce(spark, sf_dir):
