@@ -44,6 +44,20 @@ FRAME_SAMPLE_SCHEMA = "asset_id long, frame_idx int, frame_ts_ms long"
 HAVE_CODECS = False  # flipped when real decode libs are wired in
 
 
+def _sliced_batches(batches, max_rows: int):
+    """Re-chunk an Arrow RecordBatch stream so no batch exceeds
+    ``max_rows`` rows. Used where an output column's int32 offsets bound
+    the per-batch payload (rows × bytes_per_row must stay < 2^31).
+    Slices are zero-copy views; downstream buffer arithmetic must (and
+    does) honor ``array.offset``."""
+    for whole in batches:
+        if whole.num_rows <= max_rows:
+            yield whole
+            continue
+        for s in range(0, whole.num_rows, max_rows):
+            yield whole.slice(s, max_rows)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real image decode: derives plausible
     dimensions from the payload bytes. Replace with PIL/opencv in prod."""
@@ -74,6 +88,10 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
 
         for rb in batches:
             n = rb.num_rows
+            if n == 0:
+                # a zero-row batch has a 0-byte offsets buffer — nothing
+                # to decode, and frombuffer(count=1) would raise
+                continue
             ids = rb.column(rb.schema.get_field_index("asset_id"))
             if ids.type != pa.int64():  # mapInArrow does not coerce
                 ids = ids.cast(pa.int64())
@@ -170,6 +188,8 @@ def extract_features(df: DataFrame, dim: int = 64, use_fake: bool = True) -> Dat
 
         for rb in batches:
             n = rb.num_rows
+            if n == 0:
+                continue  # 0-byte offsets buffer: nothing to featurize
             ids = rb.column(rb.schema.get_field_index("asset_id"))
             if ids.type != pa.int64():  # mapInArrow does not coerce
                 ids = ids.cast(pa.int64())
@@ -226,8 +246,15 @@ def resize_images(
         import numpy as np
         import pyarrow as pa
 
-        for rb in batches:
+        # Output offsets are int32 (pa.binary()): cap rows per emitted
+        # batch so n * n_bytes can never overflow 2^31 into negative
+        # offsets (silent corruption). int64 math for the bound itself.
+        max_rows = max(1, int((2**31 - 1) // max(1, n_bytes)))
+
+        for rb in _sliced_batches(batches, max_rows):
             n = rb.num_rows
+            if n == 0:
+                continue  # 0-byte offsets buffer: nothing to resize
             ids = rb.column(rb.schema.get_field_index("asset_id"))
             if ids.type != pa.int64():  # mapInArrow does not coerce
                 ids = ids.cast(pa.int64())

@@ -466,6 +466,16 @@ def ivf_topk_batch(
     One corpus pass serves the whole batch; candidate volume is
     Σ_q Σ_probed-cells |cell|. Returns (q_id, id, cos_sim).
     """
+    if cell_col is not None and model is None:
+        # A fresh KMeans fit has no guaranteed centroid-id correspondence
+        # with the stored assignments (seed/data drift ⇒ silently wrong
+        # probes). Stored cells only make sense with the quantizer that
+        # produced them.
+        raise ValueError(
+            "cell_col requires the model that produced the stored "
+            "assignments; refusing to fit a fresh quantizer against "
+            "precomputed cells"
+        )
     if model is None:
         model = fit_ivf(df, n_cells=n_cells, seed=seed, vec_col=vec_col)
     if cell_col is not None:

@@ -413,6 +413,27 @@ def test_ivf_topk_batch_full_probe_equals_bruteforce(spark, sf_dir):
         assert sorted(map(tuple, a)) == sorted(map(tuple, b)), n_probe
 
 
+def test_ivf_batch_cell_col_requires_model(spark, sf_dir):
+    """Stored cells with no quantizer must hard-fail: a silently refit
+    KMeans has no centroid-id correspondence with the assignments."""
+    import pytest
+
+    from logvision_spark.operators.similarity import (
+        assign_cells,
+        fit_ivf,
+        ivf_topk_batch,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    data = emb.where(F.col("vec_id") >= 2)
+    stored = assign_cells(data, fit_ivf(data, n_cells=4, seed=42))
+    with pytest.raises(ValueError, match="cell_col requires the model"):
+        ivf_topk_batch(stored, qs, k=5, cell_col="cell", model=None)
+
+
 def test_lsh_near_pairs_equal_exact_at_fixture_scale(spark, sf_dir):
     from logvision_spark.operators.similarity import (
         near_dup_pairs_cosine,

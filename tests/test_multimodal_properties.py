@@ -84,3 +84,55 @@ def test_decode_matches_per_row_reference(spark, items):
         else:  # null or empty payload
             assert not r["decode_ok"]
             assert r["width"] is None and r["height"] is None and r["channels"] is None
+
+
+def test_kernels_tolerate_empty_input(spark):
+    """Zero-row input (⇒ possibly a 0-byte Arrow offsets buffer) must not
+    raise in any mapInArrow kernel — frombuffer(count=1) on an empty
+    buffer would. Regression for the n==0 guard."""
+    empty = _media(spark, []).where("asset_id IS NOT NULL")
+    assert empty.count() == 0
+    assert extract_features(empty, dim=8).count() == 0
+    assert resize_images(empty, 4, 4).count() == 0
+    assert decode_images(empty).count() == 0
+
+
+def test_sliced_batches_rechunks_and_preserves_rows():
+    """resize's int32-offset guard re-chunks via _sliced_batches: slices
+    must cover every row exactly once and stay zero-copy views (nonzero
+    array offset), which the kernels' buffer math must honor."""
+    import pyarrow as pa
+
+    from logvision_spark.operators.multimodal import _sliced_batches
+
+    rb = pa.RecordBatch.from_pydict(
+        {"asset_id": list(range(10)), "payload": [bytes([i]) * i for i in range(10)]},
+        schema=pa.schema([("asset_id", pa.int64()), ("payload", pa.binary())]),
+    )
+    out = list(_sliced_batches(iter([rb]), 3))
+    assert [b.num_rows for b in out] == [3, 3, 3, 1]
+    assert [b.column(1).offset for b in out] == [0, 3, 6, 9]
+    got = [v.as_py() for b in out for v in b.column(1)]
+    assert got == [bytes([i]) * i for i in range(10)]
+    # small batches pass through untouched
+    assert list(_sliced_batches(iter([rb]), 100)) == [rb]
+
+
+def test_resize_respects_small_output_chunks(spark):
+    """Drive resize through batches larger than the int32-offset row cap
+    by shrinking Arrow batch size indirectly: with maxRecordsPerBatch=4
+    and 10 rows the kernel sees multiple batches AND sliced views; the
+    output must still be row-exact."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        items = [bytes([i]) * (i + 1) for i in range(10)]
+        rows = {
+            r["asset_id"]: r["payload"]
+            for r in resize_images(_media(spark, items).coalesce(1), 3, 1).collect()
+        }
+        for i, p in enumerate(items):
+            assert rows[i] == p[:3].ljust(3, b"\x00"), i
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
