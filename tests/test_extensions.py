@@ -650,3 +650,24 @@ def test_lang_id_on_clear_text(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
     assert out[0] == "en" and out[1] == "de" and out[2] == "und"
+
+
+def test_minhash_exact_groups_is_text_partition(spark):
+    """minhash_exact_groups must equal GROUP BY text exactly: exact dups
+    group (same signature bucket + same content hash), near-dups whose 8
+    minhashes all collide do NOT merge (verify term), and shingle-less
+    short docs (NULL signature bucket) still separate by content."""
+    from logvision_spark.operators.dedup import minhash_exact_groups
+
+    rows = [
+        (0, BASE),
+        (1, BASE),              # exact dup of 0
+        (2, BASE + " extra"),   # near-dup: likely full-signature collision
+        (3, "tiny doc"),        # < 3 tokens: NULL signature
+        (4, "tiny doc"),        # exact dup of 3, also NULL signature
+        (5, "other tiny"),      # NULL signature, different content
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["group_min_id"] for r in minhash_exact_groups(docs).collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 5, 6: 6}
