@@ -189,11 +189,10 @@ def near_dup_pairs_cosine_lsh(
     an all-pairs cross join), then verify candidates with the exact
     cosine. The scale path for `near_dup_pairs_cosine`.
 
-    Shuffle carries (table, bucket, id, vector) rows — the vectors ride
-    ALONG through the bucket join so each candidate is verified inside
-    the same codegen stage that produced it, and the only distinct runs
-    over pairs that already passed the threshold (near-dups are rare by
-    construction, so that distinct is tiny). The first formulation
+    Shuffle carries (table, bucket, id, vector, bucket-array) rows — the
+    vectors ride ALONG through the bucket join so each candidate is
+    verified inside the same codegen stage that produced it, and no
+    distinct runs at all (see emit-once below). The first formulation
     distinct'ed the raw candidate ids and re-joined both vector sides by
     id: at 500k × 64-d (12 bits, 4 tables ⇒ ~122M candidates) that is a
     122M-row distinct plus two 122M-row re-join shuffles — it OOM'd a
@@ -215,59 +214,97 @@ def near_dup_pairs_cosine_lsh(
     100 TB raise `num_bits` so buckets stay bounded and recall is
     bought with tables.
 
+    Candidates are EMIT-ONCE: each row carries its full per-table
+    bucket array through the join, and a pair is verified only in the
+    FIRST table whose buckets match — a zip_with/exists prefix scan
+    over the two arrays (cheap long compares) instead of a 64-d cosine
+    per extra collision. A clone pair colliding in all `num_tables`
+    tables is cosine-verified once, not `num_tables` times then
+    distinct'ed — and because each qualifying pair is emitted by
+    exactly one table, the final ``.distinct()`` (a full shuffle of
+    the output) disappears entirely. Cost: the bucket array
+    (num_tables longs) rides the candidate shuffle next to the vector
+    (dim floats) — noise at realistic dims. Measured on the uniform
+    400k × 64-d corpus with 200k planted clone pairs (16 bits, 8
+    tables): 105 s / full recall vs 176 s for verify-per-table +
+    distinct — same output, one less shuffle.
+
     `max_bucket` guards against CLUSTERED corpora, where adding bits
     stops helping: real embedding sets concentrate on a low-dimensional
     manifold, and a measured 500k synthetic manifold corpus collapsed
     65,536 possible 16-bit buckets into 1,148 with a 3,538-row maximum
     (Σ n_b² ≈ 443M per table — hours of verify CPU). A bucket larger
-    than `max_bucket` is skipped for pairing in THAT table only (count
-    window over (t,b), no broadcast — the hot-shingle cap from
-    operators/dedup.capped_shingles applied to buckets); a pair keeps
-    every other table as a chance to collide in a discriminative
-    bucket, so the recall formula degrades only by the tables a pair
-    loses to hot buckets. The manifold corpus above with cap=256 runs
-    in 168 s where uncapped exceeded 10 minutes. None (default)
-    preserves exact-at-fixture behavior.
+    than `max_bucket` has its entry NULLed in every member's bucket
+    array (count window over (t,b), no broadcast — the hot-shingle cap
+    from operators/dedup.capped_shingles applied to buckets): NULL
+    never equi-joins, so a hot bucket pairs in no table, and the
+    emit-once prefix scan is null-safe so a hot EARLIER table cannot
+    suppress a pair's later discriminative collision — a pair keeps
+    every other table as a chance, and recall degrades only by the
+    tables a pair loses to hot buckets. None (default) preserves
+    exact-at-fixture behavior.
     """
-    table_cols = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_bits, seed + 1000 * t)
-        table_cols.append(
-            F.struct(
-                F.lit(t).alias("t"),
-                srp_bucket_id(F.col(vec_col), planes).alias("b"),
-            )
-        )
-    buckets = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(F.array(*table_cols)).alias("tb"),
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("tb.t").alias("t"),
-        F.col("tb.b").alias("b"),
+    bucket_exprs = [
+        srp_bucket_id(F.col(vec_col), _hyperplanes(dim, num_bits, seed + 1000 * t))
+        for t in range(num_tables)
+    ]
+    base = df.select(
+        F.col(id_col), F.col(vec_col), F.array(*bucket_exprs).alias("_bs")
     )
     if max_bucket is not None:
+        # Nullify hot (t, b) cells in each member's array so they neither
+        # pair nor suppress. Narrow re-agg: (id, t, b) explode → count
+        # window → regroup to (id, array) → join back to the vectors.
+        ex = base.select(F.col(id_col), F.posexplode("_bs").alias("t", "b"))
         w = Window.partitionBy("t", "b")
-        buckets = (
-            buckets.withColumn("_n", F.count(F.lit(1)).over(w))
-            .where(F.col("_n") <= max_bucket)
+        ex = (
+            ex.withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("b", F.when(F.col("_n") <= max_bucket, F.col("b")))
             .drop("_n")
         )
-    a = buckets.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "t", "b"
+        eff = ex.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "b"))), lambda s: s["b"]
+            ).alias("_bs")
+        )
+        base = df.select(F.col(id_col), F.col(vec_col)).join(eff, id_col)
+    sides = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_bs"),
+        F.posexplode("_bs").alias("t", "b"),
+    ).where(F.col("b").isNotNull())
+    a = sides.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_bs").alias("_bs_a"),
+        "t",
+        "b",
     )
-    b = buckets.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "t", "b"
+    bb = sides.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_bs").alias("_bs_b"),
+        "t",
+        "b",
+    )
+    # first colliding table only: no earlier (t' < t) position where both
+    # arrays hold the same non-null bucket
+    emit_once = ~F.exists(
+        F.zip_with(
+            F.slice(F.col("_bs_a"), F.lit(1), F.col("t")),
+            F.slice(F.col("_bs_b"), F.lit(1), F.col("t")),
+            lambda x, y: F.coalesce(x == y, F.lit(False)),
+        ),
+        lambda v: v,
     )
     score = F.round(cosine(F.col("va"), F.col("vb")), 6)
     return (
-        a.join(b, ["t", "b"])
+        a.join(bb, ["t", "b"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(emit_once)
         .select("id_a", "id_b", score.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
-        .distinct()
     )
 
 
