@@ -515,6 +515,15 @@ def near_dup_drop_list(
     # shuffle on id as a separate sizes aggregate, but no pair-side join
     # exchanges afterwards — the ngram_jaccard_pairs layout)
     sh = capped_shingles(df, id_col, text_col, n, max_doc_freq, shingles=shared)
+    if fast:
+        # verify join on an 8-byte shingle hash, not the string: set
+        # sizes and intersection counts are hash-invariant (shingles are
+        # per-doc distinct; an xxhash64 collision would need ~2^32
+        # distinct shingles to matter), and the narrower key measured
+        # 2.09 → 1.63 s at sf0.1. Hash AFTER the doc-freq cap so the cap
+        # semantics stay on true strings; hashing BEFORE it measured
+        # slower (1.98 s) despite the narrower cap shuffle.
+        sh = sh.select("id", F.xxhash64("s").alias("s"))
     sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a, b = sh.alias("a"), sh.alias("b")
     # verify ONLY candidate pairs: join candidates into the shingle match
