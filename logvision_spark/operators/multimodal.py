@@ -69,14 +69,71 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
-    """Decode image payloads → dimensions. Arrow-batched mapInPandas over
+    """Decode image payloads → dimensions. Arrow-batched mapInArrow over
     (asset_id, payload); output is metadata-only (payload dropped — do not
-    carry binaries past the decode boundary)."""
-    if not use_fake and not HAVE_CODECS:
-        raise NotImplementedError(
-            "real image decoding requires PIL/opencv, not present in this "
-            "container; call with use_fake=True for the plumbing path"
-        )
+    carry binaries past the decode boundary).
+
+    ``use_fake=False`` runs a REAL zero-dependency codec: BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER) dimensions are fixed-offset
+    little-endian header reads — 'BM' magic at 0, int32 width at 18,
+    int32 height at 22 (negative ⇒ top-down; reported as |height|),
+    uint16 bits-per-pixel at 28 — all gathered vectorized from the same
+    Arrow buffers the fake path uses. Non-BMP / truncated / unsupported-
+    bpp payloads decode_ok=False with NULL dims, same contract as the
+    fake path's empty-payload case. Formats that need entropy decode
+    (JPEG/PNG) still require PIL/opencv, absent in this container."""
+
+    def _decode_bmp(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue  # 0-byte offsets buffer: nothing to decode
+            ids = rb.column(rb.schema.get_field_index("asset_id"))
+            if ids.type != pa.int64():
+                ids = ids.cast(pa.int64())
+            pay = rb.column(rb.schema.get_field_index("payload"))
+            if pay.null_count:
+                pay = pay.fill_null(b"")
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            bufs = pay.buffers()
+            offsets = np.frombuffer(
+                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
+            )[pay.offset :].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            starts = offsets[:-1]
+            lens = np.diff(offsets)
+            # 54 = 14-byte file header + 40-byte BITMAPINFOHEADER
+            ok = lens >= 54
+            idx = np.where(ok, starts, 0)
+
+            def _u8(o):
+                return data[idx + o].astype(np.int64) if len(data) else np.zeros(n, np.int64)
+
+            ok &= (_u8(0) == 0x42) & (_u8(1) == 0x4D)  # 'BM'
+
+            def _i32(o):
+                u = (_u8(o) | (_u8(o + 1) << 8) | (_u8(o + 2) << 16) | (_u8(o + 3) << 24))
+                return u.astype(np.uint32).view(np.int32).astype(np.int64)
+
+            width = _i32(18)
+            height = _i32(22)
+            bpp = _u8(28) | (_u8(29) << 8)
+            ok &= (width > 0) & (height != 0)
+            ok &= (bpp == 8) | (bpp == 24) | (bpp == 32)
+            mask = ~ok
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(width.astype(np.int32), mask=mask),
+                    pa.array(np.abs(height).astype(np.int32), mask=mask),
+                    pa.array((bpp // 8).astype(np.int32), mask=mask),
+                    pa.array(ok),
+                ],
+                names=["asset_id", "width", "height", "channels", "decode_ok"],
+            )
 
     def _decode(batches):
         # mapInArrow: length / first byte / last byte come straight from
@@ -123,7 +180,42 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
             )
 
     narrow = df.select("asset_id", "payload")
-    return narrow.mapInArrow(_decode, schema=DECODED_IMAGE_SCHEMA)
+    return narrow.mapInArrow(
+        _decode if use_fake else _decode_bmp, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+def _le_hex(v, nbytes: int):
+    """hex string of ``v`` as ``nbytes`` little-endian bytes (JVM exprs)."""
+    parts = [
+        F.lpad(F.hex(F.pmod(F.shiftright(v, 8 * i), F.lit(256))), 2, "0")
+        for i in range(nbytes)
+    ]
+    return F.concat(*parts)
+
+
+def bmp_payload(width, height, pixel_bytes=None):
+    """binary Column holding a REAL minimal BMP for the given dims:
+    'BM' + 14-byte file header + 40-byte BITMAPINFOHEADER (24 bpp,
+    uncompressed), with ``pixel_bytes`` (binary Column) appended as pixel
+    data when given. Pure JVM expressions (hex-compose + unhex): lets
+    tests and catalog fixtures synthesize decodable images with no media
+    library — the exact counterpart of ``decode_images(use_fake=False)``,
+    which reads these headers back."""
+    header_hex = F.concat(
+        F.lit("424D"),  # magic 'BM'
+        F.lit("00000000"),  # file size (unchecked by header readers)
+        F.lit("00000000"),  # reserved
+        F.lit("36000000"),  # pixel-data offset = 54
+        F.lit("28000000"),  # BITMAPINFOHEADER size = 40
+        _le_hex(width, 4),
+        _le_hex(height, 4),
+        F.lit("0100"),  # planes = 1
+        F.lit("1800"),  # bits per pixel = 24
+        F.lit("0" * 48),  # compression/img size/ppm/palette fields
+    )
+    header = F.unhex(header_hex)
+    return header if pixel_bytes is None else F.concat(header, pixel_bytes)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -136,3 +136,64 @@ def test_resize_respects_small_output_chunks(spark):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def _ref_bmp(w: int, h: int, bpp: int = 24, pixels: bytes = b"") -> bytes:
+    import struct
+
+    return (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<IiiHHIIIIII", 40, w, h, 1, bpp, 0, 0, 0, 0, 0, 0)
+        + pixels
+    )
+
+
+def test_bmp_decode_matches_struct_reference(spark):
+    """decode_images(use_fake=False) must parse real BMP headers exactly:
+    positive and negative (top-down) heights, all supported bpps, and
+    reject truncated / non-BMP / odd-bpp payloads with NULL dims."""
+    cases = [
+        (0, _ref_bmp(17, 23), (17, 23, 3, True)),
+        (1, _ref_bmp(640, 480, 32), (640, 480, 4, True)),
+        (2, _ref_bmp(5, -9, 8), (5, 9, 1, True)),          # top-down
+        (3, _ref_bmp(70000, 3), (70000, 3, 3, True)),      # >2-byte dim
+        (4, _ref_bmp(12, 34, 16), (None, None, None, False)),  # bpp 16
+        (5, _ref_bmp(0, 10), (None, None, None, False)),   # zero width
+        (6, _ref_bmp(10, 20)[:40], (None, None, None, False)),  # truncated
+        (7, b"not a bitmap at all, just some text padding!!" * 3,
+         (None, None, None, False)),
+        (8, None, (None, None, None, False)),
+        (9, _ref_bmp(3, 4, 24, b"\x01\x02\x03" * 12), (3, 4, 3, True)),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in cases], "asset_id long, payload binary"
+    )
+    got = {r["asset_id"]: r for r in decode_images(df, use_fake=False).collect()}
+    for i, _, (w, h, c, ok) in cases:
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"], r["decode_ok"]) == (
+            w, h, c, ok,
+        ), f"case {i}: {r}"
+
+
+def test_bmp_payload_roundtrips_through_real_decoder(spark):
+    """bmp_payload (JVM hex-compose) and the buffer-level decoder must be
+    exact inverses, and the bytes must equal the struct.pack reference."""
+    from pyspark.sql import functions as F
+
+    from logvision_spark.operators.multimodal import bmp_payload
+
+    df = spark.createDataFrame(
+        [(i, 16 + i * 37, 16 + i * 91) for i in range(8)],
+        "asset_id long, w int, h int",
+    )
+    built = df.select(
+        "asset_id", "w", "h",
+        bmp_payload(F.col("w"), F.col("h"), F.lit(b"\x00\x01\x02")).alias("payload"),
+    )
+    for r in built.collect():
+        assert bytes(r["payload"]) == _ref_bmp(r["w"], r["h"], 24, b"\x00\x01\x02")
+    got = {r["asset_id"]: r for r in decode_images(built, use_fake=False).collect()}
+    for r in df.collect():
+        d = got[r["asset_id"]]
+        assert (d["width"], d["height"], d["decode_ok"]) == (r["w"], r["h"], True)
