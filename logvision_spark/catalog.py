@@ -90,8 +90,13 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit[1].unpersist()
         except Exception:
             pass  # stopped session: nothing to release
-    sh = exploded_shingles(_t(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Cache xxhash64(shingle) longs, not strings: the production cache
+    # layout — 8-byte keys through every downstream shuffle; signatures
+    # unchanged (pmod(xxhash64(s), P) ≡ pmod(h, P)).
+    sh = (
+        exploded_shingles(_t(spark, sf_dir, "documents"))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _SHINGLE_CACHE["t"] = (key, sh)
     return sh
@@ -2617,6 +2622,7 @@ def dedup_drop_list(spark, sf_dir):
         bands=16,
         fast=True,
         shingles=_shared_shingles(spark, sf_dir),
+        shingles_hashed=True,
     )
 
 

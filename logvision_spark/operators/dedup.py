@@ -216,6 +216,7 @@ def minhash_signatures_agg(
     n: int = 3,
     fast: bool = False,
     shingles: DataFrame | None = None,
+    shingles_hashed: bool = False,
 ) -> DataFrame:
     """MinHash signatures via explode + partial-aggregated min — the scale
     formulation: each shingle is hashed ONCE (vs once per permutation in
@@ -237,13 +238,18 @@ def minhash_signatures_agg(
 
     ``shingles`` (fast path only) supplies a pre-exploded (id, shingle)
     table — e.g. one persisted and shared with a downstream verify pass.
+    ``shingles_hashed=True`` marks its shingle column as ALREADY
+    xxhash64(string) longs (the narrow production cache layout):
+    signatures are unchanged — pmod(xxhash64(s), P) ≡ pmod(h, P) — but
+    the cache and every downstream shuffle carry 8-byte keys.
     """
     if fast:
         sh = shingles if shingles is not None else exploded_shingles(
             df, id_col, text_col, n
         )
         # pmod into the prime field so permutation math can't overflow ANSI
-        h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(POLY_MOD))
+        pre = F.col("shingle") if shingles_hashed else F.xxhash64(F.col("shingle"))
+        h = F.pmod(pre, F.lit(POLY_MOD))
         hashed = sh.select(id_col, h.alias("_h"))
     else:
         staged = df.select(
@@ -428,6 +434,7 @@ def minhash_candidate_pairs(
     n: int = 3,
     fast: bool = False,
     shingles: DataFrame | None = None,
+    shingles_hashed: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on at least one band of their
     MinHash signature. rows_per_band = num_hashes/bands controls precision;
@@ -436,7 +443,7 @@ def minhash_candidate_pairs(
     rows = num_hashes // bands
     sig = minhash_signatures_agg(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n,
-        fast=fast, shingles=shingles,
+        fast=fast, shingles=shingles, shingles_hashed=shingles_hashed,
     ).withColumnRenamed(id_col, "id")
     band_cols = []
     for bi in range(bands):
@@ -477,6 +484,7 @@ def near_dup_drop_list(
     fast: bool = True,
     max_doc_freq: int | None = 1000,
     shingles: DataFrame | None = None,
+    shingles_hashed: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup dedup decision: MinHash-LSH candidates →
     exact-Jaccard verification → greedy keep-lowest-id. Returns the DROP
@@ -495,7 +503,10 @@ def near_dup_drop_list(
 
     ``shingles`` lets a caller that manages cache lifecycle supply ONE
     persisted (id, shingle) table for both the signature pass and the
-    verify pass (fast path only — the portable path derives signatures
+    verify pass; with ``shingles_hashed=True`` its shingle column holds
+    xxhash64(string) longs (the narrow production layout — 8-byte keys
+    through every downstream shuffle, identical signatures and
+    hash-invariant Jaccard) (fast path only — the portable path derives signatures
     from word-composed folds, not shingle strings). With an
     already-materialized cache the whole operator runs ~2× faster at
     sf0.1; WITHOUT caller-side persistence sharing is a loss, not a win
@@ -510,19 +521,21 @@ def near_dup_drop_list(
     cands = minhash_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, n=n, fast=fast, shingles=shared,
+        shingles_hashed=shingles_hashed,
     )
     # capped shingle sizes ride along as a count window (same single
     # shuffle on id as a separate sizes aggregate, but no pair-side join
     # exchanges afterwards — the ngram_jaccard_pairs layout)
     sh = capped_shingles(df, id_col, text_col, n, max_doc_freq, shingles=shared)
-    if fast:
+    if fast and not shingles_hashed:
         # verify join on an 8-byte shingle hash, not the string: set
         # sizes and intersection counts are hash-invariant (shingles are
         # per-doc distinct; an xxhash64 collision would need ~2^32
         # distinct shingles to matter), and the narrower key measured
         # 2.09 → 1.63 s at sf0.1. Hash AFTER the doc-freq cap so the cap
         # semantics stay on true strings; hashing BEFORE it measured
-        # slower (1.98 s) despite the narrower cap shuffle.
+        # slower (1.98 s) despite the narrower cap shuffle. (With a
+        # pre-hashed shared cache the values already ARE these longs.)
         sh = sh.select("id", F.xxhash64("s").alias("s"))
     sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a, b = sh.alias("a"), sh.alias("b")

@@ -671,3 +671,27 @@ def test_minhash_exact_groups_is_text_partition(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r["group_min_id"] for r in minhash_exact_groups(docs).collect()}
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 5, 6: 6}
+
+
+def test_near_dup_drop_list_hashed_cache_identical(spark, docs):
+    """A pre-hashed (id, xxhash64(shingle)) cache must yield the same
+    drop list as strings: signatures are pmod-invariant and Jaccard is
+    hash-invariant — the narrow production cache layout."""
+    from pyspark.sql import functions as F
+
+    from logvision_spark.operators.dedup import (
+        exploded_shingles,
+        near_dup_drop_list,
+    )
+
+    base = {r["doc_id"] for r in near_dup_drop_list(docs).collect()}
+    hashed = exploded_shingles(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    got = {
+        r["doc_id"]
+        for r in near_dup_drop_list(
+            docs, shingles=hashed, shingles_hashed=True
+        ).collect()
+    }
+    assert got == base
