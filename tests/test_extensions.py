@@ -498,9 +498,22 @@ def test_multimodal_decode_plumbing(spark):
 
 
 def test_multimodal_decode_real_codec_gate(spark):
+    """use_fake=False is now the REAL zero-dependency BMP codec: random
+    (non-BMP) payloads decode_ok=False instead of raising, while the
+    pixel-level ops (features/resize) stay honestly gated on PIL."""
+    from logvision_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
     media = synth_media(spark, n=3)
+    rows = decode_images(media, use_fake=False).collect()
+    assert len(rows) == 3
+    assert all(not r["decode_ok"] and r["width"] is None for r in rows)
     with pytest.raises(NotImplementedError):
-        decode_images(media, use_fake=False)
+        extract_features(media, use_fake=False)
+    with pytest.raises(NotImplementedError):
+        resize_images(media, use_fake=False)
 
 
 def test_feature_extraction_null_and_empty_payloads(spark):
