@@ -149,6 +149,7 @@ def exploded_shingles(
     text_col: str = "text",
     n: int = 3,
     outer: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, shingle) rows with the token array staged as a real column
     first. Staging matters: an inline `split()` inside the shingle lambda
@@ -156,9 +157,14 @@ def exploded_shingles(
     interpreted higher-order functions) — measured 8× slower at sf0.1.
 
     ``outer=True`` keeps shingle-less docs (< n tokens) as one NULL-shingle
-    row (explode_outer) so id-preserving aggregations don't drop them."""
+    row (explode_outer) so id-preserving aggregations don't drop them.
+    ``carry`` names extra columns of ``df`` to ride along (e.g. a content
+    hash consumed by the same aggregation — free through a partial-agg
+    shuffle, saves its own scan+join)."""
     staged = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.split(F.col(text_col), " ").alias("_toks"),
     )
     tk = F.col("_toks")
     shingles = F.array_distinct(
@@ -175,7 +181,7 @@ def exploded_shingles(
         F.array().cast("array<string>")
     )
     exploder = F.explode_outer if outer else F.explode
-    return staged.select(id_col, exploder(guarded).alias("shingle"))
+    return staged.select(id_col, *carry, exploder(guarded).alias("shingle"))
 
 
 def shingle_hashes(text: Column, n: int = 3, fast: bool = False) -> Column:
@@ -311,21 +317,28 @@ def minhash_exact_groups(
     ≈0.9 collide on all 8 hashes ~43% of the time — measured 213/5000
     merged rows at sf0.1 — hence the verify term.)
 
-    Shuffle shape at scale: signature agg (id → 8 longs), join back by
-    id, window over (8 longs + content hash) — all narrow; the text
-    never rides a shuffle. Docs with < n tokens have no shingles → NULL
-    signature; they window as one NULL bucket where the content hash
-    still separates them correctly."""
-    sig = minhash_signatures_agg(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n, fast=True
+    Shuffle shape at scale: ONE pass — the content hash rides the
+    signature aggregation (constant per doc, so it is a grouping key the
+    partial agg collapses map-side; the shuffle carries id + 8 longs +
+    chash per doc, no extra scan, no join) — then a window over
+    (8 longs + content hash). The text never rides a shuffle. Docs with
+    < n tokens keep one NULL-shingle row (explode_outer ⇒ a shared
+    constant signature from xxhash64(NULL)=42); the content hash still
+    separates them correctly."""
+    pre = df.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_chash"), F.col(text_col)
     )
-    hashed = df.select(
-        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_chash")
-    )
-    joined = hashed.join(sig, id_col, "left")
+    sh = exploded_shingles(pre, id_col, text_col, n, outer=True, carry=("_chash",))
+    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(POLY_MOD))
+    hashed = sh.select(F.col(id_col), F.col("_chash"), h.alias("_h"))
+    aggs = []
+    for j in range(num_hashes):
+        a, b = MINHASH_SEEDS[j % len(MINHASH_SEEDS)]
+        aggs.append(F.min((F.col("_h") * a + b) % POLY_MOD).alias(f"h{j}"))
+    sig = hashed.groupBy(id_col, "_chash").agg(*aggs)
     sig_cols = [f"h{j}" for j in range(num_hashes)]
     w = Window.partitionBy(*sig_cols, "_chash")
-    return joined.select(
+    return sig.select(
         F.col(id_col), F.min(id_col).over(w).alias("group_min_id")
     )
 
