@@ -110,7 +110,14 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
             idx = np.where(ok, starts, 0)
 
             def _u8(o):
-                return data[idx + o].astype(np.int64) if len(data) else np.zeros(n, np.int64)
+                # clamp: rows failing the length gate gather a dummy
+                # in-bounds byte (idx 0) — but the values buffer itself
+                # can be SHORTER than one header when every payload in
+                # the batch is small, so the clamp must bound the read,
+                # not just redirect it (fuzz-found)
+                if not len(data):
+                    return np.zeros(n, np.int64)
+                return data[np.minimum(idx + o, len(data) - 1)].astype(np.int64)
 
             ok &= (_u8(0) == 0x42) & (_u8(1) == 0x4D)  # 'BM'
 

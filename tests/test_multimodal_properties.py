@@ -197,3 +197,25 @@ def test_bmp_payload_roundtrips_through_real_decoder(spark):
     for r in df.collect():
         d = got[r["asset_id"]]
         assert (d["width"], d["height"], d["decode_ok"]) == (r["w"], r["h"], True)
+
+
+@given(st.lists(st.one_of(st.none(), st.binary(min_size=0, max_size=120)),
+                min_size=1, max_size=16))
+@SET
+def test_bmp_decoder_never_crashes_on_arbitrary_bytes(spark, items):
+    """Fuzz: the real decoder is exposed to untrusted payload bytes; any
+    input must produce a row (ok or not), never an exception, and
+    decode_ok=True only for payloads long enough to hold a full header
+    with the BM magic."""
+    df = spark.createDataFrame(
+        list(enumerate(items)), "asset_id long, payload binary"
+    )
+    rows = {r["asset_id"]: r for r in decode_images(df, use_fake=False).collect()}
+    assert set(rows) == set(range(len(items)))
+    for i, p in enumerate(items):
+        r = rows[i]
+        if r["decode_ok"]:
+            assert p is not None and len(p) >= 54 and p[:2] == b"BM"
+            assert r["width"] > 0 and r["height"] > 0
+        else:
+            assert r["width"] is None and r["channels"] is None
