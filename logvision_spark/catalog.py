@@ -2791,6 +2791,57 @@ def mm_decode_real(spark, sf_dir):
 
 
 @register(
+    "mm_resize_real",
+    oracle="""
+SELECT doc_id AS asset_id,
+  CASE WHEN doc_id % 10 = 7 THEN NULL ELSE CAST(8 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 10 = 7 THEN NULL ELSE CAST(8 AS INTEGER) END AS height,
+  CASE WHEN doc_id % 10 = 7 THEN NULL ELSE CAST(246 AS BIGINT) END AS out_bytes,
+  doc_id % 10 <> 7 AS resize_ok
+FROM documents
+""",
+    doc="REAL pixel-level resize end-to-end, no media library: 24-bpp "
+    "BMPs with doc_id-derived dims (w ∈ {4..32} multiples of 4, "
+    "h ∈ {1..5}) and a full rpad-exact pixel area are synthesized "
+    "JVM-side, then nearest-neighbor-resized to 8×8 by "
+    "resize_images(use_fake=False) — bottom-up rows, 4-byte padding, "
+    "BGR gather all real (pixel-exactness vs an independent numpy "
+    "reference is pinned in tests/test_multimodal_properties.py). "
+    "Emits the reconstructed geometry + output byte length "
+    "(54 + 8 rows × 24-byte stride = 246). Every 10th doc ships "
+    "headerless bytes: NULL row, pinning the failure contract.",
+)
+def mm_resize_real(spark, sf_dir):
+    from logvision_spark.operators.multimodal import bmp_payload, resize_images
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.lit(4) * (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(8)))).cast("int")
+    h = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
+    # stride = 3w exactly (w % 4 == 0), so the pixel area is 3*w*h bytes:
+    # rpad gives that exact length (fixture text is all-ASCII)
+    px = F.encode(
+        F.expr("rpad(text, (4 * (1 + doc_id % 8)) * (1 + doc_id % 5) * 3, 'x')"),
+        "UTF-8",
+    )
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) == 7, F.encode(F.col("text"), "UTF-8")
+        )
+        .otherwise(bmp_payload(w, h, px))
+        .alias("payload"),
+    )
+    out = resize_images(assets, 8, 8, use_fake=False)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("out_bytes"),
+        F.col("payload").isNotNull().alias("resize_ok"),
+    )
+
+
+@register(
     "mm_frame_sample",
     oracle="""
 WITH a AS (SELECT doc_id AS asset_id,

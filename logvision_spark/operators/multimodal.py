@@ -326,11 +326,23 @@ def extract_features(df: DataFrame, dim: int = 64, use_fake: bool = True) -> Dat
 def resize_images(
     df: DataFrame, target_w: int = 32, target_h: int = 32, use_fake: bool = True
 ) -> DataFrame:
-    """Resize plumbing: payload → resized payload + new dims. The codec
-    call is stubbed (deterministic truncation/padding of the byte payload
-    to target_w*target_h); schema and batch shape are the real contract."""
-    if not use_fake and not HAVE_CODECS:
-        raise NotImplementedError("real resize needs PIL/opencv")
+    """Resize plumbing: payload → resized payload + new dims. The fake
+    path truncates/pads the byte payload to target_w*target_h (schema
+    and batch shape are the real contract).
+
+    ``use_fake=False`` is a REAL zero-dependency resize for 24-bpp
+    uncompressed BMP payloads: nearest-neighbor over the actual pixel
+    grid (bottom-up rows, 4-byte row padding, BGR order all honored),
+    emitting a well-formed BMP of the target size that
+    ``decode_images(use_fake=False)`` round-trips. Source dims vary per
+    asset, so the gather index is built per row — but each row's resize
+    is one vectorized numpy fancy-index over target_h×target_w pixels,
+    which is the same work profile a PIL call would have at this
+    boundary. Non-BMP / non-24-bpp payloads yield a NULL payload row
+    (resize_ok semantics via width/height NULLs), mirroring the decode
+    contract. JPEG/PNG still need PIL."""
+    if not use_fake:
+        return _resize_bmp_real(df, target_w, target_h)
 
     n_bytes = target_w * target_h
 
@@ -398,6 +410,102 @@ def resize_images(
             )
 
     return df.select("asset_id", "payload").mapInArrow(_resize, schema=RESIZE_SCHEMA)
+
+
+def _resize_bmp_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Real nearest-neighbor resize of 24-bpp uncompressed BMP payloads
+    (see resize_images(use_fake=False)). Per-row gather is unavoidable
+    (source dims differ per asset); each row is one vectorized numpy
+    fancy-index. Output BMPs are bottom-up 24-bpp with standard 4-byte
+    row padding and round-trip through decode_images(use_fake=False)."""
+    out_stride = (target_w * 3 + 3) // 4 * 4
+    out_total = 54 + target_h * out_stride
+
+    def _kernel(batches):
+        import struct
+
+        import numpy as np
+        import pyarrow as pa
+
+        header_prefix = b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+
+        def _out_header():
+            return header_prefix + struct.pack(
+                "<IiiHHIIIIII", 40, target_w, target_h, 1, 24, 0, 0, 0, 0, 0, 0
+            )
+
+        max_rows = max(1, min(65536, (2**31 - 1) // max(1, out_total)))
+        for rb in _sliced_batches(batches, max_rows):
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(rb.schema.get_field_index("asset_id"))
+            if ids.type != pa.int64():
+                ids = ids.cast(pa.int64())
+            pay = rb.column(rb.schema.get_field_index("payload"))
+            if pay.null_count:
+                pay = pay.fill_null(b"")
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            bufs = pay.buffers()
+            offsets = np.frombuffer(
+                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
+            )[pay.offset :].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            ty = np.arange(target_h)
+            tx3 = np.arange(target_w) * 3
+            ch = np.arange(3)
+            payloads: list[bytes | None] = []
+            for i in range(n):
+                b = data[offsets[i] : offsets[i + 1]]
+                if len(b) < 54 or b[0] != 0x42 or b[1] != 0x4D:
+                    payloads.append(None)
+                    continue
+                w = int.from_bytes(b[18:22], "little", signed=True)
+                h = int.from_bytes(b[22:26], "little", signed=True)
+                bpp = int.from_bytes(b[28:30], "little")
+                px_off = int.from_bytes(b[10:14], "little")
+                ah = abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                if (
+                    bpp != 24
+                    or w <= 0
+                    or h == 0
+                    or px_off < 54
+                    or px_off + stride * ah > len(b)
+                ):
+                    payloads.append(None)
+                    continue
+                # image-space row of each output row (output is stored
+                # bottom-up), mapped into the source's storage order
+                out_img_row = target_h - 1 - ty
+                src_img_row = (out_img_row * ah) // target_h
+                src_store_row = (ah - 1 - src_img_row) if h > 0 else src_img_row
+                src_x = (tx3 // 3 * w) // target_w * 3
+                idx = (
+                    px_off
+                    + src_store_row[:, None, None] * stride
+                    + src_x[None, :, None]
+                    + ch[None, None, :]
+                )
+                out_img = np.zeros((target_h, out_stride), dtype=np.uint8)
+                out_img[:, : target_w * 3] = b[idx].reshape(target_h, target_w * 3)
+                payloads.append(_out_header() + out_img.tobytes())
+            ok = np.array([p is not None for p in payloads])
+            mask = ~ok
+            const = np.full(n, 0, dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(const + target_w, mask=mask),
+                    pa.array(const + target_h, mask=mask),
+                    pa.array(payloads, type=pa.binary()),
+                ],
+                names=["asset_id", "width", "height", "payload"],
+            )
+
+    return df.select("asset_id", "payload").mapInArrow(
+        _kernel, schema=RESIZE_SCHEMA
+    )
 
 
 def right_size_partitions(

@@ -510,10 +510,11 @@ def test_multimodal_decode_real_codec_gate(spark):
     rows = decode_images(media, use_fake=False).collect()
     assert len(rows) == 3
     assert all(not r["decode_ok"] and r["width"] is None for r in rows)
+    # real resize handles BMP only: random payloads yield NULL rows
+    rrows = resize_images(media, 4, 4, use_fake=False).collect()
+    assert all(r["payload"] is None and r["width"] is None for r in rrows)
     with pytest.raises(NotImplementedError):
         extract_features(media, use_fake=False)
-    with pytest.raises(NotImplementedError):
-        resize_images(media, use_fake=False)
 
 
 def test_feature_extraction_null_and_empty_payloads(spark):

@@ -219,3 +219,79 @@ def test_bmp_decoder_never_crashes_on_arbitrary_bytes(spark, items):
             assert r["width"] > 0 and r["height"] > 0
         else:
             assert r["width"] is None and r["channels"] is None
+
+
+def _ref_bmp_pixels(w: int, h: int, seed: int = 0) -> tuple[bytes, "object"]:
+    """A real padded 24-bpp BMP with a deterministic pixel pattern;
+    returns (payload, image) where image[y][x] = (b, g, r) in IMAGE space
+    (row 0 = top)."""
+    import numpy as np
+
+    img = (
+        (np.arange(h)[:, None, None] * 7 + np.arange(w)[None, :, None] * 13
+         + np.arange(3)[None, None, :] * 29 + seed) % 256
+    ).astype(np.uint8)
+    stride = (w * 3 + 3) // 4 * 4
+    area = np.zeros((h, stride), dtype=np.uint8)
+    area[:, : w * 3] = img[::-1].reshape(h, w * 3)  # bottom-up storage
+    return _ref_bmp(w, h, 24, area.tobytes()), img
+
+
+def test_real_bmp_resize_is_nearest_neighbor_exact(spark):
+    """resize_images(use_fake=False) must equal an independent numpy
+    nearest-neighbor reference pixel-for-pixel, across non-multiple-of-4
+    widths (row padding), upscales and downscales."""
+    import numpy as np
+
+    from logvision_spark.operators.multimodal import resize_images
+
+    cases = [(0, 7, 5), (1, 16, 16), (2, 3, 9), (3, 10, 2)]
+    payloads, imgs = {}, {}
+    for i, w, h in cases:
+        payloads[i], imgs[i] = _ref_bmp_pixels(w, h, seed=i)
+    tw, th = 6, 4
+    df = spark.createDataFrame(
+        [(i, payloads[i]) for i, _, _ in cases], "asset_id long, payload binary"
+    )
+    got = {r["asset_id"]: r for r in resize_images(df, tw, th, use_fake=False).collect()}
+    out_stride = (tw * 3 + 3) // 4 * 4
+    for i, w, h in cases:
+        r = got[i]
+        assert (r["width"], r["height"]) == (tw, th)
+        p = bytes(r["payload"])
+        assert len(p) == 54 + th * out_stride and p[:2] == b"BM"
+        # reference: image-space nearest neighbor
+        src = imgs[i]
+        ys = (np.arange(th) * h) // th
+        xs = (np.arange(tw) * w) // tw
+        expect = src[ys][:, xs]  # (th, tw, 3) image space
+        area = np.frombuffer(p[54:], dtype=np.uint8).reshape(th, out_stride)
+        out_img = area[:, : tw * 3].reshape(th, tw, 3)[::-1]  # bottom-up → image
+        assert np.array_equal(out_img, expect), f"case {i}"
+
+
+def test_real_bmp_resize_roundtrips_and_handles_topdown(spark):
+    """Resized output must re-decode with the real decoder at the target
+    dims, and a top-down (negative height) source must produce the same
+    image as its bottom-up twin."""
+    import numpy as np
+    import struct
+
+    from logvision_spark.operators.multimodal import resize_images
+
+    up, img = _ref_bmp_pixels(5, 3, seed=9)
+    # top-down twin: negate height, store rows in image order
+    stride = (5 * 3 + 3) // 4 * 4
+    area = np.zeros((3, stride), dtype=np.uint8)
+    area[:, : 5 * 3] = img.reshape(3, 5 * 3)
+    down = _ref_bmp(5, -3, 24, area.tobytes())
+    df = spark.createDataFrame(
+        [(0, up), (1, down)], "asset_id long, payload binary"
+    )
+    out = resize_images(df, 4, 4, use_fake=False)
+    rows = {r["asset_id"]: bytes(r["payload"]) for r in out.collect()}
+    assert rows[0] == rows[1]  # same image, either storage order
+    redecoded = {r["asset_id"]: r for r in decode_images(out, use_fake=False).collect()}
+    for i in (0, 1):
+        r = redecoded[i]
+        assert r["decode_ok"] and (r["width"], r["height"]) == (4, 4)
