@@ -2842,6 +2842,53 @@ def mm_resize_real(spark, sf_dir):
 
 
 @register(
+    "mm_features_real",
+    oracle="""
+WITH a AS (
+  SELECT doc_id,
+         rpad(text, CAST((4 * (1 + doc_id % 8)) * (1 + doc_id % 5) * 3
+                    AS INTEGER), 'x') AS px
+  FROM documents WHERE doc_id % 10 <> 7
+),
+c AS (SELECT doc_id, unnest(string_split(px, '')) AS ch FROM a)
+SELECT doc_id AS asset_id, CAST(ascii(ch) // 4 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM c GROUP BY 1, 2
+""",
+    doc="REAL pixel-level feature extraction end-to-end, no media "
+    "library: the same synthesized 24-bpp BMPs as mm_resize_real run "
+    "through pixel_histograms — intensity histogram over the ACTUAL "
+    "decoded pixel area (header and 4-byte row padding excluded; "
+    "bucket = intensity*64/256) as sparse integer rows, which hash "
+    "bit-for-bit cross-engine (the oracle rebuilds the counts from the "
+    "same rpad-exact pixel bytes; fixture text is all-ASCII so byte ≡ "
+    "ascii(char)). Every 10th doc ships headerless bytes and emits no "
+    "rows — the failure contract. The normalized float embedding "
+    "(extract_features) remains the similarity-pipeline surface; this "
+    "primitive is its driver-checkable integer core.",
+)
+def mm_features_real(spark, sf_dir):
+    from logvision_spark.operators.multimodal import bmp_payload, pixel_histograms
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.lit(4) * (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(8)))).cast("int")
+    h = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
+    px = F.encode(
+        F.expr("rpad(text, (4 * (1 + doc_id % 8)) * (1 + doc_id % 5) * 3, 'x')"),
+        "UTF-8",
+    )
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) == 7, F.encode(F.col("text"), "UTF-8")
+        )
+        .otherwise(bmp_payload(w, h, px))
+        .alias("payload"),
+    )
+    return pixel_histograms(assets, dim=64)
+
+
+@register(
     "mm_frame_sample",
     oracle="""
 WITH a AS (SELECT doc_id AS asset_id,

@@ -412,6 +412,83 @@ def resize_images(
     return df.select("asset_id", "payload").mapInArrow(_resize, schema=RESIZE_SCHEMA)
 
 
+PIXEL_HIST_SCHEMA = "asset_id long, bucket int, cnt long"
+
+
+def pixel_histograms(df: DataFrame, dim: int = 64) -> DataFrame:
+    """REAL pixel-level feature primitive, zero dependencies: for 24-bpp
+    uncompressed BMP payloads, the intensity histogram over the ACTUAL
+    pixel bytes — header and row padding excluded, top-down/bottom-up
+    irrelevant to a histogram — as sparse integer rows
+    ``(asset_id, bucket, cnt)`` with bucket = intensity*dim/256.
+    Integer-exact cross-engine (the driver oracle rebuilds the same
+    counts), which is why this primitive exists alongside
+    ``extract_features``' normalized float embedding: counts hash
+    bit-for-bit, norms don't. Non-BMP payloads emit no rows."""
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids_arr = rb.column(rb.schema.get_field_index("asset_id"))
+            if ids_arr.type != pa.int64():
+                ids_arr = ids_arr.cast(pa.int64())
+            ids = ids_arr.to_numpy(zero_copy_only=False)
+            pay = rb.column(rb.schema.get_field_index("payload"))
+            if pay.null_count:
+                pay = pay.fill_null(b"")
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            bufs = pay.buffers()
+            offsets = np.frombuffer(
+                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
+            )[pay.offset :].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            out_ids, out_buckets, out_cnts = [], [], []
+            for i in range(n):
+                b = data[offsets[i] : offsets[i + 1]]
+                if len(b) < 54 or b[0] != 0x42 or b[1] != 0x4D:
+                    continue
+                w = int.from_bytes(b[18:22], "little", signed=True)
+                h = int.from_bytes(b[22:26], "little", signed=True)
+                bpp = int.from_bytes(b[28:30], "little")
+                px_off = int.from_bytes(b[10:14], "little")
+                ah = abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                if (
+                    bpp != 24
+                    or w <= 0
+                    or h == 0
+                    or px_off < 54
+                    or px_off + stride * ah > len(b)
+                ):
+                    continue
+                area = b[px_off : px_off + stride * ah].reshape(ah, stride)
+                px = area[:, : w * 3].ravel().astype(np.int64)
+                hist = np.bincount(px * dim // 256, minlength=dim)
+                nz = np.nonzero(hist)[0]
+                out_ids.append(np.full(len(nz), ids[i], dtype=np.int64))
+                out_buckets.append(nz.astype(np.int32))
+                out_cnts.append(hist[nz].astype(np.int64))
+            if not out_ids:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_ids)),
+                    pa.array(np.concatenate(out_buckets)),
+                    pa.array(np.concatenate(out_cnts)),
+                ],
+                names=["asset_id", "bucket", "cnt"],
+            )
+
+    return df.select("asset_id", "payload").mapInArrow(
+        _kernel, schema=PIXEL_HIST_SCHEMA
+    )
+
+
 def _resize_bmp_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Real nearest-neighbor resize of 24-bpp uncompressed BMP payloads
     (see resize_images(use_fake=False)). Per-row gather is unavoidable

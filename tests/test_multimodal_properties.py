@@ -295,3 +295,30 @@ def test_real_bmp_resize_roundtrips_and_handles_topdown(spark):
     for i in (0, 1):
         r = redecoded[i]
         assert r["decode_ok"] and (r["width"], r["height"]) == (4, 4)
+
+
+def test_pixel_histograms_exclude_header_and_padding(spark):
+    """pixel_histograms must count ONLY true pixel bytes: the 54-byte
+    header and the per-row 4-byte padding (which hold arbitrary values)
+    never reach the histogram; non-BMP payloads emit no rows."""
+    import numpy as np
+
+    from logvision_spark.operators.multimodal import pixel_histograms
+
+    w, h = 3, 2                  # stride 12, 3 pad bytes per row
+    img = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3) * 10
+    stride = (w * 3 + 3) // 4 * 4
+    area = np.full((h, stride), 255, dtype=np.uint8)  # padding = 0xFF
+    area[:, : w * 3] = img[::-1].reshape(h, w * 3)
+    bmp = _ref_bmp(w, h, 24, area.tobytes())
+    df = spark.createDataFrame(
+        [(0, bmp), (1, b"junk" * 40)], "asset_id long, payload binary"
+    )
+    rows = pixel_histograms(df, dim=64).collect()
+    assert {r["asset_id"] for r in rows} == {0}
+    got = {r["bucket"]: r["cnt"] for r in rows}
+    expect: dict[int, int] = {}
+    for v in img.ravel():
+        b = int(v) * 64 // 256
+        expect[b] = expect.get(b, 0) + 1
+    assert got == expect          # 0xFF padding (bucket 63) never counted
