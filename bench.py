@@ -76,6 +76,20 @@ NEW = [
     "ivf_topk_batch",
 ]
 
+# Round-4 additions (same pattern: own subtotal, own attribution; CORE
+# and NEW stay comparable across rounds). sim_near_pairs_lsh is NOT here
+# although its internals changed in r4: its catalog parameters are
+# recall-tuned for oracle-exactness (2 bits × 24 tables ⇒ ~75M verified
+# candidates at sf0.1, ~2 min by candidate volume, not plan quality) —
+# the emit-once A/B evidence lives in ARCHITECTURE.md on corpora sized
+# for it.
+R4 = [
+    "mm_decode_real",
+    "mm_resize_real",
+    "mm_features_real",
+    "a_value_decile_histogram_approx",
+]
+
 
 def _get_spark():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -169,7 +183,7 @@ def _bench_parse_throughput(spark, n_rows: int = 400_000) -> float:
 
 def _run_child(which: str, sf_dir: str) -> None:
     """Run one measurement set in this (fresh) JVM; print partial JSON."""
-    if which not in ("parse", "core", "new"):
+    if which not in ("parse", "core", "new", "r4"):
         raise SystemExit(f"unknown bench set: {which!r}")
     spark = _get_spark()
     if which == "parse":
@@ -181,7 +195,7 @@ def _run_child(which: str, sf_dir: str) -> None:
         }
     else:
         _warm_up(spark, sf_dir)
-        names = CORE if which == "core" else NEW
+        names = {"core": CORE, "new": NEW, "r4": R4}[which]
         # Two full passes in THIS one JVM (r3 verdict diagnostic): if a
         # query's r-over-r delta is JVM-warmup redistribution, pass 2
         # converges to pass 1's min; a plan regression reproduces in both.
@@ -226,11 +240,14 @@ def main() -> None:
         parse = _spawn("parse", sf_dir)
         core = _spawn("core", sf_dir)
         new = _spawn("new", sf_dir)
+        r4 = _spawn("r4", sf_dir)
         timings = core["queries"]
         timings_new = new["queries"]
+        timings_r4 = r4["queries"]
         pass2 = {
             **core.get("queries_pass2", {}),
             **new.get("queries_pass2", {}),
+            **r4.get("queries_pass2", {}),
         }
         parse_rows = parse["parse_rows_per_sec"]
         parse_rows_4m = parse.get("parse_rows_per_sec_4m")
@@ -247,6 +264,7 @@ def main() -> None:
         _warm_up(spark, sf_dir)
         timings = _time_set(spark, sf_dir, CORE)
         timings_new = _time_set(spark, sf_dir, NEW)
+        timings_r4 = _time_set(spark, sf_dir, R4)
         pass2 = {}
         spark.stop()
         isolated = False
@@ -258,9 +276,10 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, **timings_new},
+                "queries": {**timings, **timings_new, **timings_r4},
                 "core_total": total,
                 "new_total": round(sum(timings_new.values()), 4),
+                "r4_total": round(sum(timings_r4.values()), 4),
                 "sf": sf,
                 "parse_rows_per_sec": parse_rows,
                 "parse_rows_per_sec_4m": parse_rows_4m,
