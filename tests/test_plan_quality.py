@@ -288,3 +288,47 @@ def test_latest_event_is_single_aggregation_no_window(spark, sf_dir):
     plan = explain_str(CATALOG["a_latest_event_per_user"].builder(spark, sf_dir))
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_mm_real_codec_entries_single_maparrow_no_exchange(spark, sf_dir):
+    """The real-codec entries must stay one MapInArrow over a
+    payload-narrow projection: decode adds ZERO exchanges; the histogram
+    entry shuffles only its sparse (asset, bucket) aggregate."""
+    from logvision_spark.plans.checks import explain_str
+
+    for name, max_exchanges in (
+        ("mm_decode_real", 0),
+        ("mm_resize_real", 0),
+        ("mm_features_real", 1),
+    ):
+        plan = explain_str(CATALOG[name].builder(spark, sf_dir))
+        assert plan.count("MapInArrow") == 1, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        # shuffle exchanges only (broadcast exchanges are free-standing)
+        assert plan.count("Exchange hashpartitioning") <= max_exchanges, name
+
+
+def test_histogram_approx_two_pass_no_python(spark, sf_dir):
+    """The approx decile histogram keeps the exact entry's two-pass shape
+    (boundary aggregate broadcast into a conditional-bucket count): no
+    Python nodes, no sort of the data, value-only scan."""
+    f = plan_features(CATALOG["a_value_decile_histogram_approx"].builder(spark, sf_dir))
+    assert not f.python_eval
+    assert f.hash_aggregates >= 2
+    assert all(rs == "value:double" for rs in f.read_schemas if "value" in rs)
+
+
+def test_lsh_emit_once_has_no_final_distinct_aggregate(spark, sf_dir):
+    """Emit-once LSH emits each pair in exactly one table, so the plan
+    must NOT contain a distinct (HashAggregate over id_a,id_b,cos_sim)
+    above the verify filter — the output shuffle the refinement removed."""
+    from logvision_spark.plans.checks import explain_str
+
+    from logvision_spark.operators.similarity import near_dup_pairs_cosine_lsh
+    from logvision_spark.sources.readers import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = explain_str(near_dup_pairs_cosine_lsh(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    # the only aggregates allowed are none: bucketing, join, filter only
+    assert "HashAggregate" not in plan
