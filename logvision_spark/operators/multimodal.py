@@ -4,12 +4,14 @@ Image/audio/video assets are opaque ``binary`` columns plus typed metadata
 (schemas.MEDIA_SCHEMA). Heavy per-asset work (decode, resize, feature
 extraction, frame sampling) runs as Arrow-batched ``mapInPandas`` /
 ``mapInArrow`` (the latter zero-copy on both sides for the hot
-feature-extraction path) — the Spark-side plumbing (schema contracts,
-batch shapes, partition sizing) is real and tested; the codec call
-itself is stubbed behind
-``NotImplementedError`` / a deterministic fake because no image/audio
-libraries ship in this container. Swapping in PIL/ffmpeg is a one-function
-change inside the stub.
+feature-extraction path). For the fixed-offset header formats the codec
+is REAL and zero-dependency (``use_fake=False``): BMP + farbfeld header
+decode, nearest-neighbor 24-bpp BMP resize, and integer-exact pixel
+histograms — all over raw Arrow buffers, no PIL. Entropy-coded formats
+(JPEG/PNG) and model-based feature extraction keep honest
+``NotImplementedError`` gates (no image/audio libraries ship in this
+container; swapping PIL/ffmpeg in is a one-function change), and a
+deterministic fake (``use_fake=True``) remains for plumbing tests.
 
 Scale notes:
 - binary payloads dominate row size → repartition so that
@@ -73,15 +75,17 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
     (asset_id, payload); output is metadata-only (payload dropped — do not
     carry binaries past the decode boundary).
 
-    ``use_fake=False`` runs a REAL zero-dependency codec: BMP
-    (BITMAPFILEHEADER + BITMAPINFOHEADER) dimensions are fixed-offset
-    little-endian header reads — 'BM' magic at 0, int32 width at 18,
-    int32 height at 22 (negative ⇒ top-down; reported as |height|),
-    uint16 bits-per-pixel at 28 — all gathered vectorized from the same
-    Arrow buffers the fake path uses. Non-BMP / truncated / unsupported-
-    bpp payloads decode_ok=False with NULL dims, same contract as the
-    fake path's empty-payload case. Formats that need entropy decode
-    (JPEG/PNG) still require PIL/opencv, absent in this container."""
+    ``use_fake=False`` runs a REAL zero-dependency codec for the two
+    fixed-offset header formats: BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER — 'BM' magic at 0, LE int32 width at 18, LE int32
+    height at 22 (negative ⇒ top-down; reported as |height|), LE uint16
+    bits-per-pixel at 28) and farbfeld ("farbfeld" magic, BE uint32
+    dims at 8/12, always 16-bit RGBA ⇒ 4 channels) — all gathered
+    vectorized from the same Arrow buffers the fake path uses.
+    Unrecognized / truncated / unsupported-bpp payloads decode_ok=False
+    with NULL dims, same contract as the fake path's empty-payload
+    case. Formats that need entropy decode (JPEG/PNG) or ASCII header
+    scanning (PPM) still require PIL/opencv, absent here."""
 
     def _decode_bmp(batches):
         import numpy as np
@@ -105,38 +109,57 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
             data = np.frombuffer(bufs[2], dtype=np.uint8)
             starts = offsets[:-1]
             lens = np.diff(offsets)
-            # 54 = 14-byte file header + 40-byte BITMAPINFOHEADER
-            ok = lens >= 54
-            idx = np.where(ok, starts, 0)
+            idx = np.where(lens > 0, starts, 0)
 
             def _u8(o):
-                # clamp: rows failing the length gate gather a dummy
-                # in-bounds byte (idx 0) — but the values buffer itself
-                # can be SHORTER than one header when every payload in
-                # the batch is small, so the clamp must bound the read,
-                # not just redirect it (fuzz-found)
+                # clamp: rows failing a length gate gather a dummy
+                # in-bounds byte — but the values buffer itself can be
+                # SHORTER than one header when every payload in the
+                # batch is small, so the clamp must bound the read, not
+                # just redirect it (fuzz-found)
                 if not len(data):
                     return np.zeros(n, np.int64)
                 return data[np.minimum(idx + o, len(data) - 1)].astype(np.int64)
 
-            ok &= (_u8(0) == 0x42) & (_u8(1) == 0x4D)  # 'BM'
-
-            def _i32(o):
+            def _i32le(o):
                 u = (_u8(o) | (_u8(o + 1) << 8) | (_u8(o + 2) << 16) | (_u8(o + 3) << 24))
                 return u.astype(np.uint32).view(np.int32).astype(np.int64)
 
-            width = _i32(18)
-            height = _i32(22)
+            def _u32be(o):
+                return (_u8(o) << 24) | (_u8(o + 1) << 16) | (_u8(o + 2) << 8) | _u8(o + 3)
+
+            # BMP: 54 = 14-byte file header + 40-byte BITMAPINFOHEADER
+            bmp_w = _i32le(18)
+            bmp_h = _i32le(22)
             bpp = _u8(28) | (_u8(29) << 8)
-            ok &= (width > 0) & (height != 0)
-            ok &= (bpp == 8) | (bpp == 24) | (bpp == 32)
+            bmp_ok = (
+                (lens >= 54)
+                & (_u8(0) == 0x42)
+                & (_u8(1) == 0x4D)  # 'BM'
+                & (bmp_w > 0)
+                & (bmp_h != 0)
+                & ((bpp == 8) | (bpp == 24) | (bpp == 32))
+            )
+            # farbfeld: 8-byte magic, BE u32 width at 8, height at 12,
+            # always 16-bit RGBA (4 channels)
+            ff_magic = np.ones(n, dtype=bool)
+            for o, c in enumerate(b"farbfeld"):
+                ff_magic &= _u8(o) == c
+            ff_w = _u32be(8)
+            ff_h = _u32be(12)
+            ff_ok = (lens >= 16) & ff_magic & (ff_w > 0) & (ff_h > 0)
+
+            ok = bmp_ok | ff_ok  # magics differ: masks are disjoint
+            width = np.where(bmp_ok, bmp_w, ff_w)
+            height = np.where(bmp_ok, np.abs(bmp_h), ff_h)
+            channels = np.where(bmp_ok, bpp // 8, 4)
             mask = ~ok
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,
                     pa.array(width.astype(np.int32), mask=mask),
-                    pa.array(np.abs(height).astype(np.int32), mask=mask),
-                    pa.array((bpp // 8).astype(np.int32), mask=mask),
+                    pa.array(height.astype(np.int32), mask=mask),
+                    pa.array(channels.astype(np.int32), mask=mask),
                     pa.array(ok),
                 ],
                 names=["asset_id", "width", "height", "channels", "decode_ok"],

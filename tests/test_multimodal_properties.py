@@ -322,3 +322,32 @@ def test_pixel_histograms_exclude_header_and_padding(spark):
         b = int(v) * 64 // 256
         expect[b] = expect.get(b, 0) + 1
     assert got == expect          # 0xFF padding (bucket 63) never counted
+
+
+def test_farbfeld_decode_matches_struct_reference(spark):
+    """The real decoder must also read farbfeld headers: 8-byte magic,
+    big-endian u32 dims, fixed 4 channels — and reject truncated or
+    wrong-magic variants."""
+    import struct
+
+    def ff(w, h, extra=b""):
+        return b"farbfeld" + struct.pack(">II", w, h) + extra
+
+    cases = [
+        (0, ff(17, 23), (17, 23, 4, True)),
+        (1, ff(1, 1, b"\x00" * 8), (1, 1, 4, True)),
+        (2, ff(70000, 3), (70000, 3, 4, True)),
+        (3, ff(0, 5), (None, None, None, False)),       # zero width
+        (4, ff(5, 5)[:12], (None, None, None, False)),  # truncated
+        (5, b"farbfelt" + b"\x00" * 8, (None, None, None, False)),  # bad magic
+        (6, _ref_bmp(6, 7), (6, 7, 3, True)),           # BMP still works
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in cases], "asset_id long, payload binary"
+    )
+    got = {r["asset_id"]: r for r in decode_images(df, use_fake=False).collect()}
+    for i, _, (w, h, c, ok) in cases:
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"], r["decode_ok"]) == (
+            w, h, c, ok,
+        ), f"case {i}: {r}"
