@@ -100,7 +100,7 @@ def _get_spark():
     return spark
 
 
-def _warm_up(spark, sf_dir: str) -> None:
+def _warm_up(spark, sf_dir: str) -> float:
     # JVM classloading, codegen compile paths (scan → hash agg → broadcast
     # join → sort) and parquet footer reads, off the clock
     from pyspark.sql import functions as F
@@ -118,14 +118,19 @@ def _warm_up(spark, sf_dir: str) -> None:
     # clock: the dedup entries measure the steady-state shared-cache path
     # (at scale the exploded shingle table is persisted once and reused
     # across dedup jobs — the write is a one-time layout cost, not part
-    # of per-query throughput). Transparent: the cache write is ~2 s at
-    # sf0.1 and is excluded exactly like JVM/codegen warmup is.
+    # of per-query throughput). The build's wall time is RETURNED and
+    # recorded in the bench JSON (shingle_cache_build_sec) so the
+    # measurement boundary stays auditable across rounds (r4 ADVICE).
+    cache_sec = 0.0
     try:
         from logvision_spark.catalog import _shared_shingles
 
+        t0 = time.perf_counter()
         _shared_shingles(spark, sf_dir).count()
+        cache_sec = round(time.perf_counter() - t0, 4)
     except Exception:
         pass
+    return cache_sec
 
 
 def _time_set(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -194,7 +199,7 @@ def _run_child(which: str, sf_dir: str) -> None:
             ),
         }
     else:
-        _warm_up(spark, sf_dir)
+        cache_sec = _warm_up(spark, sf_dir)
         names = {"core": CORE, "new": NEW, "r4": R4}[which]
         # Two full passes in THIS one JVM (r3 verdict diagnostic): if a
         # query's r-over-r delta is JVM-warmup redistribution, pass 2
@@ -202,6 +207,7 @@ def _run_child(which: str, sf_dir: str) -> None:
         result = {
             "queries": _time_set(spark, sf_dir, names),
             "queries_pass2": _time_set(spark, sf_dir, names),
+            "shingle_cache_build_sec": cache_sec,
         }
     print(json.dumps(result))
     spark.stop()
@@ -251,6 +257,7 @@ def main() -> None:
         }
         parse_rows = parse["parse_rows_per_sec"]
         parse_rows_4m = parse.get("parse_rows_per_sec_4m")
+        cache_sec = new.get("shingle_cache_build_sec")
         isolated = True
     except (RuntimeError, OSError, subprocess.TimeoutExpired) as exc:
         # fallback: single-JVM in-process run (the r1/r2 behavior) so the
@@ -261,7 +268,7 @@ def main() -> None:
         spark = _get_spark()
         parse_rows = _bench_parse_throughput(spark)
         parse_rows_4m = None
-        _warm_up(spark, sf_dir)
+        cache_sec = _warm_up(spark, sf_dir)
         timings = _time_set(spark, sf_dir, CORE)
         timings_new = _time_set(spark, sf_dir, NEW)
         timings_r4 = _time_set(spark, sf_dir, R4)
@@ -270,30 +277,47 @@ def main() -> None:
         isolated = False
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {**timings, **timings_new, **timings_r4},
-                "core_total": total,
-                "new_total": round(sum(timings_new.values()), 4),
-                "r4_total": round(sum(timings_r4.values()), 4),
-                "sf": sf,
-                "parse_rows_per_sec": parse_rows,
-                "parse_rows_per_sec_4m": parse_rows_4m,
-                "isolated_jvms": isolated,
-                "queries_pass2": pass2 or None,
-                "core_pass2_total": round(
-                    sum(v for k, v in pass2.items() if k in set(CORE)), 4
-                ) if pass2 else None,
-                "new_pass2_total": round(
-                    sum(v for k, v in pass2.items() if k in set(NEW)), 4
-                ) if pass2 else None,
-            }
-        )
+    # Per-query pass-2 detail goes to a sidecar file, NOT the printed
+    # line: the driver keeps only the tail of stdout (~2000 chars) and
+    # r4's inlined pass2 pushed the JSON line past that window, so
+    # BENCH_r04 recorded parsed=null. The line keeps the pass-2 TOTALS
+    # (the round-over-round signal); the sidecar keeps the evidence.
+    if pass2:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump({"queries_pass2": pass2, "sf": sf}, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {**timings, **timings_new, **timings_r4},
+            "core_total": total,
+            "new_total": round(sum(timings_new.values()), 4),
+            "r4_total": round(sum(timings_r4.values()), 4),
+            "sf": sf,
+            "parse_rows_per_sec": parse_rows,
+            "parse_rows_per_sec_4m": parse_rows_4m,
+            "isolated_jvms": isolated,
+            "shingle_cache_build_sec": cache_sec,
+            "core_pass2_total": round(
+                sum(v for k, v in pass2.items() if k in set(CORE)), 4
+            ) if pass2 else None,
+            "new_pass2_total": round(
+                sum(v for k, v in pass2.items() if k in set(NEW)), 4
+            ) if pass2 else None,
+            "r4_pass2_total": round(
+                sum(v for k, v in pass2.items() if k in set(R4)), 4
+            ) if pass2 else None,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1900:  # driver tail window is 2000 chars — stay inside
+        print(f"bench: WARNING json line is {len(line)} chars",
+              file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -76,12 +76,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SHINGLE_CACHE: dict[str, tuple[tuple[SparkSession, str], DataFrame]] = {}
 
 
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    """(path, mtime_ns, size) of the documents table's files — part of
+    the shingle-cache key so an in-place regeneration of the parquet
+    during a session invalidates the cache instead of serving stale
+    shingles (r4 ADVICE)."""
+    import glob as _glob
+    import os as _os
+
+    out = []
+    root = _os.path.join(sf_dir, "documents.parquet")
+    paths = [root] if _os.path.isfile(root) else sorted(
+        _glob.glob(_os.path.join(root, "*.parquet"))
+    )
+    for p in paths:
+        try:
+            st = _os.stat(p)
+            out.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            pass
+    return tuple(out)
+
+
+def invalidate_shingle_cache() -> None:
+    """Drop (and unpersist) the shared shingle cache explicitly."""
+    hit = _SHINGLE_CACHE.pop("t", None)
+    if hit is not None:
+        try:
+            hit[1].unpersist()
+        except Exception:
+            pass
+
+
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from logvision_spark.operators.dedup import exploded_shingles
 
-    key = (spark, sf_dir)
+    key = (spark, sf_dir, _docs_fingerprint(sf_dir))
     hit = _SHINGLE_CACHE.get("t")
     if hit is not None and hit[0] == key:
         return hit[1]

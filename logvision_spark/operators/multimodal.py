@@ -138,6 +138,9 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
                 & (_u8(1) == 0x4D)  # 'BM'
                 & (bmp_w > 0)
                 & (bmp_h != 0)
+                # |height| must survive the int32 output cast: height
+                # -2^31 is a valid LE i32 whose abs wraps back negative
+                & (np.abs(bmp_h) <= 0x7FFFFFFF)
                 & ((bpp == 8) | (bpp == 24) | (bpp == 32))
             )
             # farbfeld: 8-byte magic, BE u32 width at 8, height at 12,
@@ -147,7 +150,13 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
                 ff_magic &= _u8(o) == c
             ff_w = _u32be(8)
             ff_h = _u32be(12)
-            ff_ok = (lens >= 16) & ff_magic & (ff_w > 0) & (ff_h > 0)
+            # BE u32 dims above 2^31-1 would wrap in the int32 output
+            # cast — reject them as undecodable rather than emit garbage
+            ff_ok = (
+                (lens >= 16) & ff_magic
+                & (ff_w > 0) & (ff_h > 0)
+                & (ff_w <= 0x7FFFFFFF) & (ff_h <= 0x7FFFFFFF)
+            )
 
             ok = bmp_ok | ff_ok  # magics differ: masks are disjoint
             width = np.where(bmp_ok, bmp_w, ff_w)

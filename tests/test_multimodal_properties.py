@@ -136,6 +136,10 @@ def test_resize_respects_small_output_chunks(spark):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            # leaving "4" behind would shrink Arrow batches for every
+            # later test in the session-scoped fixture
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
 
 def _ref_bmp(w: int, h: int, bpp: int = 24, pixels: bytes = b"") -> bytes:
@@ -162,6 +166,10 @@ def test_bmp_decode_matches_struct_reference(spark):
         (6, _ref_bmp(10, 20)[:40], (None, None, None, False)),  # truncated
         (7, b"not a bitmap at all, just some text padding!!" * 3,
          (None, None, None, False)),
+        # height INT32_MIN: abs() wraps back negative in int32 — must be
+        # rejected (r4 ADVICE); INT32_MIN+1 is the valid extreme
+        (11, _ref_bmp(5, -(2**31)), (None, None, None, False)),
+        (12, _ref_bmp(5, -(2**31 - 1)), (5, 2**31 - 1, 3, True)),
         (8, None, (None, None, None, False)),
         (9, _ref_bmp(3, 4, 24, b"\x01\x02\x03" * 12), (3, 4, 3, True)),
     ]
@@ -341,6 +349,11 @@ def test_farbfeld_decode_matches_struct_reference(spark):
         (4, ff(5, 5)[:12], (None, None, None, False)),  # truncated
         (5, b"farbfelt" + b"\x00" * 8, (None, None, None, False)),  # bad magic
         (6, _ref_bmp(6, 7), (6, 7, 3, True)),           # BMP still works
+        # u32 dims past int32 range must be rejected, not wrapped (r4
+        # ADVICE: they used to emit decode_ok=True with negative dims)
+        (7, ff(0x80000000, 3), (None, None, None, False)),
+        (8, ff(3, 0xFFFFFFFF), (None, None, None, False)),
+        (9, ff(0x7FFFFFFF, 2), (0x7FFFFFFF, 2, 4, True)),  # boundary ok
     ]
     df = spark.createDataFrame(
         [(i, p) for i, p, _ in cases], "asset_id long, payload binary"
