@@ -90,6 +90,14 @@ R4 = [
     "a_value_decile_histogram_approx",
 ]
 
+# Round-5 additions: the pure-JVM regr_slope production path, benched
+# beside the grouped-map escape hatch it replaces (a_user_trend_slope
+# stays in NEW for comparability; the delta IS the Arrow-transfer tax).
+R5 = [
+    "a_user_trend_slope_builtin",
+    "sketch_hll_mergeable_daily",
+]
+
 
 def _get_spark():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -200,7 +208,9 @@ def _run_child(which: str, sf_dir: str) -> None:
         }
     else:
         cache_sec = _warm_up(spark, sf_dir)
-        names = {"core": CORE, "new": NEW, "r4": R4}[which]
+        # the r4 child also times R5 (one query — not worth its own JVM);
+        # main() splits the subtotals by set membership
+        names = {"core": CORE, "new": NEW, "r4": R4 + R5}[which]
         # Two full passes in THIS one JVM (r3 verdict diagnostic): if a
         # query's r-over-r delta is JVM-warmup redistribution, pass 2
         # converges to pass 1's min; a plan regression reproduces in both.
@@ -271,7 +281,7 @@ def main() -> None:
         cache_sec = _warm_up(spark, sf_dir)
         timings = _time_set(spark, sf_dir, CORE)
         timings_new = _time_set(spark, sf_dir, NEW)
-        timings_r4 = _time_set(spark, sf_dir, R4)
+        timings_r4 = _time_set(spark, sf_dir, R4 + R5)
         pass2 = {}
         spark.stop()
         isolated = False
@@ -296,7 +306,12 @@ def main() -> None:
             "queries": {**timings, **timings_new, **timings_r4},
             "core_total": total,
             "new_total": round(sum(timings_new.values()), 4),
-            "r4_total": round(sum(timings_r4.values()), 4),
+            "r4_total": round(
+                sum(v for k, v in timings_r4.items() if k in set(R4)), 4
+            ),
+            "r5_total": round(
+                sum(v for k, v in timings_r4.items() if k in set(R5)), 4
+            ),
             "sf": sf,
             "parse_rows_per_sec": parse_rows,
             "parse_rows_per_sec_4m": parse_rows_4m,

@@ -3343,6 +3343,52 @@ def sketch_accuracy_props(spark, sf_dir):
     )
 
 
+def _sketch_hll_mergeable_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # DataSketches HLL, lgConfigK=12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.63%; the
+    # 3σ band is the guarantee the estimator actually makes.
+    band = 3 * 1.04 / (2**12) ** 0.5
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    # pin OK: crossJoin of two single-row aggregates
+    return merged.crossJoin(exact).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= band
+        ).alias("merged_ok"),
+    )
+
+
+register(
+    "sketch_hll_mergeable_daily",
+    oracle="""
+SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merged_ok
+FROM events
+""",
+    doc="MERGEABLE sketches — the dimension sketch_accuracy_props "
+    "doesn't exercise: per-day HyperLogLog sketches "
+    "(hll_sketch_agg, DataSketches binary form) unioned with "
+    "hll_union_agg into a global distinct estimate, checked within "
+    "3×rsd of the exact count. This is the 100 TB dashboard pattern: "
+    "daily partials are small, persistable, and re-aggregate in "
+    "O(days × 2^lgK) regardless of row count — re-scanning 100 TB to "
+    "answer 'distinct users last quarter' is exactly what sketch "
+    "reuse avoids. Both stages are JVM declarative aggregates with "
+    "map-side partials; the final union touches n_days rows.",
+)(_sketch_hll_mergeable_daily)
+
+
 @register(
     "a_user_trend_slope",
     oracle="""
@@ -3367,6 +3413,37 @@ def a_user_trend_slope(spark, sf_dir):
     from logvision_spark.operators.aggregations import grouped_trend_slope
 
     return grouped_trend_slope(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "a_user_trend_slope_builtin",
+    oracle="""
+WITH s AS (SELECT user_id, value,
+                  epoch_us(ts) / 1000000.0 / 86400.0 AS x_days
+           FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(regr_slope(value, x_days), 6) AS slope_per_day
+FROM s GROUP BY user_id
+""",
+    doc="The pure-JVM production path for the per-user trend fit the "
+    "grouped-map entry above validates: ``F.regr_slope`` is a built-in "
+    "declarative aggregate — one shuffle on the group key with map-side "
+    "partial aggregation, whole-stage codegen end to end, no Arrow "
+    "transfer and no Python on the path. Same oracle as "
+    "a_user_trend_slope, so the driver pins that escape hatch and "
+    "built-in agree bit-for-bit at round-6. At 100 TB this is the shape "
+    "to prefer whenever the fit has a closed form: partial co-moments "
+    "combine associatively, so skew and group count stop mattering.",
+)
+def a_user_trend_slope_builtin(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    x_days = F.col("ts").cast("double") / F.lit(86400.0)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.regr_slope(F.col("value"), x_days), 6).alias(
+            "slope_per_day"
+        ),
+    )
 
 
 @register(

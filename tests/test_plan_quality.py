@@ -332,3 +332,27 @@ def test_lsh_emit_once_has_no_final_distinct_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the only aggregates allowed are none: bucketing, join, filter only
     assert "HashAggregate" not in plan
+
+
+def test_trend_slope_builtin_is_partial_agg_no_python(feats, spark, sf_dir):
+    """The regr_slope production path must be a declarative aggregate:
+    map-side partial + final HashAggregate, no Arrow/Python nodes, and
+    only the three needed columns off disk."""
+    f = feats("a_user_trend_slope_builtin")
+    assert f.hash_aggregates >= 2, "regr_slope lost map-side partials"
+    assert not f.python_eval, "builtin slope path fell into Python"
+    assert f.reads_only("user_id", "ts", "value")
+
+
+def test_hll_mergeable_daily_two_stage_agg_no_python(feats, spark, sf_dir):
+    """Daily-sketch + union must stay JVM aggregates (ObjectHashAggregate
+    for sketch buffers is fine); the only join is the single-row exact
+    pin, and only (ts, user_id) are scanned."""
+    from logvision_spark.catalog import CATALOG
+    from logvision_spark.plans.checks import explain_str
+
+    f = feats("sketch_hll_mergeable_daily")
+    assert not f.python_eval
+    assert f.reads_only("ts", "user_id")
+    plan = explain_str(CATALOG["sketch_hll_mergeable_daily"].builder(spark, sf_dir))
+    assert "Aggregate" in plan
