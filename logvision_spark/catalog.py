@@ -2582,6 +2582,67 @@ def stream_recovery_counts(spark, sf_dir):
     return spark.table(name)
 
 
+@register(
+    "stream_sketch_daily_users",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_ok
+FROM events GROUP BY 1
+""",
+    doc="STREAMING mergeable sketches: per-day HyperLogLog state "
+    "(hll_sketch_agg) accumulated across 4 forced micro-batches "
+    "(maxFilesPerTrigger=1 over a 4-file landing dir) in complete "
+    "mode — the binary sketch buffer itself is the StateStore value, "
+    "merged batch-over-batch exactly like the batch hll_union_agg "
+    "path (sketch_hll_mergeable_daily) merges partials across "
+    "partitions. Each day's final estimate must land within 3×rsd of "
+    "the batch-exact distinct count. This is the bounded-memory "
+    "streaming distinct the reference's Redis sets can't give: state "
+    "per day is ~4 KB regardless of user count, and the same sketch "
+    "bytes could be emitted for later cross-window union.",
+)
+def stream_sketch_daily_users(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id")
+    land = tempfile.mkdtemp(prefix="lv_sketch_in_")
+    ev.repartition(4).write.mode("append").parquet(land)
+    src = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    agg = src.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est")
+    )
+    name = f"stream_sketch_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    est = spark.table(name)
+    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    band = 3 * 1.04 / (2**12) ** 0.5  # lgConfigK=12 default
+    return exact.join(est, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= band
+        ).alias("sketch_ok"),
+    )
+
+
 # DuckDB expression for the 32-bit SimHash vote/pack over a hash list `hl`:
 # bit i is set when strictly more shingle hashes have bit i set than not
 # (vote sum = 2·ones − len > 0) — mirrors operators/dedup.simhash exactly.

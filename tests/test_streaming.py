@@ -162,3 +162,46 @@ def test_update_mode_foreach_batch_deltas_accumulate(spark, log_dir, tmp_path):
     batch_views = counter_views(read_access_log(spark, log_dir))
     batch = {r["member"]: r["cnt"] for r in batch_views["req_method"].collect()}
     assert kv == batch
+
+
+def test_streaming_hll_sketch_state_merges_across_batches(spark, sf_dir, tmp_path):
+    """The stream_sketch_daily_users catalog entry claims CROSS-BATCH
+    sketch-state merge; pin that the 4-file landing dir with
+    maxFilesPerTrigger=1 really yields >= 4 micro-batches, and that the
+    accumulated estimate equals the one-shot batch sketch exactly
+    (same buffer merge, so bit-identical estimate, not just in-band)."""
+    from pyspark.sql import functions as F
+
+    from logvision_spark.sources.readers import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("ts", "user_id")
+    land = str(tmp_path / "land")
+    ev.repartition(4).write.parquet(land)
+    src = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    agg = src.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_batches_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    streamed = {r["day"]: r["est"] for r in spark.table("hll_batches_probe").collect()}
+    batch = {
+        r["day"]: r["est"]
+        for r in ev.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert streamed == batch
