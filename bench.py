@@ -326,6 +326,9 @@ def main() -> None:
             "r4_pass2_total": round(
                 sum(v for k, v in pass2.items() if k in set(R4)), 4
             ) if pass2 else None,
+            "r5_pass2_total": round(
+                sum(v for k, v in pass2.items() if k in set(R5)), 4
+            ) if pass2 else None,
         },
         separators=(",", ":"),
     )

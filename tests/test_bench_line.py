@@ -31,6 +31,7 @@ def test_headline_json_line_fits_driver_tail_window():
             "core_pass2_total": 9999.9999,
             "new_pass2_total": 9999.9999,
             "r4_pass2_total": 9999.9999,
+            "r5_pass2_total": 9999.9999,
         },
         separators=(",", ":"),
     )
