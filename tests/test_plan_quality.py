@@ -356,3 +356,25 @@ def test_hll_mergeable_daily_two_stage_agg_no_python(feats, spark, sf_dir):
     assert f.reads_only("ts", "user_id")
     plan = explain_str(CATALOG["sketch_hll_mergeable_daily"].builder(spark, sf_dir))
     assert "Aggregate" in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """Q18 must plan aggregate-then-join: the quantity sum + HAVING run
+    on the narrow lineitem fact BEFORE orders is joined (measured 1.8×
+    at sf0.1; the gap grows with fact width). In the optimized logical
+    plan the Join is therefore the OUTER node (prints first) with the
+    Aggregate in its subtree — join-then-aggregate would print
+    Aggregate above Join."""
+    from logvision_spark.catalog import CATALOG
+
+    plan = (
+        CATALOG["q18_large_orders"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" in plan and "Aggregate" in plan
+    assert plan.index("Join") < plan.index("Aggregate"), (
+        "q18 regressed to join-then-aggregate"
+    )
