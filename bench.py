@@ -108,7 +108,7 @@ def _get_spark():
     return spark
 
 
-def _warm_up(spark, sf_dir: str) -> float:
+def _warm_up(spark, sf_dir: str) -> float | None:
     # JVM classloading, codegen compile paths (scan → hash agg → broadcast
     # join → sort) and parquet footer reads, off the clock
     from pyspark.sql import functions as F
@@ -129,7 +129,9 @@ def _warm_up(spark, sf_dir: str) -> float:
     # of per-query throughput). The build's wall time is RETURNED and
     # recorded in the bench JSON (shingle_cache_build_sec) so the
     # measurement boundary stays auditable across rounds (r4 ADVICE).
-    cache_sec = 0.0
+    # None (JSON null) on failure — 0.0 would read as "instant build"
+    # while the dedup queries silently pay the build cost on the clock.
+    cache_sec = None
     try:
         from logvision_spark.catalog import _shared_shingles
 
@@ -292,12 +294,18 @@ def main() -> None:
     # r4's inlined pass2 pushed the JSON line past that window, so
     # BENCH_r04 recorded parsed=null. The line keeps the pass-2 TOTALS
     # (the round-over-round signal); the sidecar keeps the evidence.
-    if pass2:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"), "w"
-        ) as f:
-            json.dump({"queries_pass2": pass2, "sf": sf}, f, indent=1)
+    # written unconditionally: the single-JVM fallback has no pass-2
+    # data, and leaving the previous round's sidecar on disk would pass
+    # stale detail off as current evidence
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"), "w"
+    ) as f:
+        json.dump(
+            {"queries_pass2": pass2 or None, "sf": sf,
+             "isolated_jvms": isolated},
+            f, indent=1,
+        )
     line = json.dumps(
         {
             "metric": "headline_queries_total",

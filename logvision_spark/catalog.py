@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from logvision_spark.operators.joins import timeline_full_outer, union_labeled
 from logvision_spark.operators.topk import ranked, top_k
-from logvision_spark.sources.readers import load_table
+from logvision_spark.sources.readers import load_table, load_table_cache_clear
 
 
 @dataclass(frozen=True)
@@ -86,16 +86,27 @@ def _docs_fingerprint(sf_dir: str) -> tuple:
 
     out = []
     root = _os.path.join(sf_dir, "documents.parquet")
-    paths = [root] if _os.path.isfile(root) else sorted(
-        _glob.glob(_os.path.join(root, "*.parquet"))
-    )
+    if _os.path.isfile(root):
+        paths = [root]
+    else:
+        # walk recursively: partitioned/nested layouts keep their part
+        # files in subdirectories, and a non-recursive glob would
+        # fingerprint them as () — identical before and after an
+        # in-place regeneration (review finding)
+        paths = sorted(
+            _glob.glob(_os.path.join(root, "**", "*"), recursive=True)
+        )
     for p in paths:
+        if not _os.path.isfile(p):
+            continue
         try:
             st = _os.stat(p)
             out.append((p, st.st_mtime_ns, st.st_size))
         except OSError:
             pass
-    return tuple(out)
+    # distinguish "no data files found" from any real listing so a
+    # missing table never key-collides with an empty or different one
+    return tuple(out) if out else ("absent", root)
 
 
 def invalidate_shingle_cache() -> None:
@@ -106,6 +117,13 @@ def invalidate_shingle_cache() -> None:
             hit[1].unpersist()
         except Exception:
             pass
+
+
+# DataSketches HLL with the default lgConfigK=12: rsd ≈ 1.04/√4096 ≈
+# 1.63%; the 3σ band is the guarantee the estimator actually makes
+# (rsd is a STANDARD DEVIATION — see sketch_accuracy_props). One
+# constant so the batch and streaming sketch entries can't drift.
+_HLL_3SIGMA_BAND = 3 * 1.04 / (2**12) ** 0.5
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,6 +140,13 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit[1].unpersist()
         except Exception:
             pass  # stopped session: nothing to release
+        if hit[0][:2] == key[:2]:
+            # same (session, sf_dir) but the fingerprint moved: the
+            # documents parquet was regenerated in place, so the
+            # memoized load_table resolution (whose FileIndex lists the
+            # OLD part files) must be dropped too or the rebuild would
+            # scan deleted/stale files (review finding)
+            load_table_cache_clear()
     # Cache xxhash64(shingle) longs, not strings: the production cache
     # layout — 8-byte keys through every downstream shuffle; signatures
     # unchanged (pmod(xxhash64(s), P) ≡ pmod(h, P)).
@@ -2639,7 +2664,7 @@ def stream_sketch_daily_users(spark, sf_dir):
     exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    band = 3 * 1.04 / (2**12) ** 0.5  # lgConfigK=12 default
+    band = _HLL_3SIGMA_BAND
     return exact.join(est, "day").select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "exact_users",
@@ -3414,9 +3439,7 @@ def sketch_accuracy_props(spark, sf_dir):
 
 def _sketch_hll_mergeable_daily(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    # DataSketches HLL, lgConfigK=12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.63%; the
-    # 3σ band is the guarantee the estimator actually makes.
-    band = 3 * 1.04 / (2**12) ** 0.5
+    band = _HLL_3SIGMA_BAND
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )

@@ -40,6 +40,24 @@ def test_fingerprint_tracks_mtime_and_size(tmp_path):
     assert _docs_fingerprint(d) != fp1
 
 
+def test_fingerprint_sees_nested_layouts_and_absence(tmp_path):
+    """Partitioned/nested part-file layouts must fingerprint their leaf
+    files (a non-recursive glob would return the same () before and
+    after regeneration), and a missing table must not key-collide with
+    an empty or other missing one."""
+    d = str(tmp_path)
+    nested = tmp_path / "documents.parquet" / "source=src0"
+    nested.mkdir(parents=True)
+    (nested / "part-0.parquet").write_bytes(b"x" * 10)
+    fp = _docs_fingerprint(d)
+    assert fp and fp[0][0].endswith("part-0.parquet")
+    (nested / "part-0.parquet").write_bytes(b"y" * 11)
+    assert _docs_fingerprint(d) != fp
+    absent = _docs_fingerprint(str(tmp_path / "nowhere"))
+    assert absent[0] == "absent"
+    assert absent != _docs_fingerprint(str(tmp_path / "elsewhere"))
+
+
 def test_cache_invalidates_on_regeneration(spark, tmp_path):
     d = str(tmp_path)
     _copy_docs(d)
@@ -52,11 +70,20 @@ def test_cache_invalidates_on_regeneration(spark, tmp_path):
         target = root if os.path.isfile(root) else os.path.join(
             root, sorted(os.listdir(root))[0]
         )
-        st = os.stat(target)
-        os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
-        load_table_cache_clear()  # regenerated table ⇒ resolution redone
+        # REGENERATE the table in place via a real Spark write: the new
+        # part files have different names, so a stale memoized FileIndex
+        # would fail with FILE_NOT_EXIST (the review's reproduction).
+        # Deliberately NO load_table_cache_clear() here: _shared_shingles
+        # must drop the memoized table resolution itself when the
+        # fingerprint moves.
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta", "src0")],
+            "doc_id long, text string, source string",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
         second = _shared_shingles(spark, d)
         assert second is not first, "stale cache served after regeneration"
+        n = second.count()  # must scan the NEW files, not the old index
+        assert n == 4, n  # 6 tokens -> 4 distinct 3-shingles
     finally:
         invalidate_shingle_cache()
         load_table_cache_clear()
