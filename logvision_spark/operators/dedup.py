@@ -31,6 +31,11 @@ POLY_BASE = 31
 POLY_INIT = 7
 
 # Fixed MinHash seed pairs (a, b): h_j(x) = (a*x + b) mod POLY_MOD.
+# 32 distinct (a, b) permutation pairs: indexing past the list would
+# silently REUSE seeds — h{j+len} ≡ h{j} and duplicate LSH bands add
+# shuffle work while contributing zero recall (review finding: the
+# 16-hash drop list was effectively running 8 bands). _seed() raises
+# instead of wrapping.
 MINHASH_SEEDS: tuple[tuple[int, int], ...] = (
     (3, 1),
     (5, 7),
@@ -40,7 +45,40 @@ MINHASH_SEEDS: tuple[tuple[int, int], ...] = (
     (31, 37),
     (41, 43),
     (47, 53),
+    (59, 61),
+    (67, 71),
+    (73, 79),
+    (83, 89),
+    (97, 101),
+    (103, 107),
+    (109, 113),
+    (127, 131),
+    (137, 139),
+    (149, 151),
+    (157, 163),
+    (167, 173),
+    (179, 181),
+    (191, 193),
+    (197, 199),
+    (211, 223),
+    (227, 229),
+    (233, 239),
+    (241, 251),
+    (257, 263),
+    (269, 271),
+    (277, 281),
+    (283, 293),
+    (307, 311),
 )
+
+
+def _seed(j: int) -> tuple[int, int]:
+    if j >= len(MINHASH_SEEDS):
+        raise ValueError(
+            f"num_hashes={j + 1} exceeds the {len(MINHASH_SEEDS)} distinct "
+            "MinHash permutation seeds; wrapping would duplicate bands"
+        )
+    return MINHASH_SEEDS[j]
 
 
 def poly_hash(scol: Column) -> Column:
@@ -209,7 +247,7 @@ def minhash_signature(
 
     sigs = []
     for j in range(num_hashes):
-        a, b = MINHASH_SEEDS[j % len(MINHASH_SEEDS)]
+        a, b = _seed(j)
         sigs.append(F.array_min(F.transform(hl, perm(a, b))).alias(f"h{j}"))
     return sigs
 
@@ -273,7 +311,7 @@ def minhash_signatures_agg(
         )
     aggs = []
     for j in range(num_hashes):
-        a, b = MINHASH_SEEDS[j % len(MINHASH_SEEDS)]
+        a, b = _seed(j)
         aggs.append(F.min((F.col("_h") * a + b) % POLY_MOD).alias(f"h{j}"))
     return hashed.groupBy(id_col).agg(*aggs)
 
@@ -333,7 +371,7 @@ def minhash_exact_groups(
     hashed = sh.select(F.col(id_col), F.col("_chash"), h.alias("_h"))
     aggs = []
     for j in range(num_hashes):
-        a, b = MINHASH_SEEDS[j % len(MINHASH_SEEDS)]
+        a, b = _seed(j)
         aggs.append(F.min((F.col("_h") * a + b) % POLY_MOD).alias(f"h{j}"))
     sig = hashed.groupBy(id_col, "_chash").agg(*aggs)
     sig_cols = [f"h{j}" for j in range(num_hashes)]
@@ -452,7 +490,11 @@ def minhash_candidate_pairs(
     """LSH candidate pairs: docs agreeing on at least one band of their
     MinHash signature. rows_per_band = num_hashes/bands controls precision;
     shuffle carries only (band_idx, band_value, id)."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: "
+            "trailing hashes would be silently dropped"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures_agg(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n,
@@ -597,7 +639,20 @@ def streaming_exact_dedup(
         return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["_content_hash"]
         )
-    return hashed.dropDuplicates(["_content_hash"])
+    # batch fallback: dropDuplicates keeps an ARBITRARY row per hash
+    # (a first() aggregate over nondeterministic task order) — the
+    # documented contract is "first occurrence passes", so pick the
+    # min by (ts, full row) deterministically (review finding)
+    cols = records.columns
+    pick = F.min_by(
+        F.struct(*[F.col(c) for c in cols]),
+        F.struct(F.col(ts_col), *[F.col(c) for c in cols]),
+    )
+    return (
+        hashed.groupBy("_content_hash")
+        .agg(pick.alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in cols], "_content_hash")
+    )
 
 
 def simhash_agg(
@@ -622,10 +677,15 @@ def simhash_agg(
     0, matching the Column form's empty-array fold."""
     sh = exploded_shingles(df, id_col, text_col, n, outer=True)
     if fast:
-        # keep NULL shingles NULL (xxhash64(NULL) would yield the seed)
+        # keep NULL shingles NULL (xxhash64(NULL) would yield the seed).
+        # RAW xxhash64 bits — no pmod: SimHash does no permutation
+        # arithmetic, and folding into the prime field (< 2^30) would
+        # zero bits 30+ of every shingle hash, leaving a "32-bit"
+        # fingerprint with 30 effective bits (review finding). The
+        # portable path keeps pmod by construction — its oracle mirrors
+        # the same 30-bit field exactly.
         h = F.when(
-            F.col("shingle").isNotNull(),
-            F.pmod(F.xxhash64(F.col("shingle")), F.lit(POLY_MOD)),
+            F.col("shingle").isNotNull(), F.xxhash64(F.col("shingle"))
         )
     else:
         h = poly_hash(F.col("shingle"))
@@ -768,8 +828,20 @@ def connected_components(
             r = find(node)
             comp_min[r] = min(comp_min.get(r, node), node)
         spark = pairs.sparkSession
+        # derive the schema from the edge column type: hardcoding long
+        # made string/other id types crash ONLY below the driver-finish
+        # threshold — a size-dependent failure (review finding)
+        from pyspark.sql import types as T
+
+        id_type = und.schema["src"].dataType
         labels = spark.createDataFrame(
-            [(n, comp_min[find(n)]) for n in parent], "id long, label long"
+            [(n, comp_min[find(n)]) for n in parent],
+            T.StructType(
+                [
+                    T.StructField("id", id_type),
+                    T.StructField("label", id_type),
+                ]
+            ),
         )
     elif distributed_algorithm == "star":
         labels = _star_labels(und, max_iter=max_iter)

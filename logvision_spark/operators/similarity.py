@@ -47,7 +47,17 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; ZERO-NORM vectors score 0.0. Without the guard
+    a zero vector (padding row, failed encoder) yields 0/0 = NaN, and
+    NaN compares GREATER than every number in Spark's ordering — it
+    would pass every >= threshold filter and sort first in any desc
+    top-k (review finding) — and under ANSI mode (Spark 4 default) the
+    0/0 is a hard DIVIDE_BY_ZERO query failure instead. try_divide
+    evaluates the quotient once and yields NULL on a zero divisor; a
+    when()-guard would re-fold both norms."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
+    )
 
 
 def brute_force_topk(
@@ -163,10 +173,29 @@ def near_dup_pairs_cosine(
     Quadratic — correct baseline for modest N; the scale path first buckets
     by SRP id (near-dups collide with high probability) and verifies within
     buckets only."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms staged per ROW before the join: inside the interpreted HOF
+    # each operand's norm would otherwise be re-folded once per PAIR it
+    # appears in (N-1 times here) instead of once per row
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    score = F.round(
+        F.coalesce(
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")), F.col("_na") * F.col("_nb")
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
     return pairs.select("id_a", "id_b", score.alias("cos_sim")).where(
         F.col("cos_sim") >= threshold
     )
@@ -268,15 +297,22 @@ def near_dup_pairs_cosine_lsh(
             ).alias("_bs")
         )
         base = df.select(F.col(id_col), F.col(vec_col)).join(eff, id_col)
+    # the l2 norm rides the shuffle as ONE double per exploded row:
+    # verifying inside the join would otherwise re-fold each vector's
+    # norm once per CANDIDATE it appears in (3 array folds per pair
+    # instead of 1 dot fold + 2 cached doubles — review finding; the
+    # verify stage dominates the 105 s clone-corpus measurement)
     sides = base.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
         F.col("_bs"),
         F.posexplode("_bs").alias("t", "b"),
     ).where(F.col("b").isNotNull())
     a = sides.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("_na"),
         F.col("_bs").alias("_bs_a"),
         "t",
         "b",
@@ -284,6 +320,7 @@ def near_dup_pairs_cosine_lsh(
     bb = sides.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("_nb"),
         F.col("_bs").alias("_bs_b"),
         "t",
         "b",
@@ -298,7 +335,15 @@ def near_dup_pairs_cosine_lsh(
         ),
         lambda v: v,
     )
-    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    score = F.round(
+        F.coalesce(
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")), F.col("_na") * F.col("_nb")
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
     return (
         a.join(bb, ["t", "b"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -380,6 +425,25 @@ def ml_minhash_lsh_pairs(
     )
 
 
+def _unit_vectors(df: DataFrame, vec_col: str, out: str = "_v") -> DataFrame:
+    """Stage `vec_col` as an L2-NORMALIZED ml vector column. Cosine-IVF
+    convention (review finding): KMeans is Euclidean, so fitting and
+    assigning on raw vectors while probing centroids by angle is a
+    metric mismatch that silently costs recall on unnormalized corpora
+    — on the unit sphere Euclidean and cosine orderings agree, making
+    quantizer, assignment, and probe one geometry. JVM-side single pass
+    (ml.feature.Normalizer); zero vectors pass through unchanged."""
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    staged = df.withColumn("_rawv", array_to_vector(F.col(vec_col)))
+    return (
+        Normalizer(inputCol="_rawv", outputCol=out, p=2.0)
+        .transform(staged)
+        .drop("_rawv")
+    )
+
+
 def fit_ivf(
     df: DataFrame,
     n_cells: int = 16,
@@ -387,11 +451,12 @@ def fit_ivf(
     vec_col: str = "embedding",
 ):
     """Train the IVF coarse quantizer ONCE (offline at scale); the fitted
-    KMeans model is shareable across all `ivf_topk` queries."""
+    KMeans model is shareable across all `ivf_topk` queries. Fit on
+    L2-normalized vectors (see `_unit_vectors`): centroids then live in
+    the same geometry the cosine probe ranks by."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    vecs = df.select(array_to_vector(F.col(vec_col)).alias("_v"))
+    vecs = _unit_vectors(df.select(F.col(vec_col)), vec_col)
     return KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell").fit(
         vecs
     )
@@ -403,9 +468,7 @@ def assign_cells(df: DataFrame, model, vec_col: str = "embedding") -> DataFrame:
     then every `ivf_topk_batch(..., cell_col="cell")` probe skips the
     corpus-wide transform and equi-joins straight onto the stored
     cells)."""
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = df.withColumn("_v", array_to_vector(F.col(vec_col)))
+    vecs = _unit_vectors(df, vec_col)
     return model.transform(vecs).drop("_v")
 
 
@@ -433,11 +496,7 @@ def ivf_topk(
     Pass a pre-fitted ``model`` (`fit_ivf`) to skip the per-call KMeans
     fit — at scale the quantizer is trained once offline and shared by
     every query; cell assignments would likewise be precomputed columns."""
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = df.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
-    )
+    vecs = _unit_vectors(df.select(F.col(id_col), F.col(vec_col)), vec_col)
     if model is None:
         model = fit_ivf(df, n_cells=n_cells, seed=seed, vec_col=vec_col)
     assigned = model.transform(vecs).drop("_v")
@@ -445,13 +504,15 @@ def ivf_topk(
     centers = model.clusterCenters()
     q_row = query.select(F.col(query_vec_col)).first()
     qv = list(q_row[0])
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+    qu = [x / qn for x in qv]
 
-    def cos_py(u, v):
-        du = math.sqrt(sum(x * x for x in u))
-        dv = math.sqrt(sum(x * x for x in v))
-        return sum(a * b for a, b in zip(u, v)) / (du * dv) if du and dv else 0.0
+    # probe by EUCLIDEAN distance of the normalized query to each
+    # centroid — the metric the quantizer assigned cells by
+    def d2(c):
+        return sum((a - b) * (a - b) for a, b in zip(qu, c))
 
-    probe = sorted(range(len(centers)), key=lambda c: -cos_py(centers[c], qv))[:n_probe]
+    probe = sorted(range(len(centers)), key=lambda c: d2(centers[c]))[:n_probe]
     cand = assigned.where(F.col("cell").isin(probe)).crossJoin(F.broadcast(query))
     score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
     return (
@@ -520,12 +581,8 @@ def ivf_topk_batch(
             F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell")
         )
     else:
-        from pyspark.ml.functions import array_to_vector
-
-        vecs = df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            array_to_vector(F.col(vec_col)).alias("_v"),
+        vecs = _unit_vectors(
+            df.select(F.col(id_col), F.col(vec_col)), vec_col
         )
         assigned = model.transform(vecs).drop("_v")
 
@@ -537,12 +594,25 @@ def ivf_topk_batch(
     qw = Window.partitionBy(query_id_col).orderBy(
         F.desc("_qc_cos"), F.asc("cell")
     )
+    # rank cells by Euclidean distance of the NORMALIZED query to the
+    # centroid (the assignment metric): for unit q̂, argmin ||q̂-c||²
+    # = argmax (q̂·c − ||c||²/2) — one dot fold per (query, cell) row,
+    # |Q|·n_cells rows total
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .select(
             query_id_col,
             "cell",
-            cosine(F.col(query_vec_col), F.col("centroid")).alias("_qc_cos"),
+            (
+                F.coalesce(
+                    F.try_divide(
+                        dot(F.col(query_vec_col), F.col("centroid")),
+                        l2_norm(F.col(query_vec_col)),
+                    ),
+                    F.lit(0.0),
+                )
+                - F.lit(0.5) * dot(F.col("centroid"), F.col("centroid"))
+            ).alias("_qc_cos"),
         )
         .withColumn("_rn", F.row_number().over(qw))
         .where(F.col("_rn") <= n_probe)
