@@ -2726,16 +2726,22 @@ FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
 WHERE c / (x.n + y.n - c) >= 0.5
 """,
     doc="End-to-end near-dup dedup decision: MinHash-LSH candidates "
-    "(xxhash64 fast path, 16 single-row bands) → exact-Jaccard "
+    "(xxhash64 fast path, 8 single-row bands) → exact-Jaccard "
     "verification → keep-lowest-id drop list. Oracle is the EXACT "
-    "all-true-pairs drop list: at 16 bands a Jaccard-0.9 pair is missed "
-    "with p=1e-16 (fixture pairs are all ≥0.9), so the LSH pipeline must "
-    "reproduce the exact answer. At 100 TB the same plan holds — banded "
-    "shuffle carries (band, id), verification touches candidates only. "
-    "The signature and verify passes share the catalog-owned persisted "
-    "(doc_id, shingle) cache (_shared_shingles): cold pays the cache "
-    "write, every warm run rides it — the measured-2× caller-owned "
-    "lifecycle the operator docstring prescribes.",
+    "all-true-pairs drop list: at 8 bands a Jaccard-0.9 pair is missed "
+    "with p=1e-8 (fixture pairs are all ≥0.9), so the LSH pipeline must "
+    "reproduce the exact answer. The entry SAID 16 bands through r4, but "
+    "a seed-list wrap made bands 8-15 exact duplicates of 0-7 — every "
+    "green row and timing was produced by these 8 effective bands, so 8 "
+    "is the honest, measured-sufficient setting now that wrapping "
+    "raises (dedup.MINHASH_SEEDS); dial bands up for real recall "
+    "margin at lower thresholds. At 100 TB the same plan holds — "
+    "banded shuffle carries (band, id), verification touches "
+    "candidates only. The signature and verify passes share the "
+    "catalog-owned persisted (doc_id, shingle) cache "
+    "(_shared_shingles): cold pays the cache write, every warm run "
+    "rides it — the measured-2× caller-owned lifecycle the operator "
+    "docstring prescribes.",
 )
 def dedup_drop_list(spark, sf_dir):
     from logvision_spark.operators.dedup import near_dup_drop_list
@@ -2744,8 +2750,8 @@ def dedup_drop_list(spark, sf_dir):
     return near_dup_drop_list(
         d,
         threshold=0.5,
-        num_hashes=16,
-        bands=16,
+        num_hashes=8,
+        bands=8,
         fast=True,
         shingles=_shared_shingles(spark, sf_dir),
         shingles_hashed=True,
