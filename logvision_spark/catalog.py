@@ -846,7 +846,7 @@ SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS INTEGER) AS token_cnt,
   CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
   CAST(len(list_filter(string_split(text, ' '),
-       t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+       t -> lower(t) IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
     / len(string_split(text, ' ')) AS stopword_ratio
 FROM documents
 """,
@@ -858,7 +858,9 @@ def text_quality(spark, sf_dir):
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     stop = F.size(
-        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))
+        F.filter(
+            toks, lambda t: F.lower(t).isin("the", "a", "of", "and", "to")
+        )
     )
     return d.select(
         "doc_id",
@@ -1571,10 +1573,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sc AS (SELECT doc_id,
-  CAST(len(list_filter(w, t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS INTEGER) AS score_en,
-  CAST(len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS INTEGER) AS score_de,
-  CAST(len(list_filter(w, t -> t IN ('el','la','de','que','y','en','un','por','con','para'))) AS INTEGER) AS score_es,
-  CAST(len(list_filter(w, t -> t IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS INTEGER) AS score_fr
+  CAST(len(list_filter(w, t -> lower(t) IN ('the','and','of','to','in','is','that','it','was','for'))) AS INTEGER) AS score_en,
+  CAST(len(list_filter(w, t -> lower(t) IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS INTEGER) AS score_de,
+  CAST(len(list_filter(w, t -> lower(t) IN ('el','la','de','que','y','en','un','por','con','para'))) AS INTEGER) AS score_es,
+  CAST(len(list_filter(w, t -> lower(t) IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS INTEGER) AS score_fr
 FROM toks)
 SELECT doc_id, score_en, score_de, score_es, score_fr,
   CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
@@ -3629,13 +3631,13 @@ def stream_j_left_outer(spark, sf_dir):
 WITH h AS (
   SELECT text, len(string_split(text, ' ')) AS token_cnt,
     len(list_filter(string_split(text, ' '),
-        t -> t IN ('the','and','of','to','in','is','that','it','was','for'))) AS en_hits,
+        t -> lower(t) IN ('the','and','of','to','in','is','that','it','was','for'))) AS en_hits,
     len(list_filter(string_split(text, ' '),
-        t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS de_hits,
+        t -> lower(t) IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS de_hits,
     len(list_filter(string_split(text, ' '),
-        t -> t IN ('el','la','de','que','y','en','un','por','con','para'))) AS es_hits,
+        t -> lower(t) IN ('el','la','de','que','y','en','un','por','con','para'))) AS es_hits,
     len(list_filter(string_split(text, ' '),
-        t -> t IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS fr_hits
+        t -> lower(t) IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS fr_hits
   FROM documents),
 f AS (
   SELECT text, token_cnt, en_hits, de_hits, es_hits, fr_hits,

@@ -22,18 +22,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Shared aggregate EXPRESSIONS: the single-metric builders below and the
+# streaming counter catalog's one-pass "totals" (pipeline.counter_views)
+# both build from these, so the NULL-bytes rule and unit constants have
+# exactly one definition.
+def line_cnt_expr() -> Column:
+    return F.count(F.lit(1))
+
+
+def size_kb_expr(text_col: str = "raw") -> Column:
+    return F.sum(F.length(F.col(text_col))) / F.lit(1024.0)
+
+
+def traffic_mb_expr(bytes_col: str = "bytes") -> Column:
+    return F.sum(F.coalesce(F.col(bytes_col), F.lit(0))) / F.lit(1048576.0)
+
+
 def global_count(df: DataFrame, alias: str = "cnt") -> DataFrame:
     """A1: total record count (streaming.scala:93-95)."""
-    return df.agg(F.count(F.lit(1)).alias(alias))
+    return df.agg(line_cnt_expr().alias(alias))
 
 
 def size_kb(df: DataFrame, text_col: str = "raw", alias: str = "size_kb") -> DataFrame:
     """A2: "log size in KB" — the reference splits every record into single
     characters and counts them (streaming.scala:98-101); `sum(length())`
     is the same number without the per-char explosion."""
-    return df.agg(
-        (F.sum(F.length(F.col(text_col))) / F.lit(1024.0)).alias(alias)
-    )
+    return df.agg(size_kb_expr(text_col).alias(alias))
 
 
 def count_by(df: DataFrame, key: str | Column | list, alias: str = "cnt") -> DataFrame:
@@ -56,10 +70,7 @@ def count_by_second(df: DataFrame, ts_col: str = "ts", alias: str = "cnt") -> Da
 def traffic_mb(df: DataFrame, bytes_col: str = "bytes", alias: str = "traffic_mb") -> DataFrame:
     """A11 (sane variant): total response MB = sum(bytes)/1024/1024 with
     NULL ('-') bytes contributing 0 (streaming.scala:142-149)."""
-    b = F.col(bytes_col)
-    return df.agg(
-        (F.sum(F.coalesce(b, F.lit(0))) / F.lit(1048576.0)).alias(alias)
-    )
+    return df.agg(traffic_mb_expr(bytes_col).alias(alias))
 
 
 def sum_mb_faithful(

@@ -58,9 +58,20 @@ def salted_agg(
 
     Example (sum):
         salted_agg(df, "host", F.sum("bytes"), F.sum("_partial"))
-    """
+
+    The salt hashes the WHOLE ROW (like salted_skew_join), never
+    monotonically_increasing_id: that id is nondeterministic across
+    task retries, so a fetch-failure recompute would route re-fetched
+    rows to different (key, salt) reducers than the rows already
+    consumed — the SPARK-23207 class of silent double-count/loss
+    (review finding). Fully duplicate rows share a salt, which only
+    costs spread when a hot key's rows are byte-identical."""
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(salt_buckets),
+        ),
     )
     partial = salted.groupBy(key, "_salt").agg(agg_col.alias(partial_alias))
     return partial.groupBy(key).agg(merge_col.alias(partial_alias)).withColumnRenamed(

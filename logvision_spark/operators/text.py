@@ -28,6 +28,15 @@ BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def tokens(text: Column, sep: str = " ") -> Column:
+    """TOKEN CONTRACT: split on the literal single-space separator,
+    mirrored bit-for-bit by every DuckDB oracle (string_split(text, ' ')).
+    Consequences both engines share: consecutive/leading/trailing
+    whitespace yields empty-string tokens and tokens('') == ['']
+    (size 1). Corpora with irregular whitespace should be normalized
+    UPSTREAM (regexp_replace(text, r'\s+', ' ') + trim) — changing the
+    split itself would silently shift every token-derived number
+    (counts, ratios, shingles, TF-IDF, packing budgets) on both sides
+    of the oracle contract at once."""
     return F.split(text, sep)
 
 
@@ -43,15 +52,23 @@ def bpe_like_token_count(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Case-insensitive: 'The' counts like 'the' (the oracle lowercases
+    identically); tokens(…) never yields an empty array so the divisor
+    is >= 1."""
     toks = tokens(text)
-    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+    stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*LANG_STOPWORDS[lang]))
+    )
     return stop.cast("double") / F.size(toks)
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are punctuation/symbols."""
+    """Fraction of characters that are punctuation/symbols. try_divide:
+    an empty document is a routine raw-corpus input, and a plain
+    division is a hard ANSI DIVIDE_BY_ZERO job failure there; NULL
+    matches DuckDB's x/0 semantics exactly."""
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
-    return punct.cast("double") / F.length(text)
+    return F.try_divide(punct.cast("double"), F.length(text))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -77,7 +94,7 @@ def lang_scores(text: Column) -> list[Column]:
     toks = tokens(text)
 
     def hits(ws: tuple[str, ...]):
-        return lambda t: t.isin(*ws)
+        return lambda t: F.lower(t).isin(*ws)
 
     return [
         F.size(F.filter(toks, hits(ws))).alias(f"score_{lang}")
@@ -99,9 +116,17 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("pred_lang", pred)
 
 
-def fingerprint(text: Column) -> Column:
-    """Deterministic 63-bit document fingerprint (portable rolling hash) —
-    the content-identity key for exact dedup and change detection."""
+def fingerprint(text: Column, fast: bool = False) -> Column:
+    """Deterministic document fingerprint for change detection.
+    The portable rolling hash folds mod 1e9+7, a ~30-BIT space — by the
+    birthday bound a 50% collision chance arrives at only ~38k documents,
+    so it is an ORACLE-CHECKABLE change-detection key, NOT a content-
+    identity key for dedup at corpus scale (the earlier "63-bit" claim
+    was off by ~33 bits — review finding). ``fast=True`` returns full
+    64-bit xxhash64 — the production identity key exact_dedup itself
+    uses; engine-specific, so no DuckDB oracle."""
+    if fast:
+        return F.xxhash64(text)
     return poly_hash(text)
 
 

@@ -49,13 +49,18 @@ def counter_views(
     Returns the ZSET-equivalent catalog: per-key running counts, the
     per-second time series, the global line/size/traffic totals.
     """
+    from logvision_spark.operators.aggregations import (
+        count_by,
+        line_cnt_expr,
+        size_kb_expr,
+        traffic_mb_expr,
+    )
+
     views: dict[str, DataFrame] = {}
     ok = parsed.where(F.col("parsed"))
 
     for key in COUNTER_KEYS:
-        views[key] = ok.groupBy(F.col(key).alias("member")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
+        views[key] = count_by(ok, F.col(key).alias("member"))
 
     # per-second event-time counter needs a watermark in update mode.
     # group by the FULL window column (extracting .start inside groupBy
@@ -67,13 +72,13 @@ def counter_views(
         .select(F.col("window.start").alias("second"), "cnt")
     )
 
-    # global counters: line count, size KB, traffic MB — one pass
+    # global counters: line count, size KB, traffic MB — still ONE
+    # aggregation pass, but the expressions are the aggregations-module
+    # definitions (one place owns the NULL-bytes rule and constants)
     views["totals"] = parsed.agg(
-        F.count(F.lit(1)).alias("line_cnt"),
-        (F.sum(F.length("raw")) / F.lit(1024.0)).alias("size_kb"),
-        (F.sum(F.coalesce(F.col("bytes"), F.lit(0))) / F.lit(1048576.0)).alias(
-            "traffic_mb"
-        ),
+        line_cnt_expr().alias("line_cnt"),
+        size_kb_expr("raw").alias("size_kb"),
+        traffic_mb_expr("bytes").alias("traffic_mb"),
     )
     return views
 
@@ -91,10 +96,19 @@ def sliding_window_counts(
     src = parsed.where(F.col("parsed"))
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
-    w = F.window("ts", window_len, slide)
-    return src.groupBy(
-        w.getField("start").alias("win_start"), w.getField("end").alias("win_end")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # group by the FULL window column — the same rule counter_views
+    # documents: extracting .start/.end inside groupBy severs watermark
+    # tracking, so append mode was rejected and update-mode window state
+    # never aged out (review finding, confirmed by execution)
+    return (
+        src.groupBy(F.window("ts", window_len, slide))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "cnt",
+        )
+    )
 
 
 def session_window_counts(
@@ -139,8 +153,15 @@ def processing_time_uv_counts(
 
     Distinct counting uses HLL++ (`approx_count_distinct`) by default —
     streaming-safe and shuffle-light at 100 TB; `exact=True` switches to
-    `count_distinct` for batch verification."""
+    `count_distinct` for batch verification.
+
+    A short watermark on the processing-time column bounds state: wall
+    clock is never late, so nothing is ever dropped, but without it a
+    long-running update-mode query keeps one StateStore entry (holding
+    an HLL sketch) per closed window FOREVER (review finding)."""
     stamped = records.withColumn("_proc_ts", F.current_timestamp())
+    if stamped.isStreaming:
+        stamped = stamped.withWatermark("_proc_ts", "1 minute")
     agg = F.count_distinct if exact else F.approx_count_distinct
     return (
         stamped.groupBy(F.window("_proc_ts", window_len).alias("win"))

@@ -103,3 +103,79 @@ def test_connected_components_string_ids_small_graph(spark):
     assert labels == {
         "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "solo": "solo",
     }
+
+
+def test_parser_survives_unparseable_datetime(spark):
+    """A datetime that matches the regex but not the format (single-digit
+    day, non-English month) must yield ts=NULL — under ANSI a plain
+    to_timestamp aborted the whole job."""
+    from logvision_spark.parser import parse_access_log
+
+    lines = spark.createDataFrame(
+        [
+            ('1.2.3.4 - u [1/Oct/2020:13:55:36 +0800] "GET /x HTTP/1.1" 200 10 "r" "a"',),
+            ('1.2.3.4 - u [10/Okt/2020:13:55:36 +0800] "GET /x HTTP/1.1" 200 10 "r" "a"',),
+            ('1.2.3.4 - u [10/Oct/2020:13:55:36 +0800] "GET /x HTTP/1.1" 200 10 "r" "a"',),
+        ],
+        "value string",
+    )
+    rows = parse_access_log(lines).select("ts", "host").collect()
+    assert [r["ts"] is None for r in rows] == [True, True, False]
+    assert all(r["host"] == "1.2.3.4" for r in rows)
+
+
+def test_quality_features_survive_empty_documents(spark):
+    """Empty text is a routine raw-corpus input: punct_ratio must yield
+    NULL (DuckDB's x/0 semantics), not an ANSI DIVIDE_BY_ZERO abort."""
+    from logvision_spark.operators.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "hello, world!")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[1]["punct_ratio"] is None
+    assert rows[2]["punct_ratio"] > 0
+
+
+def test_stopwords_match_case_insensitively(spark):
+    """'The' must count like 'the' for both the quality ratio and
+    language ID (capitalized prose scored 0 before — review finding)."""
+    from logvision_spark.operators.text import lang_id, quality_features
+
+    df = spark.createDataFrame(
+        [(1, "The Cat And The Hat Of It All Was For")],
+        "doc_id long, text string",
+    )
+    q = quality_features(df).first()
+    assert q["stopword_ratio"] > 0
+    assert lang_id(df).first()["pred_lang"] == "en"
+
+
+def test_sliding_window_counts_supports_append_mode(spark, sf_dir, tmp_path):
+    """Grouping by window.start/.end severed watermark tracking, so
+    append mode was rejected (review finding, confirmed): the fixed
+    form must run in append mode and emit finalized windows."""
+    from logvision_spark.streaming.pipeline import sliding_window_counts
+
+    spark.createDataFrame(
+        [(f"2024-01-01 00:00:{i:02d}", True) for i in range(30)],
+        "ts_s string, parsed boolean",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "parsed").write.parquet(
+        str(tmp_path / "in")
+    )
+    src = (
+        spark.readStream.schema("ts timestamp, parsed boolean")
+        .parquet(str(tmp_path / "in"))
+    )
+    q = (
+        sliding_window_counts(src, watermark="5 seconds")
+        .writeStream.format("memory")
+        .queryName("swc_append_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("swc_append_probe").collect()
+    assert all(r["cnt"] > 0 for r in out)
