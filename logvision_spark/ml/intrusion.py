@@ -93,10 +93,20 @@ def evaluate(model: PipelineModel, holdout: DataFrame) -> dict[str, float]:
         )
         .collect()
     )
-    return {
-        ("good_acc" if r["label"] == GOOD else "bad_acc"): r["correct"] / r["n"]
-        for r in agg
-    }
+    # Both keys are always present (None when the holdout lacks that
+    # class — a single-class holdout used to return a partial dict and
+    # KeyError the caller), and only the BAD label maps to bad_acc: a
+    # mislabeled corpus with extra label values used to silently
+    # overwrite bad_acc with whichever group collected last.
+    out: dict[str, float | None] = {"good_acc": None, "bad_acc": None}
+    for r in agg:
+        if r["label"] == GOOD:
+            out["good_acc"] = r["correct"] / r["n"]
+        elif r["label"] == BAD:
+            out["bad_acc"] = r["correct"] / r["n"]
+        else:
+            out[f"label_{r['label']}_acc"] = r["correct"] / r["n"]
+    return out
 
 
 def score_stream(model: PipelineModel, parsed: DataFrame) -> DataFrame:

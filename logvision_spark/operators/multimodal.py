@@ -60,6 +60,58 @@ def _sliced_batches(batches, max_rows: int):
             yield whole.slice(s, max_rows)
 
 
+def _binary_view(rb, id_col: str = "asset_id", payload_col: str = "payload"):
+    """(ids_int64_arrow, offsets_int64, data_uint8) view of a
+    RecordBatch's binary column — the ONE implementation of the subtle
+    buffer arithmetic every Arrow kernel here needs (honors slice
+    offsets via ``pay.offset``, treats nulls as empty payloads, picks
+    int32/int64 offsets by binary type). Previously copy-pasted six
+    times; the fuzz-found OOB-gather class of bug now has a single
+    fix point (review finding)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = rb.num_rows
+    ids = rb.column(rb.schema.get_field_index(id_col))
+    if ids.type != pa.int64():  # mapInArrow does not coerce
+        ids = ids.cast(pa.int64())
+    pay = rb.column(rb.schema.get_field_index(payload_col))
+    if pay.null_count:
+        pay = pay.fill_null(b"")
+    off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+    bufs = pay.buffers()
+    offsets = np.frombuffer(
+        bufs[1], dtype=off_dtype, count=pay.offset + n + 1
+    )[pay.offset :].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return ids, offsets, data
+
+
+def _parse_bmp_24bpp(b):
+    """Validate + parse one uncompressed 24-bpp BMP payload (numpy uint8
+    view): returns (w, h, px_off, stride, ah) or None. The ONE header
+    contract shared by pixel_histograms and the real resize — the
+    vectorized gates in _decode_bmp mirror it (review finding: two
+    verbatim copies previously had to stay in lockstep by hand)."""
+    if len(b) < 54 or b[0] != 0x42 or b[1] != 0x4D:
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    px_off = int.from_bytes(b[10:14], "little")
+    ah = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if (
+        bpp != 24
+        or w <= 0
+        or h == 0
+        or px_off < 54
+        or px_off + stride * ah > len(b)
+    ):
+        return None
+    return w, h, px_off, stride, ah
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real image decode: derives plausible
     dimensions from the payload bytes. Replace with PIL/opencv in prod."""
@@ -95,18 +147,7 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
             n = rb.num_rows
             if n == 0:
                 continue  # 0-byte offsets buffer: nothing to decode
-            ids = rb.column(rb.schema.get_field_index("asset_id"))
-            if ids.type != pa.int64():
-                ids = ids.cast(pa.int64())
-            pay = rb.column(rb.schema.get_field_index("payload"))
-            if pay.null_count:
-                pay = pay.fill_null(b"")
-            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
-            bufs = pay.buffers()
-            offsets = np.frombuffer(
-                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
-            )[pay.offset :].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            ids, offsets, data = _binary_view(rb)
             starts = offsets[:-1]
             lens = np.diff(offsets)
             idx = np.where(lens > 0, starts, 0)
@@ -188,18 +229,7 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
                 # a zero-row batch has a 0-byte offsets buffer — nothing
                 # to decode, and frombuffer(count=1) would raise
                 continue
-            ids = rb.column(rb.schema.get_field_index("asset_id"))
-            if ids.type != pa.int64():  # mapInArrow does not coerce
-                ids = ids.cast(pa.int64())
-            pay = rb.column(rb.schema.get_field_index("payload"))
-            if pay.null_count:
-                pay = pay.fill_null(b"")  # null decodes like empty: not ok
-            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
-            bufs = pay.buffers()
-            offsets = np.frombuffer(
-                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
-            )[pay.offset :].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            ids, offsets, data = _binary_view(rb)
             lens = np.diff(offsets)
             ok = lens > 0
             safe_start = np.where(ok, offsets[:-1], 0)
@@ -317,22 +347,15 @@ def extract_features(df: DataFrame, dim: int = 64, use_fake: bool = True) -> Dat
         import numpy as np
         import pyarrow as pa
 
-        for rb in batches:
+        # output list offsets are int32 ELEMENT indexes: cap rows so
+        # n*dim < 2^31 (resize has the byte-side guard; this is the
+        # element-side one — review finding: no cap here before)
+        for rb in _sliced_batches(batches, max(1, (2**31 - 1) // dim)):
             n = rb.num_rows
             if n == 0:
                 continue  # 0-byte offsets buffer: nothing to featurize
-            ids = rb.column(rb.schema.get_field_index("asset_id"))
-            if ids.type != pa.int64():  # mapInArrow does not coerce
-                ids = ids.cast(pa.int64())
-            pay = rb.column(rb.schema.get_field_index("payload"))
-            if pay.null_count:
-                pay = pay.fill_null(b"")  # null ≡ empty: both fall back to bin 0
-            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
-            bufs = pay.buffers()
-            offsets = np.frombuffer(
-                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
-            )[pay.offset :].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+            ids, offsets, data = _binary_view(rb)
+            data = data[offsets[0] : offsets[-1]]
             lens = np.diff(offsets)
             flat = np.repeat(np.arange(n), lens) * dim + (data % dim)
             hist = np.bincount(flat, minlength=n * dim).reshape(n, dim)
@@ -377,6 +400,13 @@ def resize_images(
         return _resize_bmp_real(df, target_w, target_h)
 
     n_bytes = target_w * target_h
+    if n_bytes > 2**31 - 1:
+        # one output row alone would overflow the int32 offsets vector;
+        # the old max(1, …//n_bytes) clamp silently "allowed" it
+        raise ValueError(
+            f"target {target_w}x{target_h} = {n_bytes} bytes/row exceeds "
+            "the int32 Arrow offset range; use a smaller target"
+        )
 
     def _resize(batches):
         # mapInArrow truncate-or-pad, zero-copy both directions: input
@@ -398,18 +428,7 @@ def resize_images(
             n = rb.num_rows
             if n == 0:
                 continue  # 0-byte offsets buffer: nothing to resize
-            ids = rb.column(rb.schema.get_field_index("asset_id"))
-            if ids.type != pa.int64():  # mapInArrow does not coerce
-                ids = ids.cast(pa.int64())
-            pay = rb.column(rb.schema.get_field_index("payload"))
-            if pay.null_count:
-                pay = pay.fill_null(b"")  # null pads to all-zero bytes
-            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
-            bufs = pay.buffers()
-            offsets = np.frombuffer(
-                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
-            )[pay.offset :].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            ids, offsets, data = _binary_view(rb)
             starts = offsets[:-1]
             eff = np.minimum(np.diff(offsets), n_bytes)
             mat = np.zeros((n, n_bytes), dtype=np.uint8)
@@ -466,38 +485,15 @@ def pixel_histograms(df: DataFrame, dim: int = 64) -> DataFrame:
             n = rb.num_rows
             if n == 0:
                 continue
-            ids_arr = rb.column(rb.schema.get_field_index("asset_id"))
-            if ids_arr.type != pa.int64():
-                ids_arr = ids_arr.cast(pa.int64())
-            ids = ids_arr.to_numpy(zero_copy_only=False)
-            pay = rb.column(rb.schema.get_field_index("payload"))
-            if pay.null_count:
-                pay = pay.fill_null(b"")
-            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
-            bufs = pay.buffers()
-            offsets = np.frombuffer(
-                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
-            )[pay.offset :].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            ids_arrow, offsets, data = _binary_view(rb)
+            ids = ids_arrow.to_numpy(zero_copy_only=False)
             out_ids, out_buckets, out_cnts = [], [], []
             for i in range(n):
                 b = data[offsets[i] : offsets[i + 1]]
-                if len(b) < 54 or b[0] != 0x42 or b[1] != 0x4D:
+                hdr = _parse_bmp_24bpp(b)
+                if hdr is None:
                     continue
-                w = int.from_bytes(b[18:22], "little", signed=True)
-                h = int.from_bytes(b[22:26], "little", signed=True)
-                bpp = int.from_bytes(b[28:30], "little")
-                px_off = int.from_bytes(b[10:14], "little")
-                ah = abs(h)
-                stride = (w * 3 + 3) // 4 * 4
-                if (
-                    bpp != 24
-                    or w <= 0
-                    or h == 0
-                    or px_off < 54
-                    or px_off + stride * ah > len(b)
-                ):
-                    continue
+                w, h, px_off, stride, ah = hdr
                 area = b[px_off : px_off + stride * ah].reshape(ah, stride)
                 px = area[:, : w * 3].ravel().astype(np.int64)
                 hist = np.bincount(px * dim // 256, minlength=dim)
@@ -529,6 +525,11 @@ def _resize_bmp_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     row padding and round-trip through decode_images(use_fake=False)."""
     out_stride = (target_w * 3 + 3) // 4 * 4
     out_total = 54 + target_h * out_stride
+    if out_total > 2**31 - 1:
+        raise ValueError(
+            f"target {target_w}x{target_h} BMP = {out_total} bytes/row "
+            "exceeds the int32 Arrow offset range; use a smaller target"
+        )
 
     def _kernel(batches):
         import struct
@@ -548,42 +549,18 @@ def _resize_bmp_real(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             n = rb.num_rows
             if n == 0:
                 continue
-            ids = rb.column(rb.schema.get_field_index("asset_id"))
-            if ids.type != pa.int64():
-                ids = ids.cast(pa.int64())
-            pay = rb.column(rb.schema.get_field_index("payload"))
-            if pay.null_count:
-                pay = pay.fill_null(b"")
-            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
-            bufs = pay.buffers()
-            offsets = np.frombuffer(
-                bufs[1], dtype=off_dtype, count=pay.offset + n + 1
-            )[pay.offset :].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            ids, offsets, data = _binary_view(rb)
             ty = np.arange(target_h)
             tx3 = np.arange(target_w) * 3
             ch = np.arange(3)
             payloads: list[bytes | None] = []
             for i in range(n):
                 b = data[offsets[i] : offsets[i + 1]]
-                if len(b) < 54 or b[0] != 0x42 or b[1] != 0x4D:
+                hdr = _parse_bmp_24bpp(b)
+                if hdr is None:
                     payloads.append(None)
                     continue
-                w = int.from_bytes(b[18:22], "little", signed=True)
-                h = int.from_bytes(b[22:26], "little", signed=True)
-                bpp = int.from_bytes(b[28:30], "little")
-                px_off = int.from_bytes(b[10:14], "little")
-                ah = abs(h)
-                stride = (w * 3 + 3) // 4 * 4
-                if (
-                    bpp != 24
-                    or w <= 0
-                    or h == 0
-                    or px_off < 54
-                    or px_off + stride * ah > len(b)
-                ):
-                    payloads.append(None)
-                    continue
+                w, h, px_off, stride, ah = hdr
                 # image-space row of each output row (output is stored
                 # bottom-up), mapped into the source's storage order
                 out_img_row = target_h - 1 - ty

@@ -55,20 +55,41 @@ class ServingCatalog:
         counters are built from parsed records exclusively (malformed
         lines carry no status/host/url), so unparsed lines must not
         inflate other_cnt."""
+        # ONE conditional aggregate over the raw frame — the parsed-only
+        # metrics gate on the parsed flag inside their expressions
+        # (approx_count_distinct ignores the NULLs the when() yields),
+        # so there is a single scan and no crossJoin (review finding:
+        # the previous two-agg + crossJoin form doubled the scan this
+        # module's own comments argue must be halved). Counts coalesce
+        # to 0: sum() over zero rows is NULL, and the reference's Redis
+        # counters read 0 on an empty/just-started board, not null.
+        parsed_flag = F.col("parsed")
         ok = F.col("status_code").between(200, 207)
-        parsed_side = self.parsed.agg(
-            F.approx_count_distinct("host").alias("visitors"),
-            F.approx_count_distinct("url").alias("resources"),
-            F.sum(ok.cast("long")).alias("success_cnt"),
-            F.sum((~ok | F.col("status_code").isNull()).cast("long")).alias("other_cnt"),
-        )
-        raw_side = self.raw.agg(
+        return self.raw.agg(
+            F.approx_count_distinct(
+                F.when(parsed_flag, F.col("host"))
+            ).alias("visitors"),
+            F.approx_count_distinct(
+                F.when(parsed_flag, F.col("url"))
+            ).alias("resources"),
             F.count(F.lit(1)).alias("line_cnt"),
-            (F.sum(F.coalesce(F.col("bytes"), F.lit(0))) / F.lit(1048576.0)).alias(
-                "traffic_mb"
-            ),
-        )
-        return parsed_side.crossJoin(raw_side).select(
+            (
+                F.coalesce(F.sum(F.coalesce(F.col("bytes"), F.lit(0))), F.lit(0))
+                / F.lit(1048576.0)
+            ).alias("traffic_mb"),
+            F.coalesce(
+                F.sum((parsed_flag & ok).cast("long")), F.lit(0)
+            ).alias("success_cnt"),
+            F.coalesce(
+                F.sum(
+                    (
+                        parsed_flag
+                        & (~ok | F.col("status_code").isNull())
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("other_cnt"),
+        ).select(
             "visitors", "resources", "line_cnt", "traffic_mb",
             "success_cnt", "other_cnt",
         )

@@ -113,10 +113,16 @@ def read_kafka_stream(
     )
 
 
-def read_file_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_file_stream(
+    spark: SparkSession, path: str, path_glob: str | None = None
+) -> DataFrame:
     """S2 capability: follow a growing directory of log files
-    (replaces Flume TAILDIR, flume/standalone.conf:7-17)."""
-    return spark.readStream.format("text").load(path)
+    (replaces Flume TAILDIR, flume/standalone.conf:7-17).
+    ``path_glob`` filters leaf file names (pathGlobFilter)."""
+    src = spark.readStream.format("text")
+    if path_glob:
+        src = src.option("pathGlobFilter", path_glob)
+    return src.load(path)
 
 
 def read_rate_stream(spark: SparkSession, rows_per_second: int = 5) -> DataFrame:

@@ -105,12 +105,11 @@ def file_to_kafka_collector(
     Returns the started StreamingQuery (or the un-started writer when
     ``start=False``, for environments without a Kafka broker — the
     sandbox case; config is identical either way)."""
-    src = spark.readStream.format("text")
-    if path_glob:
-        src = src.option("pathGlobFilter", path_glob)
-    lines = src.load(watch_dir)
+    from logvision_spark.sources.readers import read_file_stream
+
+    lines = read_file_stream(spark, watch_dir, path_glob=path_glob)
     writer = (
-        lines.select(F.col("value").cast("string").alias("value"))
+        lines.select("value")
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
@@ -126,10 +125,13 @@ def foreach_batch_kv(
     output_mode: str = "update",
 ) -> StreamingQuery:
     """W1 generalized: ship per-trigger counter deltas to any KV store.
-    ``write_batch(pdf, batch_id)`` receives the update-mode rows (only keys
-    whose counts changed this trigger) — the zincrby-equivalent hook, but
-    checkpoint-fenced so a replayed batch can be deduplicated by batch_id
-    (the reference's zincrby double-counts on replay)."""
+    ``write_batch(batch_df, batch_id)`` receives the update-mode rows as
+    a SPARK DataFrame (only keys whose counts changed this trigger) —
+    call ``.toPandas()``/``.collect()`` inside the hook if the store
+    wants local rows; counter deltas are small by construction. The
+    zincrby-equivalent hook, checkpoint-fenced so a replayed batch can
+    be deduplicated by batch_id (the reference's zincrby double-counts
+    on replay)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         write_batch(batch_df, batch_id)

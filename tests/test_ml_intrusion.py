@@ -84,3 +84,18 @@ def test_score_stream_schema(spark, model):
     assert len(rows) == 2
     assert {"probability", "prediction"} <= set(scored.columns)
     assert all(r["prediction"] in (0.0, 1.0) for r in rows)
+
+
+def test_evaluate_single_class_holdout_returns_both_keys(spark, model):
+    """A one-class holdout used to return a partial dict (KeyError on
+    the published good_acc check — review finding); both keys must
+    always be present."""
+    from logvision_spark.ml.intrusion import GOOD, evaluate
+
+    bad_only = spark.createDataFrame(
+        [("/x?q=<script>alert(1)</script>", 1.0)], "url string, label double"
+    )
+    res = evaluate(model, bad_only)
+    assert set(res) >= {"good_acc", "bad_acc"}
+    assert res["good_acc"] is None
+    assert res["bad_acc"] is not None

@@ -364,3 +364,15 @@ def test_farbfeld_decode_matches_struct_reference(spark):
         assert (r["width"], r["height"], r["channels"], r["decode_ok"]) == (
             w, h, c, ok,
         ), f"case {i}: {r}"
+
+
+def test_resize_rejects_int32_overflowing_targets(spark):
+    """A single output row >= 2^31 bytes can't be represented by int32
+    Arrow offsets; the old clamp forced 1 row/batch and still
+    overflowed (review finding) — now a clear error, both paths."""
+    import pytest
+
+    df = spark.createDataFrame([(1, b"x")], "asset_id long, payload binary")
+    for fake in (True, False):
+        with pytest.raises(ValueError, match="int32"):
+            resize_images(df, 46341, 46341, use_fake=fake)

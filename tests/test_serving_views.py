@@ -102,3 +102,19 @@ def test_all_views_complete_catalog(catalog):
     assert set(views) == expected
     for name, df in views.items():
         assert df.count() >= 0, name
+
+
+def test_count_board_empty_board_reads_zero(spark):
+    """A just-started board (no rows yet) must read 0 counters like the
+    reference's Redis defaults — sum() over zero rows is NULL without
+    the coalesce (review finding)."""
+    from logvision_spark.serving.views import ServingCatalog
+
+    empty = spark.createDataFrame(
+        [],
+        "host string, url string, status_code int, bytes long, "
+        "parsed boolean, raw string",
+    )
+    r = ServingCatalog(empty).count_board().collect()[0]
+    assert (r["line_cnt"], r["success_cnt"], r["other_cnt"]) == (0, 0, 0)
+    assert r["traffic_mb"] == 0.0
