@@ -78,8 +78,9 @@ def register_sql_functions(spark: SparkSession) -> None:
         r"""
         CREATE OR REPLACE TEMPORARY FUNCTION lv_punct_ratio(t STRING)
         RETURNS DOUBLE
-        RETURN CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '')) AS DOUBLE)
-               / length(t)
+        RETURN try_divide(
+               CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '')) AS DOUBLE),
+               length(t))
         """
     )
     spark.sql(
@@ -95,12 +96,13 @@ def register_sql_functions(spark: SparkSession) -> None:
         """
         CREATE OR REPLACE TEMPORARY FUNCTION lv_cosine(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
         RETURNS DOUBLE
-        RETURN aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-             / (sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        RETURN coalesce(try_divide(
+               aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
+               sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                                CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
               * sqrt(aggregate(transform(b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))
+                               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 0.0D)
         """
     )
 
@@ -123,6 +125,9 @@ def register_sql_functions(spark: SparkSession) -> None:
         import numpy as np
 
         x = v[v > 0]
-        return float(np.exp(np.log(x).mean())) if len(x) else float("nan")
+        # None (NULL), never NaN: NaN sorts ABOVE every number in Spark,
+        # so a degenerate all-nonpositive group would rank FIRST in any
+        # desc ordering and pass >= thresholds (review finding)
+        return float(np.exp(np.log(x).mean())) if len(x) else None
 
     spark.udf.register("lv_pandas_geomean", lv_pandas_geomean)

@@ -167,6 +167,7 @@ def grouped_trend_slope(
         value_col,
         (F.col(ts_col).cast("double") / F.lit(86400.0)).alias("_x_days"),
     )
+    key_type = df.schema[key].dataType.simpleString()
     return staged.groupBy(key).applyInPandas(
-        _fit, schema=f"{key} long, n_events long, slope_per_day double"
+        _fit, schema=f"{key} {key_type}, n_events long, slope_per_day double"
     )

@@ -42,15 +42,30 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lcols = left.columns
     l = left.withColumn("_src", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    r = right.select(
-        F.col(key),
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-    ).withColumn("_src", F.lit(0)).withColumn("_ts", F.col("_rts"))
+    # The matched right row travels as ONE struct, so every carried
+    # field comes from the SAME row as the reported timestamp: filling
+    # each column independently with last(ignorenulls) fabricated data —
+    # a NULL value in the true match was silently replaced by a stale
+    # value from an older row (review finding). Right rows with a NULL
+    # key or NULL timestamp are excluded up front: SQL join semantics
+    # never match NULL keys (Window.partitionBy would have grouped
+    # them), and a row without a timestamp has no as-of position.
+    r = (
+        right.where(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
+        .select(
+            F.col(key),
+            F.col(right_ts).alias("_rts"),
+            F.struct(
+                F.col(right_ts).alias("_rts"),
+                *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+            ).alias("_rpack"),
+        )
+        .withColumn("_src", F.lit(0))
+        .withColumn("_ts", F.col("_rts"))
+    )
 
-    carried = [f"{c}{suffix}" for c in value_cols] + ["_rts"]
     combined = l.unionByName(
-        r.select(key, "_src", "_ts", *carried),
+        r.select(key, "_src", "_ts", "_rpack"),
         allowMissingColumns=True,
     )
     # right rows (_src=0) sort before left rows at equal timestamps in
@@ -67,48 +82,32 @@ def asof_join(
     )
     suffixed = [f"{c}{suffix}" for c in value_cols]
 
+    def unpack(pack, out_names):
+        return [
+            *[pack[name].alias(name) for name in out_names],
+            pack["_rts"].alias(f"{right_ts}{suffix}"),
+        ]
+
     if direction in ("backward", "forward"):
         w = w_back if direction == "backward" else w_fwd
         filled = combined.select(
-            "*",
-            *[
-                F.last(F.col(c), ignorenulls=True).over(w).alias(f"_f_{c}")
-                for c in carried
-            ],
+            "*", F.last(F.col("_rpack"), ignorenulls=True).over(w).alias("_f")
         )
         return filled.where(F.col("_src") == 1).select(
-            *lcols,
-            *[F.col(f"_f_{name}").alias(name) for name in suffixed],
-            F.col("_f__rts").alias(f"{right_ts}{suffix}"),
+            *lcols, *unpack(F.col("_f"), suffixed)
         )
 
     # nearest: fill both directions, pick the closer candidate per row
     filled = combined.select(
         "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w_back).alias(f"_fb_{c}")
-            for c in carried
-        ],
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w_fwd).alias(f"_ff_{c}")
-            for c in carried
-        ],
+        F.last(F.col("_rpack"), ignorenulls=True).over(w_back).alias("_fb"),
+        F.last(F.col("_rpack"), ignorenulls=True).over(w_fwd).alias("_ff"),
     ).where(F.col("_src") == 1)
     l_us = F.unix_micros(F.col("_ts"))
-    back_us = F.unix_micros(F.col("_fb__rts"))
-    fwd_us = F.unix_micros(F.col("_ff__rts"))
-    use_back = F.col("_fb__rts").isNotNull() & (
-        F.col("_ff__rts").isNull() | ((l_us - back_us) <= (fwd_us - l_us))
+    back_us = F.unix_micros(F.col("_fb")["_rts"])
+    fwd_us = F.unix_micros(F.col("_ff")["_rts"])
+    use_back = F.col("_fb")["_rts"].isNotNull() & (
+        F.col("_ff")["_rts"].isNull() | ((l_us - back_us) <= (fwd_us - l_us))
     )
-    return filled.select(
-        *lcols,
-        *[
-            F.when(use_back, F.col(f"_fb_{name}"))
-            .otherwise(F.col(f"_ff_{name}"))
-            .alias(name)
-            for name in suffixed
-        ],
-        F.when(use_back, F.col("_fb__rts"))
-        .otherwise(F.col("_ff__rts"))
-        .alias(f"{right_ts}{suffix}"),
-    )
+    pick = F.when(use_back, F.col("_fb")).otherwise(F.col("_ff"))
+    return filled.select(*lcols, *unpack(pick, suffixed))

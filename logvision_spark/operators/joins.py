@@ -62,9 +62,12 @@ def geo_enrich(
     is tiny relative to facts at every scale, so we pin `broadcast()`
     rather than trusting the threshold; inner join preserves the
     reference's drop-unresolved semantics."""
+    # drop the DIMENSION's key column by reference: .drop(dim_key) by
+    # name removes BOTH copies when fact_key == dim_key, silently losing
+    # the join key from the output (review finding)
     return facts.join(
         F.broadcast(geo_dim), on=facts[fact_key] == geo_dim[dim_key], how="inner"
-    ).drop(dim_key)
+    ).drop(geo_dim[dim_key])
 
 
 def geo_enrich_live(

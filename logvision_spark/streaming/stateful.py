@@ -45,8 +45,16 @@ def _track_visits(
     for pdf in batches:
         visits += len(pdf)
         total += int(pdf["bytes"].fillna(0).sum())
+        # max() over an all-NULL chunk is NaT, and NaT comparisons are
+        # always False — once stuck as `last`, real timestamps from
+        # later chunks could never replace it (review finding)
         batch_last = pdf["ts"].max()
-        last = batch_last if last is None or batch_last > last else last
+        if not pd.isna(batch_last):
+            last = (
+                batch_last
+                if last is None or pd.isna(last) or batch_last > last
+                else last
+            )
     state.update((visits, total, last))
     state.setTimeoutDuration(60_000)  # expire idle hosts after 60 s
     yield pd.DataFrame(

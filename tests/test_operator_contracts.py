@@ -179,3 +179,82 @@ def test_sliding_window_counts_supports_append_mode(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     out = spark.table("swc_append_probe").collect()
     assert all(r["cnt"] > 0 for r in out)
+
+
+def test_asof_join_carries_values_from_the_matched_row_only(spark):
+    """A NULL value in the true match must stay NULL — filling each
+    column independently fabricated a non-null value from an OLDER row
+    and attributed it to the matched timestamp (review finding)."""
+    from logvision_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:01", 5.0), ("k", "2024-01-01 00:00:02", None)],
+        "key string, ts_s string, v double",
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:03")], "key string, ts_s string"
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"))
+    r = asof_join(left, right, key="key", value_cols=("v",)).first()
+    assert r["ts_asof"] is not None and r["ts_asof"].second == 2
+    assert r["v_asof"] is None, "stale value fabricated from the ts=1 row"
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL join semantics: NULL keys match nothing — Window.partitionBy
+    grouped the NULLs together and matched them (review finding)."""
+    from logvision_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(None, "2024-01-01 00:00:01", 9.0)], "key string, ts_s string, v double"
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    left = spark.createDataFrame(
+        [(None, "2024-01-01 00:00:05")], "key string, ts_s string"
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"))
+    r = asof_join(left, right, key="key", value_cols=("v",)).first()
+    assert r["v_asof"] is None and r["ts_asof"] is None
+
+
+def test_geo_enrich_same_key_name_keeps_fact_key(spark):
+    """fact_key == dim_key must keep the facts-side key column —
+    .drop(name) removed both copies (review finding)."""
+    from logvision_spark.operators.joins import geo_enrich
+
+    facts = spark.createDataFrame([("1.2.3.4", 1)], "ip string, n int")
+    dim = spark.createDataFrame([("1.2.3.4", "US")], "ip string, country string")
+    out = geo_enrich(facts, dim, fact_key="ip", dim_key="ip")
+    assert out.columns.count("ip") == 1
+    assert out.first()["ip"] == "1.2.3.4"
+
+
+def test_sql_registry_degenerate_inputs(spark):
+    """The SQL surface must agree with the hardened DataFrame surface on
+    degenerate inputs: empty text, zero vectors, all-nonpositive groups
+    (each previously an ANSI crash or a NaN that outsorts everything)."""
+    from logvision_spark.functions.registry import register_sql_functions
+
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT lv_punct_ratio('') AS pr, "
+        "lv_cosine(array(0.0F, 0.0F), array(1.0F, 2.0F)) AS cz"
+    ).first()
+    assert r["pr"] is None and r["cz"] == 0.0
+    g = (
+        spark.createDataFrame([(1, -1.0), (1, 0.0)], "k int, v double")
+        .groupBy("k")
+        .agg(F.expr("lv_pandas_geomean(v)").alias("gm"))
+        .first()
+    )
+    assert g["gm"] is None
+
+
+def test_grouped_trend_slope_string_key(spark):
+    """The grouped-map template must honor the declared generic key
+    parameter — the output schema hardcoded `long` (review finding)."""
+    from logvision_spark.operators.aggregations import grouped_trend_slope
+
+    df = spark.createDataFrame(
+        [("h1", "2024-01-01 00:00:00", 1.0), ("h1", "2024-01-02 00:00:00", 3.0)],
+        "host string, ts_s string, value double",
+    ).select("host", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    r = grouped_trend_slope(df, key="host").first()
+    assert r["host"] == "h1" and abs(r["slope_per_day"] - 2.0) < 1e-9
