@@ -76,16 +76,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SHINGLE_CACHE: dict[str, tuple[tuple[SparkSession, str], DataFrame]] = {}
 
 
-def _docs_fingerprint(sf_dir: str) -> tuple:
-    """(path, mtime_ns, size) of the documents table's files — part of
-    the shingle-cache key so an in-place regeneration of the parquet
-    during a session invalidates the cache instead of serving stale
-    shingles (r4 ADVICE)."""
+def _table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """(path, mtime_ns, size) of one table's parquet files — part of
+    cache keys (shingle cache, IVF quantizer memo) so an in-place
+    regeneration during a session invalidates the cache instead of
+    serving stale derived state (r4 ADVICE + r5 review)."""
     import glob as _glob
     import os as _os
 
     out = []
-    root = _os.path.join(sf_dir, "documents.parquet")
+    root = _os.path.join(sf_dir, f"{name}.parquet")
     if _os.path.isfile(root):
         paths = [root]
     else:
@@ -124,6 +124,10 @@ def invalidate_shingle_cache() -> None:
 # (rsd is a STANDARD DEVIATION — see sketch_accuracy_props). One
 # constant so the batch and streaming sketch entries can't drift.
 _HLL_3SIGMA_BAND = 3 * 1.04 / (2**12) ** 0.5
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    return _table_fingerprint(sf_dir, "documents")
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,11 +725,15 @@ JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE n1.n_name IN ('FRANCE', 'GERMANY') AND n2.n_name IN ('FRANCE', 'GERMANY')
+WHERE n1.n_name IN ('NATION_1', 'NATION_2') AND n2.n_name IN ('NATION_1', 'NATION_2')
 GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
 """,
     doc="TPC-H Q7 shape: bilateral trade volume between two nations per "
-    "ship-year — double-dim join with per-alias nation lookups.",
+    "ship-year — double-dim join with per-alias nation lookups. The "
+    "nation pair uses the FIXTURE's naming (NATION_1/NATION_2, like "
+    "q8): the canonical FRANCE/GERMANY literals matched zero fixture "
+    "rows, so the gate was vacuous — both engines agreed on an empty "
+    "result no matter what the join logic did (review finding).",
 )
 def q7_nation_volume(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -735,10 +743,10 @@ def q7_nation_volume(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     n1 = n.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    ).where(F.col("n_name").isin("FRANCE", "GERMANY"))
+    ).where(F.col("n_name").isin("NATION_1", "NATION_2"))
     n2 = n.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    ).where(F.col("n_name").isin("FRANCE", "GERMANY"))
+    ).where(F.col("n_name").isin("NATION_1", "NATION_2"))
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         # supplier scales with SF — threshold/AQE decide, no pin
@@ -967,8 +975,10 @@ GROUP BY label, dim
 def emb_label_centroids(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     ex = emb.select(
-        "label", F.posexplode("embedding").alias("pos", "v")
-    ).where(F.col("pos") < 8)
+        # slice FIRST: posexploding all 64 dims and filtering pos < 8
+        # shipped 8x the rows through the aggregate (review finding)
+        "label", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v")
+    )
     return (
         ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
@@ -1150,7 +1160,7 @@ def q8_market_share(spark, sf_dir):
     oracle="""
 SELECT n_name AS nation, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS o_year,
   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
-       - CAST(round(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT) * 10) AS BIGINT)
+       - CAST(round(p_retailprice*100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT) * 10) AS BIGINT)
   / 10000.0 AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1170,7 +1180,10 @@ def q9_product_profit(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    cost = cents("p_retailprice") * F.col("l_quantity").cast("long") * F.lit(10)
+    # explicit round on BOTH sides: DuckDB CAST(double AS BIGINT) rounds
+    # to nearest while Spark's cast truncates — integral fixture values
+    # hid the divergence (review finding)
+    cost = cents("p_retailprice") * F.round("l_quantity").cast("long") * F.lit(10)
     return (
         # part/supplier scale with SF — threshold/AQE decide, no pin
         li.join(p, li.l_partkey == p.p_partkey)
@@ -1287,7 +1300,7 @@ WHERE s_suppkey IN (
   WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
     AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   GROUP BY l_suppkey
-  HAVING sum(CAST(l_quantity AS BIGINT)) > 400)
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 400)
 ORDER BY s_suppkey
 """,
     doc="TPC-H Q20 shape (qualified part suppliers): nested IN-subqueries "
@@ -1308,7 +1321,7 @@ def q20_part_suppliers(spark, sf_dir):
     qualified = (
         li.join(small_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
         .where(F.col("qty") > 400)
         .select("l_suppkey")
     )
@@ -1542,15 +1555,20 @@ def dedup_minhash_fast(spark, sf_dir):
     return minhash_exact_groups(d, num_hashes=8)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# Shared DuckDB CTE prefix for the exact-shingle oracles (3-word shingles,
+# per-doc sizes, common-shingle pair counts) — ONE definition for the three
+# oracles that previously carried verbatim copies (review finding).
+_DUCK_SHINGLE_PAIR_CTES = """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM toks),
 sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_SHINGLE_PAIR_CTES + """
 SELECT doc_a, doc_b, round(c / (x.n + y.n - c), 6) AS jaccard
 FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
 WHERE round(c / (x.n + y.n - c), 6) >= 0.2
@@ -2716,13 +2734,7 @@ def dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_drop_list",
-    oracle="""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
-        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM toks),
-sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    oracle=_DUCK_SHINGLE_PAIR_CTES + """
 SELECT DISTINCT doc_b AS doc_id
 FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
 WHERE c / (x.n + y.n - c) >= 0.5
@@ -2799,10 +2811,23 @@ _IVF_MODELS: dict[tuple, object] = {}
 
 
 def _ivf_model(base: DataFrame, sf_dir: str, tag: str, n_cells: int, seed: int):
+    """Memoized quantizer. The key carries the SESSION and a fingerprint
+    of the embeddings parquet — the same staleness treatment the shingle
+    cache got (review finding): without them a restarted session served
+    a model bound to a dead JVM, and an in-place regeneration compared
+    brute-force over NEW vectors against a quantizer fit on OLD ones."""
     from logvision_spark.operators.similarity import fit_ivf
 
-    key = (sf_dir, tag, n_cells, seed)
+    key = (
+        base.sparkSession,
+        sf_dir,
+        _table_fingerprint(sf_dir, "embeddings"),
+        tag,
+        n_cells,
+        seed,
+    )
     if key not in _IVF_MODELS:
+        _IVF_MODELS.clear()  # one live model set; drop dead-session refs
         _IVF_MODELS[key] = fit_ivf(base, n_cells=n_cells, seed=seed)
     return _IVF_MODELS[key]
 
@@ -2924,6 +2949,34 @@ def mm_decode_real(spark, sf_dir):
     return decode_images(assets, use_fake=False)
 
 
+def _bmp_assets(spark, sf_dir):
+    """The synthesized 24-bpp BMP asset table shared by the real-codec
+    entries (mm_resize_real, mm_features_real): dims derive from doc_id,
+    pixel area is rpad(text) to EXACTLY stride*height bytes (w % 4 == 0
+    so stride = 3w; fixture text is all-ASCII), and every 10th doc ships
+    headerless bytes — the corrupt-payload contract. ONE definition: the
+    dims rule previously lived in four places (two entries x Column
+    exprs + embedded SQL string) and a drift in any one of them silently
+    desynchronizes payload size from header dims (review finding)."""
+    from logvision_spark.operators.multimodal import bmp_payload
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.lit(4) * (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(8)))).cast("int")
+    h = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
+    px = F.encode(
+        F.expr("rpad(text, (4 * (1 + doc_id % 8)) * (1 + doc_id % 5) * 3, 'x')"),
+        "UTF-8",
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) == 7, F.encode(F.col("text"), "UTF-8")
+        )
+        .otherwise(bmp_payload(w, h, px))
+        .alias("payload"),
+    )
+
+
 @register(
     "mm_resize_real",
     oracle="""
@@ -2946,26 +2999,9 @@ FROM documents
     "headerless bytes: NULL row, pinning the failure contract.",
 )
 def mm_resize_real(spark, sf_dir):
-    from logvision_spark.operators.multimodal import bmp_payload, resize_images
+    from logvision_spark.operators.multimodal import resize_images
 
-    d = _t(spark, sf_dir, "documents")
-    w = (F.lit(4) * (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(8)))).cast("int")
-    h = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
-    # stride = 3w exactly (w % 4 == 0), so the pixel area is 3*w*h bytes:
-    # rpad gives that exact length (fixture text is all-ASCII)
-    px = F.encode(
-        F.expr("rpad(text, (4 * (1 + doc_id % 8)) * (1 + doc_id % 5) * 3, 'x')"),
-        "UTF-8",
-    )
-    assets = d.select(
-        F.col("doc_id").alias("asset_id"),
-        F.when(
-            F.pmod(F.col("doc_id"), F.lit(10)) == 7, F.encode(F.col("text"), "UTF-8")
-        )
-        .otherwise(bmp_payload(w, h, px))
-        .alias("payload"),
-    )
-    out = resize_images(assets, 8, 8, use_fake=False)
+    out = resize_images(_bmp_assets(spark, sf_dir), 8, 8, use_fake=False)
     return out.select(
         "asset_id",
         "width",
@@ -3002,24 +3038,9 @@ FROM c GROUP BY 1, 2
     "primitive is its driver-checkable integer core.",
 )
 def mm_features_real(spark, sf_dir):
-    from logvision_spark.operators.multimodal import bmp_payload, pixel_histograms
+    from logvision_spark.operators.multimodal import pixel_histograms
 
-    d = _t(spark, sf_dir, "documents")
-    w = (F.lit(4) * (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(8)))).cast("int")
-    h = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
-    px = F.encode(
-        F.expr("rpad(text, (4 * (1 + doc_id % 8)) * (1 + doc_id % 5) * 3, 'x')"),
-        "UTF-8",
-    )
-    assets = d.select(
-        F.col("doc_id").alias("asset_id"),
-        F.when(
-            F.pmod(F.col("doc_id"), F.lit(10)) == 7, F.encode(F.col("text"), "UTF-8")
-        )
-        .otherwise(bmp_payload(w, h, px))
-        .alias("payload"),
-    )
-    return pixel_histograms(assets, dim=64)
+    return pixel_histograms(_bmp_assets(spark, sf_dir), dim=64)
 
 
 @register(

@@ -288,11 +288,20 @@ def minhash_signatures_agg(
     the cache and every downstream shuffle carry 8-byte keys.
     """
     if fast:
+        # outer=True: a doc with < n tokens must still emit a signature
+        # row (NULL/constant hashes), matching the portable branch and
+        # the oracle's list_min-over-empty = NULL. A caller-provided
+        # ``shingles`` table controls its own coverage.
         sh = shingles if shingles is not None else exploded_shingles(
-            df, id_col, text_col, n
+            df, id_col, text_col, n, outer=True
         )
-        # pmod into the prime field so permutation math can't overflow ANSI
-        pre = F.col("shingle") if shingles_hashed else F.xxhash64(F.col("shingle"))
+        # pmod into the prime field so permutation math can't overflow
+        # ANSI. NULL shingles (shingle-less docs) must stay NULL —
+        # xxhash64(NULL) returns the seed, which would give every short
+        # doc the SAME non-null signature and band-collide them all.
+        pre = F.col("shingle") if shingles_hashed else F.when(
+            F.col("shingle").isNotNull(), F.xxhash64(F.col("shingle"))
+        )
         h = F.pmod(pre, F.lit(POLY_MOD))
         hashed = sh.select(id_col, h.alias("_h"))
     else:
@@ -303,9 +312,14 @@ def minhash_signatures_agg(
             word_poly_folds(F.col("_toks")).alias("_wh"),
             F.size("_toks").alias("_nt"),
         )
+        # explode_OUTER: docs with < n tokens have an empty hash array;
+        # plain explode dropped their rows entirely while the DuckDB
+        # oracle emits (doc_id, NULL mins) for them — a latent
+        # rows_match break on any fixture with a short document
+        # (review finding)
         hashed = staged.select(
             id_col,
-            F.explode(
+            F.explode_outer(
                 shingle_hashes_from_folds(F.col("_wh"), F.col("_nt"), n)
             ).alias("_h"),
         )
@@ -496,10 +510,18 @@ def minhash_candidate_pairs(
             "trailing hashes would be silently dropped"
         )
     rows = num_hashes // bands
-    sig = minhash_signatures_agg(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n,
-        fast=fast, shingles=shingles, shingles_hashed=shingles_hashed,
-    ).withColumnRenamed(id_col, "id")
+    # NULL-signature docs (no shingles) cannot meaningfully band: their
+    # pairwise Jaccard is 0/0, so emitting them as candidates is wrong
+    # and would divide by zero in a downstream verify
+    sig = (
+        minhash_signatures_agg(
+            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            n=n, fast=fast, shingles=shingles,
+            shingles_hashed=shingles_hashed,
+        )
+        .where(F.col("h0").isNotNull())
+        .withColumnRenamed(id_col, "id")
+    )
     band_cols = []
     for bi in range(bands):
         # pack the band's hash rows into one comparable struct value —

@@ -189,8 +189,13 @@ def test_dedup_handles_short_and_empty_docs(spark):
     assert got[0] == got[1] and got[0] is not None
     assert got[2] is None and got[3] is None and got[4] is None  # < 3 tokens
 
-    agg = minhash_signatures_agg(short, num_hashes=4)
-    assert {r["doc_id"] for r in agg.collect()} == {0, 1}  # short docs drop out
+    # short docs now EMIT a row with NULL signatures (explode_outer),
+    # matching both the Column form above and the DuckDB oracle's
+    # list_min-over-empty = NULL — plain explode used to drop them,
+    # a latent rows_match break on any fixture with a <3-token doc
+    agg = {r["doc_id"]: r["h0"] for r in minhash_signatures_agg(short, num_hashes=4).collect()}
+    assert set(agg) == {0, 1, 2, 3, 4}
+    assert agg[0] is not None and agg[2] is None and agg[4] is None
 
     for fast in (False, True):
         pairs = {
