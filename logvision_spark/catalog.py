@@ -2818,16 +2818,25 @@ def _ivf_model(base: DataFrame, sf_dir: str, tag: str, n_cells: int, seed: int):
     brute-force over NEW vectors against a quantizer fit on OLD ones."""
     from logvision_spark.operators.similarity import fit_ivf
 
+    fingerprint = _table_fingerprint(sf_dir, "embeddings")
     key = (
         base.sparkSession,
         sf_dir,
-        _table_fingerprint(sf_dir, "embeddings"),
+        fingerprint,
         tag,
         n_cells,
         seed,
     )
     if key not in _IVF_MODELS:
-        _IVF_MODELS.clear()  # one live model set; drop dead-session refs
+        # Evict only STALE entries (dead session or regenerated parquet).
+        # A blanket clear() evicted live sibling tags (ne0 vs ge3), so
+        # alternating entries refit KMeans on every call — the exact
+        # overhead this memo exists to avoid.
+        for k in list(_IVF_MODELS):
+            if k[0] is not base.sparkSession or (
+                k[1] == sf_dir and k[2] != fingerprint
+            ):
+                del _IVF_MODELS[k]
         _IVF_MODELS[key] = fit_ivf(base, n_cells=n_cells, seed=seed)
     return _IVF_MODELS[key]
 

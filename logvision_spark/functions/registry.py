@@ -96,13 +96,15 @@ def register_sql_functions(spark: SparkSession) -> None:
         """
         CREATE OR REPLACE TEMPORARY FUNCTION lv_cosine(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
         RETURNS DOUBLE
-        RETURN coalesce(try_divide(
+        RETURN CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN
+               coalesce(try_divide(
                aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
                sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                                CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
               * sqrt(aggregate(transform(b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                                CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 0.0D)
+               END
         """
     )
 
@@ -111,6 +113,8 @@ def register_sql_functions(spark: SparkSession) -> None:
         import numpy as np
 
         def cos(u, v):
+            if u is None or v is None:  # NULL propagates (matches lv_cosine)
+                return None
             u = np.asarray(u, dtype=float)
             v = np.asarray(v, dtype=float)
             nu, nv = np.linalg.norm(u), np.linalg.norm(v)

@@ -54,9 +54,15 @@ def cosine(a: Column, b: Column) -> Column:
     top-k (review finding) — and under ANSI mode (Spark 4 default) the
     0/0 is a hard DIVIDE_BY_ZERO query failure instead. try_divide
     evaluates the quotient once and yields NULL on a zero divisor; a
-    when()-guard would re-fold both norms."""
-    return F.coalesce(
-        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
+    when()-guard would re-fold both norms. NULL *inputs* still propagate
+    to NULL (SQL semantics, matches DuckDB) — the 0.0 fallback applies
+    only when both vectors are present, so a missing embedding is not
+    silently scored 0.0 (review finding)."""
+    return F.when(
+        a.isNotNull() & b.isNotNull(),
+        F.coalesce(
+            F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
+        ),
     )
 
 

@@ -21,6 +21,32 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
+
+
+def _salt_expr(df: DataFrame, salt_buckets: int, salt_cols=None) -> Column:
+    """Deterministic per-row salt in [0, buckets): pmod(xxhash64(cols)).
+
+    Columns default to every HASHABLE column — MapType is excluded
+    because xxhash64 rejects maps at analysis (maps have no canonical
+    order), where the old monotonically_increasing_id salt accepted any
+    schema but was retry-unsafe (review finding). Callers with
+    duplicate-heavy hot keys should pass ``salt_cols`` naming a unique
+    discriminator column: byte-identical rows necessarily share a hash
+    salt, so exact duplicates of a hot key all land in one bucket and
+    the spread degrades to the number of DISTINCT rows of that key."""
+    if salt_cols is None:
+        salt_cols = [
+            f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+        ]
+        if not salt_cols:
+            raise ValueError(
+                "no xxhash64-hashable columns to salt on; pass salt_cols "
+                "with a projectable discriminator"
+            )
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
+    )
 
 
 def distinct_count_by_key_balanced(
@@ -50,6 +76,7 @@ def salted_agg(
     merge_col: Column,
     salt_buckets: int = 16,
     partial_alias: str = "_partial",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Generic two-phase salted aggregation: phase 1 groups by
     (key, salt) — a hot key spreads over `salt_buckets` reducers — and
@@ -65,14 +92,11 @@ def salted_agg(
     rows to different (key, salt) reducers than the rows already
     consumed — the SPARK-23207 class of silent double-count/loss
     (review finding). Fully duplicate rows share a salt, which only
-    costs spread when a hot key's rows are byte-identical."""
-    salted = df.withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]),
-            F.lit(salt_buckets),
-        ),
-    )
+    costs spread when a hot key's rows are byte-identical — pass
+    ``salt_cols=[unique_col]`` to mix in a caller-supplied
+    discriminator when that matters. MapType columns are skipped
+    (xxhash64 can't hash maps); see _salt_expr."""
+    salted = df.withColumn("_salt", _salt_expr(df, salt_buckets, salt_cols))
     partial = salted.groupBy(key, "_salt").agg(agg_col.alias(partial_alias))
     return partial.groupBy(key).agg(merge_col.alias(partial_alias)).withColumnRenamed(
         partial_alias, "merged"
@@ -85,6 +109,7 @@ def salted_skew_join(
     key: str,
     salt_buckets: int = 8,
     salt_col: str = "_salt",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join by salting: the big (skewed) side gets a
     deterministic per-row salt in [0, buckets), the small side is
@@ -98,12 +123,10 @@ def salted_skew_join(
     subsequent aggregation that must stay co-partitioned, or an engine
     boundary where AQE is off. The salt is pmod(xxhash64(whole row
     surrogate), buckets) — deterministic, so retries/speculative tasks
-    agree. Replication multiplies the small side by `buckets`: keep it
-    for genuinely small dims."""
-    salted_big = big.withColumn(
-        salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
-    )
+    agree; MapType columns are excluded and duplicate rows share a salt
+    (see _salt_expr). Replication multiplies the small side by
+    `buckets`: keep it for genuinely small dims."""
+    salted_big = big.withColumn(salt_col, _salt_expr(big, salt_buckets, salt_cols))
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))
     ).alias(salt_col)

@@ -258,3 +258,59 @@ def test_grouped_trend_slope_string_key(spark):
     ).select("host", F.col("ts_s").cast("timestamp").alias("ts"), "value")
     r = grouped_trend_slope(df, key="host").first()
     assert r["host"] == "h1" and abs(r["slope_per_day"] - 2.0) < 1e-9
+
+
+def test_null_embedding_propagates_null_not_zero(spark):
+    """NULL *inputs* must propagate to NULL (SQL/DuckDB semantics) on all
+    three cosine surfaces — the zero-norm guard coalesced NULL inputs to
+    0.0, silently scoring missing embeddings (review finding)."""
+    from logvision_spark.functions.registry import register_sql_functions
+
+    register_sql_functions(spark)
+    r = (
+        spark.range(1)
+        .select(
+            cosine(
+                F.lit(None).cast("array<double>"),
+                F.lit([1.0, 2.0]).cast("array<double>"),
+            ).alias("c")
+        )
+        .first()
+    )
+    assert r["c"] is None
+    s = spark.sql(
+        "SELECT lv_cosine(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS c, "
+        "lv_pandas_cosine(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS p"
+    ).first()
+    assert s["c"] is None and s["p"] is None
+    # zero-norm still scores 0.0 (not NULL, not NaN) when both present
+    z = spark.sql(
+        "SELECT lv_pandas_cosine(array(0.0F, 0.0F), array(1.0F, 2.0F)) AS z"
+    ).first()
+    assert z["z"] == 0.0
+
+
+def test_ivf_memo_keeps_live_sibling_tags(spark, monkeypatch):
+    """The memo must evict only STALE entries (dead session / regenerated
+    parquet) — a blanket clear() made alternating tags (ne0/ge3) refit
+    KMeans on every call, defeating the memo entirely (review finding)."""
+    import logvision_spark.catalog as cat
+    from logvision_spark.operators import similarity as sim
+
+    fits = []
+    monkeypatch.setattr(
+        sim, "fit_ivf", lambda base, n_cells, seed: fits.append(1) or object()
+    )
+    monkeypatch.setattr(cat, "_table_fingerprint", lambda d, t: "fp1")
+    monkeypatch.setattr(cat, "_IVF_MODELS", {})
+    base = spark.range(1)
+    m_a = cat._ivf_model(base, "/sf", "tag_a", n_cells=4, seed=1)
+    m_b = cat._ivf_model(base, "/sf", "tag_b", n_cells=4, seed=1)
+    # alternating calls must hit the memo, not refit
+    assert cat._ivf_model(base, "/sf", "tag_a", n_cells=4, seed=1) is m_a
+    assert cat._ivf_model(base, "/sf", "tag_b", n_cells=4, seed=1) is m_b
+    assert len(fits) == 2
+    # a regenerated parquet (new fingerprint) evicts both
+    monkeypatch.setattr(cat, "_table_fingerprint", lambda d, t: "fp2")
+    cat._ivf_model(base, "/sf", "tag_a", n_cells=4, seed=1)
+    assert len(fits) == 3 and len(cat._IVF_MODELS) == 1

@@ -88,3 +88,23 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     plain = {(r["event_id"], r["n_name"])
              for r in ev.join(nat, "nkey").collect()}
     assert salted == plain and len(salted) == ev.count()
+
+
+def test_salt_skips_maptype_and_accepts_discriminator(spark):
+    """xxhash64 rejects MapType at analysis: the salt must skip map
+    columns (review finding), and a caller-supplied salt_cols list must
+    be honored for duplicate-heavy hot keys."""
+    from pyspark.sql import functions as F
+
+    from logvision_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k", 1, {"a": 1}), ("k", 2, {"b": 2})],
+        "key string, v int, m map<string,int>",
+    )
+    out = salted_agg(df, "key", F.sum("v"), F.sum("_partial")).collect()
+    assert out == [("k", 3)] or (out[0]["key"] == "k" and out[0]["merged"] == 3)
+    out2 = salted_agg(
+        df, "key", F.sum("v"), F.sum("_partial"), salt_cols=["v"]
+    ).first()
+    assert out2["merged"] == 3
