@@ -3205,9 +3205,10 @@ FROM events p WHERE p.event_type = 'purchase'
 """,
     doc="Nearest as-of join (direction='nearest'): each purchase gets the "
     "signup closest in time, either side, ties to the earlier row. One "
-    "shuffle, two per-partition sorts (backward + forward fills), closer "
-    "candidate chosen per row. DuckDB has no nearest ASOF — the oracle "
-    "is a correlated min-|Δt| subquery.",
+    "shuffle, ONE per-partition sort (both fill frames share the same "
+    "ascending order — preceding..current and current..following), "
+    "closer candidate chosen per row. DuckDB has no nearest ASOF — the "
+    "oracle is a correlated min-|Δt| subquery.",
 )
 def j6_asof_nearest(spark, sf_dir):
     from logvision_spark.operators.asof import asof_join
@@ -3218,6 +3219,41 @@ def j6_asof_nearest(spark, sf_dir):
     )
     signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
     joined = asof_join(purchases, signups, key="user_id", direction="nearest")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("ts_asof", fmt).alias("ts_asof"),
+    )
+
+
+@register(
+    "j6_asof_bucketed",
+    oracle="""
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND s.ts <= p.ts
+""",
+    doc="Hot-key as-of join (operators/asof.asof_join_bucketed): the "
+    "fill window runs per (key, 1-hour bucket) with a boundary carry-in "
+    "(per-bucket max_by partial agg → one-row-per-bucket running last), "
+    "so a hyperactive key costs #buckets instead of serializing its "
+    "whole history through one task — the mitigation asof.py's own "
+    "scale note prescribes. Same DuckDB ASOF oracle as j6_asof_join: "
+    "bucketing must be invisible in the results.",
+)
+def j6_asof_bucketed(spark, sf_dir):
+    from logvision_spark.operators.asof import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join_bucketed(purchases, signups, key="user_id")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return joined.select(
         "event_id",
@@ -4564,6 +4600,36 @@ def _driver_checked_names() -> frozenset[str]:
     return frozenset(_driver_history())
 
 
+# Entry → round in which its builder (or an operator on its code path)
+# was last EDITED. Maintained by hand alongside the edit itself: an
+# entry whose latest driver-green row predates this round has a green
+# checkmark for code that no longer exists, so the export order ranks
+# it ahead of merely-stale greens until the driver re-confirms it
+# (r5 verdict: eight r5-edited builders sat behind the rotation).
+# Entries fall out of the priority tier automatically once their
+# latest green row's round reaches the edited round.
+_EDITED_ROUND: dict[str, int] = {
+    # round-5 edits (rewrites/fixes behind their last driver check)
+    "q18_large_orders": 5,       # aggregate-then-join rewrite
+    "a_user_trend_slope": 5,     # grouped-map schema/key generalization
+    "dedup_minhash_fast": 5,     # NULL-sig exclusion from banding
+    "j6_asof_forward": 5,        # struct-fill rework
+    # round-6 edits (ADVICE fixes; same results on fixtures, but the
+    # code path changed behind the green row)
+    "q7_nation_volume": 5,       # vacuous-gate fix (NATION_1/NATION_2)
+    "a3_count_by_user_salted": 6,   # _salt_expr refactor (MapType skip)
+    "j_salted_skew_join": 6,        # same
+    "ivf_topk_vec0": 6,             # memo eviction rewrite
+    "ivf_topk_batch": 6,            # memo eviction + r5 normalize-fit
+    "sim_top10_vec0": 6,            # cosine NULL-propagation guard
+    "sim_topk_batch": 6,
+    "sim_near_pairs": 6,
+    "sim_near_pairs_lsh": 6,
+    "sim_srp_topk_vec0": 6,
+    "j6_asof_nearest": 6,           # single-sort nearest formulation
+}
+
+
 def _export_order() -> list[str]:
     """The driver samples ~50 queries per round; this ordering maximizes
     accumulated driver-green coverage AND keeps re-verifying old rows:
@@ -4572,10 +4638,13 @@ def _export_order() -> list[str]:
        new data point;
     2. entries whose LATEST driver row was not green (stalest first) —
        fixes land in front so the driver can confirm them;
-    3. green entries rotated by staleness: ascending last-sampled round,
-       registration order within a round — so every entry keeps cycling
-       back through the sampled prefix across rounds instead of specific
-       ones being pinned out of it indefinitely.
+    3. green entries whose code CHANGED after their latest green row
+       (_EDITED_ROUND) — the green is for code that no longer exists,
+       so re-confirmation outranks routine rotation (stalest first);
+    4. remaining green entries rotated by staleness: ascending
+       last-sampled round, registration order within a round — so every
+       entry keeps cycling back through the sampled prefix across
+       rounds instead of specific ones being pinned out indefinitely.
 
     All entries stay in the export — nothing is hidden — and the in-repo
     mirror (tests/test_catalog_vs_duckdb) always runs every entry
@@ -4586,8 +4655,11 @@ def _export_order() -> list[str]:
     not_green = [n for n in names if n in hist and not hist[n][1]]
     not_green.sort(key=lambda n: hist[n][0])  # stable: registration order
     green = [n for n in names if n in hist and hist[n][1]]
-    green.sort(key=lambda n: hist[n][0])
-    return fresh + not_green + green
+    changed = [n for n in green if hist[n][0] < _EDITED_ROUND.get(n, 0)]
+    changed.sort(key=lambda n: hist[n][0])
+    rest = [n for n in green if n not in set(changed)]
+    rest.sort(key=lambda n: hist[n][0])
+    return fresh + not_green + changed + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

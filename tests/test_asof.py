@@ -89,3 +89,50 @@ def test_asof_nearest_tie_prefers_backward(spark):
         left, right, key="user", value_cols=("tag",), direction="nearest"
     ).collect()[0]
     assert (out["ts_asof"], out["tag_asof"]) == (ts(7), "back")
+
+
+def test_asof_bucketed_equals_plain_backward(spark):
+    """asof_join_bucketed must be row-identical to the plain backward
+    asof_join for every bucket width — including matches carried across
+    many empty buckets, right rows exactly on bucket boundaries, and
+    keys with no right rows at all."""
+    import random
+
+    from logvision_spark.operators.asof import asof_join_bucketed
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    left = [
+        (i, f"u{rng.randrange(5)}", base + rng.randrange(40_000) * sec)
+        for i in range(300)
+    ]
+    # u4 gets no right rows; u0 is a hot key; some rows land exactly on
+    # hour boundaries (3600-second multiples)
+    right = [
+        (f"u{rng.choice([0, 0, 0, 1, 2, 3])}",
+         base + rng.choice([rng.randrange(40_000), 3600 * rng.randrange(11)]) * sec,
+         f"t{j}")
+        for j in range(200)
+    ]
+    ldf = spark.createDataFrame(left, ["event_id", "user", "ts"])
+    rdf = spark.createDataFrame(right, ["user", "ts", "tag"])
+    plain = {
+        r["event_id"]: (r["ts_asof"], r["tag_asof"])
+        for r in asof_join(
+            ldf, rdf, key="user", value_cols=("tag",), direction="backward"
+        ).collect()
+    }
+    for bucket in ("17 minutes", "1 hour", "3 hours"):
+        got = {
+            r["event_id"]: (r["ts_asof"], r["tag_asof"])
+            for r in asof_join_bucketed(
+                ldf, rdf, key="user", value_cols=("tag",), bucket=bucket
+            ).collect()
+        }
+        # matched timestamps must agree everywhere; tags may differ only
+        # where several right rows tie on the matched timestamp (both
+        # formulations pick an arbitrary row among exact-ts ties)
+        assert {k: v[0] for k, v in got.items()} == {
+            k: v[0] for k, v in plain.items()
+        }, bucket
