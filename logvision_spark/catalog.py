@@ -2523,28 +2523,32 @@ def _events_stream(spark, sf_dir):
     "the first occurrence per distinct value (100 survivors from 10k "
     "rows at sf0.01); the survivor SET must equal DISTINCT — the "
     "training-pipeline dedup op as a correctness gate, not just a "
-    "behavior test.",
+    "behavior test. Runs on the RocksDB state store (r6): dedup state "
+    "is one entry per distinct content hash, the cardinality class "
+    "that outgrows the default in-heap provider first.",
 )
 def stream_dedup_distinct_props(spark, sf_dir):
     import tempfile
     import uuid
 
     from logvision_spark.operators.dedup import streaming_exact_dedup
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
 
     src = _events_stream(spark, sf_dir)
     deduped = streaming_exact_dedup(
         src, content_col="props", ts_col="ts", watermark="7 days"
     ).select("props")
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with rocksdb_state_store(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -2562,18 +2566,21 @@ def stream_a7_count_by_type(spark, sf_dir):
 
     # the file streaming source requires a directory: _events_stream
     # globs the sf_dir down to the events table and types ts for us
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
+
     src = _events_stream(spark, sf_dir)
     agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     name = f"stream_a7_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with rocksdb_state_store(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -2591,7 +2598,9 @@ def stream_a7_count_by_type(spark, sf_dir):
     "ones. The oracle is the plain batch aggregate, so any duplicate "
     "or lost replay hash-mismatches. Same property as "
     "tests/test_streaming_recovery.py, phrased as a catalog entry so "
-    "the driver sees the exactly-once story.",
+    "the driver sees the exactly-once story. Runs on the RocksDB "
+    "state store (r6), so the restart also proves state reload from "
+    "the checkpoint's RocksDB snapshot/changelog artifacts.",
 )
 def stream_recovery_counts(spark, sf_dir):
     import tempfile
@@ -2605,21 +2614,27 @@ def stream_recovery_counts(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="lv_recovery_ckpt_")
     name = f"stream_recovery_{uuid.uuid4().hex[:8]}"
 
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
+
     def run_to_completion():
         src = spark.readStream.schema("event_id long, event_type string").parquet(
             land
         )
         agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        # recovery ALSO exercises RocksDB snapshot/changelog reload: the
+        # restarted query must rebuild its state from the checkpoint's
+        # RocksDB artifacts, not JVM memory
+        with rocksdb_state_store(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
 
     # phase 1: first half arrives, query runs to completion and stops
     events.where(F.pmod(F.col("event_id"), F.lit(2)) == 0).write.mode(
@@ -2671,15 +2686,18 @@ def stream_sketch_daily_users(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est")
     )
     name = f"stream_sketch_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
+
+    with rocksdb_state_store(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     est = spark.table(name)
     exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.countDistinct("user_id").alias("exact_users")
@@ -3313,15 +3331,18 @@ def stream_w_tumbling_counts(spark, sf_dir):
         )
     )
     name = f"stream_wt_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
+
+    with rocksdb_state_store(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -3453,15 +3474,18 @@ def stream_j_interval_join(spark, sf_dir):
         "inner",
     ).select("p_id", "e_id")
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
+
+    with rocksdb_state_store(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -3671,15 +3695,18 @@ def stream_j_left_outer(spark, sf_dir):
         "leftOuter",
     ).select("p_id", "p_ts", "e_id")
     name = f"stream_ssloj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
+
+    with rocksdb_state_store(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .where(F.col("p_ts") <= F.lit(cutoff))
@@ -4511,15 +4538,18 @@ def stream_w_append_finalized(spark, sf_dir):
         )
     )
     name = f"stream_append_{uuid.uuid4().hex[:8]}"
-    q = (
-        win.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
+
+    with rocksdb_state_store(spark):
+        q = (
+            win.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .where(F.col("we") <= F.lit(cutoff))
@@ -4627,6 +4657,15 @@ _EDITED_ROUND: dict[str, int] = {
     "sim_near_pairs_lsh": 6,
     "sim_srp_topk_vec0": 6,
     "j6_asof_nearest": 6,           # single-sort nearest formulation
+    # round-6: stateful streaming entries moved to the RocksDB provider
+    "stream_dedup_distinct_props": 6,
+    "stream_a7_count_by_type": 6,
+    "stream_recovery_counts": 6,
+    "stream_sketch_daily_users": 6,
+    "stream_w_tumbling_counts": 6,
+    "stream_j_interval_join": 6,
+    "stream_j_left_outer": 6,
+    "stream_w_append_finalized": 6,
 }
 
 

@@ -24,16 +24,22 @@ def test_visit_tracker_accumulates_across_batches(spark, tmp_path):
     stream = (
         spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(d))
     )
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
+
     tracked = visit_tracker(parse_access_log(stream))
-    q = (
-        tracked.writeStream.format("memory")
-        .queryName("visit_state")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # run on the production state backend: applyInPandasWithState keeps
+    # one opaque tuple per key, and RocksDB is what survives that at
+    # the reference's unbounded-key cardinality
+    with rocksdb_state_store(spark):
+        q = (
+            tracked.writeStream.format("memory")
+            .queryName("visit_state")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
 
     # update mode appends per-trigger rows; the LAST row per host is the
     # accumulated state

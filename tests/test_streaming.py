@@ -205,3 +205,48 @@ def test_streaming_hll_sketch_state_merges_across_batches(spark, sf_dir, tmp_pat
         .collect()
     }
     assert streamed == batch
+
+
+def test_rocksdb_state_store_context_scopes_and_restores(spark, sf_dir):
+    """The RocksDB context must (a) actually engage the provider for
+    queries started inside it — verified via the query's state-operator
+    customMetrics, which only a RocksDB store emits — and (b) restore
+    the session's previous provider setting afterwards, so the driver's
+    vanilla session never inherits engine conf."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from logvision_spark.streaming.pipeline import (
+        ROCKSDB_PROVIDER,
+        rocksdb_state_store,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key)
+    assert "RocksDB" not in before  # default provider going in
+
+    d = tempfile.mkdtemp(prefix="lv_rdb_t_")
+    spark.range(100).select(
+        F.col("id"), F.pmod("id", F.lit(7)).alias("k")
+    ).write.mode("append").parquet(d)
+    src = spark.readStream.schema("id long, k long").parquet(d)
+    agg = src.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    with rocksdb_state_store(spark):
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rdb_scope_t")
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = q.lastProgress
+    assert spark.conf.get(key) == before
+    ops = (progress or {}).get("stateOperators") or []
+    assert ops and any(
+        "rocksdb" in m for m in (ops[0].get("customMetrics") or {})
+    ), ops
+    assert spark.table("rdb_scope_t").count() == 7
