@@ -98,6 +98,16 @@ R5 = [
     "sketch_hll_mergeable_daily",
 ]
 
+# Round-6 additions: the hot-key bucketed as-of (must price like the
+# plain asof on unskewed fixtures — its win is measured separately at
+# a 2M-row hot key in ARCHITECTURE.md) and the 16-real-band drop list
+# (the recall-margin dial the seed-wrap fix unlocked; expected ~2× the
+# 8-band entry by banded-shuffle volume).
+R6 = [
+    "j6_asof_bucketed",
+    "dedup_drop_list_16band",
+]
+
 
 def _get_spark():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -212,7 +222,7 @@ def _run_child(which: str, sf_dir: str) -> None:
         cache_sec = _warm_up(spark, sf_dir)
         # the r4 child also times R5 (one query — not worth its own JVM);
         # main() splits the subtotals by set membership
-        names = {"core": CORE, "new": NEW, "r4": R4 + R5}[which]
+        names = {"core": CORE, "new": NEW, "r4": R4 + R5 + R6}[which]
         # Two full passes in THIS one JVM (r3 verdict diagnostic): if a
         # query's r-over-r delta is JVM-warmup redistribution, pass 2
         # converges to pass 1's min; a plan regression reproduces in both.
@@ -293,7 +303,7 @@ def main() -> None:
         cache_secs = {"single_jvm": cache_sec}
         timings = _time_set(spark, sf_dir, CORE)
         timings_new = _time_set(spark, sf_dir, NEW)
-        timings_r4 = _time_set(spark, sf_dir, R4 + R5)
+        timings_r4 = _time_set(spark, sf_dir, R4 + R5 + R6)
         pass2 = {}
         spark.stop()
         isolated = False
@@ -331,6 +341,9 @@ def main() -> None:
             "r5_total": round(
                 sum(v for k, v in timings_r4.items() if k in set(R5)), 4
             ),
+            "r6_total": round(
+                sum(v for k, v in timings_r4.items() if k in set(R6)), 4
+            ),
             "sf": sf,
             "parse_rows_per_sec": parse_rows,
             "parse_rows_per_sec_4m": parse_rows_4m,
@@ -347,6 +360,9 @@ def main() -> None:
             ) if pass2 else None,
             "r5_pass2_total": round(
                 sum(v for k, v in pass2.items() if k in set(R5)), 4
+            ) if pass2 else None,
+            "r6_pass2_total": round(
+                sum(v for k, v in pass2.items() if k in set(R6)), 4
             ) if pass2 else None,
         },
         separators=(",", ":"),

@@ -2791,6 +2791,40 @@ def dedup_drop_list(spark, sf_dir):
 
 
 @register(
+    "dedup_drop_list_16band",
+    oracle=_DUCK_SHINGLE_PAIR_CTES + """
+SELECT DISTINCT doc_b AS doc_id
+FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE c / (x.n + y.n - c) >= 0.5
+""",
+    doc="The drop list at 16 REAL single-row bands — possible for the "
+    "first time since the r5 seed-wrap fix (32 distinct permutation "
+    "seeds; 'bands 8-15' were previously byte-duplicates of 0-7 and "
+    "wrapping now raises). Doubling bands doubles the banded-shuffle "
+    "volume and candidate-union width but halves the miss probability "
+    "exponent: a Jaccard-s pair is missed with (1-s)^16 vs (1-s)^8 — "
+    "at s=0.5 that is 1.5e-5 vs 3.9e-3, the recall margin to buy when "
+    "thresholds drop or docs shrink. Same exact-all-pairs oracle as "
+    "dedup_drop_list: both settings must reproduce the exact answer "
+    "at fixture scale; the measured 500k-doc cost/recall A/B lives in "
+    "ARCHITECTURE.md.",
+)
+def dedup_drop_list_16band(spark, sf_dir):
+    from logvision_spark.operators.dedup import near_dup_drop_list
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_drop_list(
+        d,
+        threshold=0.5,
+        num_hashes=16,
+        bands=16,
+        fast=True,
+        shingles=_shared_shingles(spark, sf_dir),
+        shingles_hashed=True,
+    )
+
+
+@register(
     "ivf_topk_vec0",
     oracle="SELECT TRUE AS recall_ok",
     doc="IVF-flat ANN route as a driver-checked RECALL-FLOOR property "

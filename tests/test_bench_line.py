@@ -11,7 +11,7 @@ import bench
 
 
 def test_headline_json_line_fits_driver_tail_window():
-    names = bench.CORE + bench.NEW + bench.R4 + bench.R5
+    names = bench.CORE + bench.NEW + bench.R4 + bench.R5 + bench.R6
     assert len(names) == len(set(names)), "duplicate bench entries"
     line = json.dumps(
         {
@@ -23,6 +23,7 @@ def test_headline_json_line_fits_driver_tail_window():
             "new_total": 9999.9999,
             "r4_total": 9999.9999,
             "r5_total": 9999.9999,
+            "r6_total": 9999.9999,
             "sf": 0.1,
             "parse_rows_per_sec": 9_999_999,
             "parse_rows_per_sec_4m": 9_999_999,
@@ -32,6 +33,7 @@ def test_headline_json_line_fits_driver_tail_window():
             "new_pass2_total": 9999.9999,
             "r4_pass2_total": 9999.9999,
             "r5_pass2_total": 9999.9999,
+            "r6_pass2_total": 9999.9999,
         },
         separators=(",", ":"),
     )
