@@ -2515,6 +2515,54 @@ def _events_stream(spark, sf_dir):
     return src.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _run_stream_to_memory(
+    df,
+    prefix: str,
+    output_mode: str,
+    rocksdb: bool = True,
+    name: str | None = None,
+    checkpoint: str | None = None,
+    stop: bool = False,
+):
+    """Run a streaming DataFrame to a memory sink under AvailableNow and
+    block until drained; returns the memory table name. One place owns
+    the query lifecycle for every stream_* entry: the r6 RocksDB
+    migration had to edit eight identical copies of this block, and a
+    missed copy would silently run on the default provider while the
+    entry's doc claims RocksDB (review finding). ``rocksdb=False`` is
+    for stateless queries (stream-static joins keep no state store).
+    ``name``/``checkpoint`` pin identity across restarts for recovery
+    entries; ``stop`` ends the query so a restart can reuse both."""
+    import tempfile
+    import uuid
+
+    from logvision_spark.streaming.pipeline import rocksdb_state_store
+
+    spark = df.sparkSession
+    name = name or f"{prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="lv_ckpt_")
+
+    def _start_and_drain():
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if stop:
+            q.stop()
+
+    if rocksdb:
+        with rocksdb_state_store(spark):
+            _start_and_drain()
+    else:
+        _start_and_drain()
+    return name
+
+
 @register(
     "stream_dedup_distinct_props",
     oracle="SELECT DISTINCT props FROM events",
@@ -2528,27 +2576,13 @@ def _events_stream(spark, sf_dir):
     "that outgrows the default in-heap provider first.",
 )
 def stream_dedup_distinct_props(spark, sf_dir):
-    import tempfile
-    import uuid
-
     from logvision_spark.operators.dedup import streaming_exact_dedup
-    from logvision_spark.streaming.pipeline import rocksdb_state_store
 
     src = _events_stream(spark, sf_dir)
     deduped = streaming_exact_dedup(
         src, content_col="props", ts_col="ts", watermark="7 days"
     ).select("props")
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    with rocksdb_state_store(spark):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    name = _run_stream_to_memory(deduped, "stream_dedup", "append")
     return spark.table(name)
 
 
@@ -2561,26 +2595,11 @@ def stream_dedup_distinct_props(spark, sf_dir):
     "oracle — the zincrby-equivalence property as a correctness gate.",
 )
 def stream_a7_count_by_type(spark, sf_dir):
-    import tempfile
-    import uuid
-
     # the file streaming source requires a directory: _events_stream
     # globs the sf_dir down to the events table and types ts for us
-    from logvision_spark.streaming.pipeline import rocksdb_state_store
-
     src = _events_stream(spark, sf_dir)
     agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    name = f"stream_a7_{uuid.uuid4().hex[:8]}"
-    with rocksdb_state_store(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    name = _run_stream_to_memory(agg, "stream_a7", "complete")
     return spark.table(name)
 
 
@@ -2614,8 +2633,6 @@ def stream_recovery_counts(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="lv_recovery_ckpt_")
     name = f"stream_recovery_{uuid.uuid4().hex[:8]}"
 
-    from logvision_spark.streaming.pipeline import rocksdb_state_store
-
     def run_to_completion():
         src = spark.readStream.schema("event_id long, event_type string").parquet(
             land
@@ -2624,17 +2641,10 @@ def stream_recovery_counts(spark, sf_dir):
         # recovery ALSO exercises RocksDB snapshot/changelog reload: the
         # restarted query must rebuild its state from the checkpoint's
         # RocksDB artifacts, not JVM memory
-        with rocksdb_state_store(spark):
-            q = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-            q.stop()
+        _run_stream_to_memory(
+            agg, "stream_recovery", "complete",
+            name=name, checkpoint=ckpt, stop=True,
+        )
 
     # phase 1: first half arrives, query runs to completion and stops
     events.where(F.pmod(F.col("event_id"), F.lit(2)) == 0).write.mode(
@@ -2672,7 +2682,6 @@ FROM events GROUP BY 1
 )
 def stream_sketch_daily_users(spark, sf_dir):
     import tempfile
-    import uuid
 
     ev = _t(spark, sf_dir, "events").select("ts", "user_id")
     land = tempfile.mkdtemp(prefix="lv_sketch_in_")
@@ -2685,19 +2694,7 @@ def stream_sketch_daily_users(spark, sf_dir):
     agg = src.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est")
     )
-    name = f"stream_sketch_{uuid.uuid4().hex[:8]}"
-    from logvision_spark.streaming.pipeline import rocksdb_state_store
-
-    with rocksdb_state_store(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    name = _run_stream_to_memory(agg, "stream_sketch", "complete")
     est = spark.table(name)
     exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.countDistinct("user_id").alias("exact_users")
@@ -3257,10 +3254,11 @@ FROM events p WHERE p.event_type = 'purchase'
 """,
     doc="Nearest as-of join (direction='nearest'): each purchase gets the "
     "signup closest in time, either side, ties to the earlier row. One "
-    "shuffle, ONE per-partition sort (both fill frames share the same "
-    "ascending order — preceding..current and current..following), "
-    "closer candidate chosen per row. DuckDB has no nearest ASOF — the "
-    "oracle is a correlated min-|Δt| subquery.",
+    "shuffle, two per-partition sorts — deliberately: collapsing to one "
+    "ascending sort needs an unbounded-FOLLOWING frame for the forward "
+    "fill, which Spark evaluates non-incrementally (O(m²) per key; "
+    "measured 232 s at a 40 k-row key, asof.py r6 note). DuckDB has no "
+    "nearest ASOF — the oracle is a correlated min-|Δt| subquery.",
 )
 def j6_asof_nearest(spark, sf_dir):
     from logvision_spark.operators.asof import asof_join
@@ -3349,9 +3347,6 @@ FROM events GROUP BY 1
     "counts) with the windowed-state operator.",
 )
 def stream_w_tumbling_counts(spark, sf_dir):
-    import tempfile
-    import uuid
-
     src = _events_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "1 minute")
@@ -3364,19 +3359,7 @@ def stream_w_tumbling_counts(spark, sf_dir):
             "cnt",
         )
     )
-    name = f"stream_wt_{uuid.uuid4().hex[:8]}"
-    from logvision_spark.streaming.pipeline import rocksdb_state_store
-
-    with rocksdb_state_store(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    name = _run_stream_to_memory(agg, "stream_wt", "complete")
     return spark.table(name)
 
 
@@ -3477,9 +3460,6 @@ WHERE p.event_type = 'purchase' AND e.event_type = 'error'
     "emitted set must hash-match the batch interval join.",
 )
 def stream_j_interval_join(spark, sf_dir):
-    import tempfile
-    import uuid
-
     purch = (
         _events_stream(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
@@ -3507,19 +3487,7 @@ def stream_j_interval_join(spark, sf_dir):
         & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 300 SECONDS")),
         "inner",
     ).select("p_id", "e_id")
-    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    from logvision_spark.streaming.pipeline import rocksdb_state_store
-
-    with rocksdb_state_store(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    name = _run_stream_to_memory(joined, "stream_ssj", "append")
     return spark.table(name)
 
 
@@ -3693,9 +3661,6 @@ WHERE p.event_type = 'purchase'
     "alike.",
 )
 def stream_j_left_outer(spark, sf_dir):
-    import tempfile
-    import uuid
-
     cutoff = (
         _t(spark, sf_dir, "events")
         .agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("c"))
@@ -3728,19 +3693,7 @@ def stream_j_left_outer(spark, sf_dir):
         & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 300 SECONDS")),
         "leftOuter",
     ).select("p_id", "p_ts", "e_id")
-    name = f"stream_ssloj_{uuid.uuid4().hex[:8]}"
-    from logvision_spark.streaming.pipeline import rocksdb_state_store
-
-    with rocksdb_state_store(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    name = _run_stream_to_memory(joined, "stream_ssloj", "append")
     return (
         spark.table(name)
         .where(F.col("p_ts") <= F.lit(cutoff))
@@ -4252,9 +4205,6 @@ WHERE e.event_type = 'purchase'
     "state, so it costs a broadcast probe per batch at any scale.",
 )
 def stream_j_static_enrich(spark, sf_dir):
-    import tempfile
-    import uuid
-
     src = (
         _events_stream(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
@@ -4266,16 +4216,8 @@ def stream_j_static_enrich(spark, sf_dir):
         F.col("n_nationkey").alias("nkey"), "n_name"
     )
     joined = src.join(nat, "nkey").select("event_id", "n_name")
-    name = f"stream_static_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # stream-static join keeps no state store → no RocksDB needed
+    name = _run_stream_to_memory(joined, "stream_static", "append", rocksdb=False)
     return spark.table(name)
 
 
@@ -4553,9 +4495,6 @@ HAVING ws + 600 <= m.cut
     "of those windows exactly.",
 )
 def stream_w_append_finalized(spark, sf_dir):
-    import tempfile
-    import uuid
-
     cutoff = (
         _t(spark, sf_dir, "events")
         .agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("c"))
@@ -4571,19 +4510,7 @@ def stream_w_append_finalized(spark, sf_dir):
             "cnt",
         )
     )
-    name = f"stream_append_{uuid.uuid4().hex[:8]}"
-    from logvision_spark.streaming.pipeline import rocksdb_state_store
-
-    with rocksdb_state_store(spark):
-        q = (
-            win.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    name = _run_stream_to_memory(win, "stream_append", "append")
     return (
         spark.table(name)
         .where(F.col("we") <= F.lit(cutoff))

@@ -98,24 +98,20 @@ def asof_join(
         )
 
     # nearest: fill both directions, pick the closer candidate per row.
-    # Both windows share ONE ascending sort (same partitionBy+orderBy,
-    # frames preceding..current and current..following): WindowExec
-    # computes both from a single per-partition sort — the earlier
-    # desc-ordered second window doubled the sort cost (r5 bench: pass-2
-    # 0.39→1.01 s after the struct rework; single-sort recovers it).
-    # The following-frame forward candidate misses equal-ts right rows
-    # (they sort BEFORE the left row), but that never changes the
-    # nearest result: the backward candidate sees them at distance 0,
-    # which wins every tie — and ties prefer backward by contract.
-    w_fwd_asc = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_src").asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    # DELIBERATELY two windows with opposite sort orders, NOT one
+    # ascending sort with a (currentRow, unboundedFollowing) frame for
+    # the forward fill: Spark evaluates unbounded-FOLLOWING frames
+    # non-incrementally (UnboundedFollowingWindowFunctionFrame
+    # re-aggregates current→end for every row), which is O(m²) per key
+    # — measured 50 s at a 20 k-row key and 232 s at 40 k (r6 review
+    # finding; the fixture's tiny per-key groups hid it). Both frames
+    # here are unbounded-PRECEDING on their own sort order, the
+    # incremental O(m) frame, so the cost is two sorts, not a quadratic
+    # scan.
     filled = combined.select(
         "*",
         F.last(F.col("_rpack"), ignorenulls=True).over(w_back).alias("_fb"),
-        F.first(F.col("_rpack"), ignorenulls=True).over(w_fwd_asc).alias("_ff"),
+        F.last(F.col("_rpack"), ignorenulls=True).over(w_fwd).alias("_ff"),
     ).where(F.col("_src") == 1)
     l_us = F.unix_micros(F.col("_ts"))
     back_us = F.unix_micros(F.col("_fb")["_rts"])

@@ -21,13 +21,27 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import MapType
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+
+def _contains_map(dt) -> bool:
+    """True if the type contains a MapType ANYWHERE (top level, struct
+    field, array element, map key/value): xxhash64 rejects maps at any
+    nesting depth, not just as the column's own type."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def _salt_expr(df: DataFrame, salt_buckets: int, salt_cols=None) -> Column:
     """Deterministic per-row salt in [0, buckets): pmod(xxhash64(cols)).
 
-    Columns default to every HASHABLE column — MapType is excluded
+    Columns default to every HASHABLE column — any column whose type
+    CONTAINS a map (top-level, struct field, array element) is excluded
     because xxhash64 rejects maps at analysis (maps have no canonical
     order), where the old monotonically_increasing_id salt accepted any
     schema but was retry-unsafe (review finding). Callers with
@@ -37,7 +51,7 @@ def _salt_expr(df: DataFrame, salt_buckets: int, salt_cols=None) -> Column:
     the spread degrades to the number of DISTINCT rows of that key."""
     if salt_cols is None:
         salt_cols = [
-            f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+            f.name for f in df.schema.fields if not _contains_map(f.dataType)
         ]
         if not salt_cols:
             raise ValueError(

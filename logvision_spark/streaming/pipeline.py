@@ -50,12 +50,14 @@ def rocksdb_state_store(spark: SparkSession):
     The provider is read at QUERY START, so setting the session conf
     around ``.start()`` scopes it to the query; the previous value is
     restored afterwards (the driver's vanilla session must not inherit
-    engine conf — the same leak discipline as the arrow-batch tests)."""
+    engine conf — the same leak discipline as the arrow-batch tests).
+    ``get(key, None)`` returns the EXPLICITLY-SET value or None —
+    unlike the no-default form, it does not fall back to the SQLConf
+    built-in default — so a previously-unset key is unset again on
+    exit rather than pinned to a copy of the default string (review
+    finding)."""
     key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
+    prev = spark.conf.get(key, None)
     spark.conf.set(key, ROCKSDB_PROVIDER)
     try:
         yield

@@ -136,3 +136,37 @@ def test_asof_bucketed_equals_plain_backward(spark):
         assert {k: v[0] for k, v in got.items()} == {
             k: v[0] for k, v in plain.items()
         }, bucket
+
+
+def test_asof_nearest_hot_key_is_not_quadratic(spark):
+    """Both nearest fill frames must be unbounded-PRECEDING on their own
+    sort order (incremental). An ascending-sort forward fill via an
+    unbounded-FOLLOWING frame is re-aggregated per row by Spark —
+    measured 50 s at a 20k-row single key (O(m²)); this pins the linear
+    shape with a generous wall bound the quadratic form cannot meet."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    n = 30_000
+    left = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit("hot").alias("user"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    right = spark.range(n).select(
+        F.lit("hot").alias("user"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.col("id").alias("tag"),
+    )
+    t0 = time.perf_counter()
+    row = (
+        asof_join(left, right, key="user", direction="nearest")
+        # consume the filled column: a count-only sink lets Catalyst
+        # prune the window projection and measure nothing
+        .agg(F.sum(F.unix_seconds(F.col("ts_asof"))).alias("s"))
+        .collect()
+    )
+    wall = time.perf_counter() - t0
+    assert row[0]["s"] is not None
+    assert wall < 40, f"nearest hot-key fill took {wall:.1f}s — quadratic frame?"

@@ -108,3 +108,19 @@ def test_salt_skips_maptype_and_accepts_discriminator(spark):
         df, "key", F.sum("v"), F.sum("_partial"), salt_cols=["v"]
     ).first()
     assert out2["merged"] == 3
+
+
+def test_salt_skips_nested_maps(spark):
+    """xxhash64 rejects maps at ANY nesting depth — struct fields and
+    array elements containing maps must be excluded from the default
+    salt columns, not just top-level MapType (review finding)."""
+    from pyspark.sql import functions as F
+
+    from logvision_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k", 1, ({"a": 1},), [{"b": 2}]), ("k", 2, ({"c": 3},), [])],
+        "key string, v int, s struct<m:map<string,int>>, a array<map<string,int>>",
+    )
+    out = salted_agg(df, "key", F.sum("v"), F.sum("_partial")).first()
+    assert out["merged"] == 3
