@@ -170,3 +170,18 @@ def test_asof_nearest_hot_key_is_not_quadratic(spark):
     wall = time.perf_counter() - t0
     assert row[0]["s"] is not None
     assert wall < 40, f"nearest hot-key fill took {wall:.1f}s — quadratic frame?"
+
+
+def test_asof_nearest_plan_has_no_unbounded_following_frame(spark):
+    """Structural twin of the hot-key wall-bound test: the nearest plan
+    must contain no unbounded-FOLLOWING window frame (Spark evaluates
+    those non-incrementally, O(m²) per key)."""
+    left = spark.createDataFrame([(1, "u", ts(10))], ["event_id", "user", "ts"])
+    right = spark.createDataFrame([("u", ts(8), "a")], ["user", "ts", "tag"])
+    plan = (
+        asof_join(left, right, key="user", direction="nearest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "unboundedfollowing" not in plan.lower().replace(" ", ""), plan
