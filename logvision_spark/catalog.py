@@ -2711,6 +2711,51 @@ def stream_sketch_daily_users(spark, sf_dir):
     )
 
 
+@register(
+    "stream_custom_state_totals",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+""",
+    doc="CUSTOM STATEFUL operator, driver-checked (§2.9's "
+    "applyInPandasWithState row promoted from a pytest behavior test "
+    "to an oracle gate): per-user (count, integer-cents) GroupState "
+    "accumulated across 4 forced micro-batches (maxFilesPerTrigger=1) "
+    "on the RocksDB store, update-mode cumulative emission; the FINAL "
+    "row per key (monotone accumulators → max per key) must equal the "
+    "batch aggregate EXACTLY. Cents are rounded JVM-side before the "
+    "Arrow boundary, so cross-batch accumulation is integer-exact "
+    "independent of batch split and summation order — the discipline "
+    "that makes arbitrary Python state oracle-comparable at all "
+    "(streaming/stateful.user_totals_apws; same contract as the "
+    "env-gated stateful-v2 twin user_totals_tws).",
+)
+def stream_custom_state_totals(spark, sf_dir):
+    import tempfile
+
+    from logvision_spark.streaming.stateful import user_totals_apws
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    land = tempfile.mkdtemp(prefix="lv_apws_in_")
+    ev.repartition(4).write.mode("append").parquet(land)
+    src = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    out = user_totals_apws(src)
+    name = _run_stream_to_memory(out, "stream_apws", "update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_cents").alias("value_cents"),
+        )
+    )
+
+
 # DuckDB expression for the 32-bit SimHash vote/pack over a hash list `hl`:
 # bit i is set when strictly more shingle hashes have bit i set than not
 # (vote sum = 2·ones − len > 0) — mirrors operators/dedup.simhash exactly.

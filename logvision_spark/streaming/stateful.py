@@ -80,6 +80,50 @@ def visit_tracker(parsed: DataFrame) -> DataFrame:
     )
 
 
+USER_TOTALS_APWS_SCHEMA = "user_id LONG, n_events LONG, value_cents LONG"
+_USER_TOTALS_STATE_SCHEMA = "n_events LONG, value_cents LONG"
+
+
+def _accumulate_user_totals(
+    key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:  # NoTimeout conf — unreachable, defensive
+        state.remove()
+        return
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+    )
+
+
+def user_totals_apws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, integer-cents) totals via
+    ``applyInPandasWithState`` — the same semantics as the stateful-v2
+    ``user_totals_tws`` template, on the API that needs no protobuf.
+    Cents are rounded JVM-side BEFORE the Python boundary so the
+    accumulation is integer-exact regardless of batch boundaries and
+    summation order — which is what lets a custom-stateful operator
+    carry an EXACT batch-SQL oracle instead of a behavior test.
+    Update-mode emission: one cumulative row per key per trigger it
+    appears in; the final row per key equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    staged = events.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return staged.groupBy("user_id").applyInPandasWithState(
+        _accumulate_user_totals,
+        outputStructType=USER_TOTALS_APWS_SCHEMA,
+        stateStructType=_USER_TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # transformWithState (Spark 4 arbitrary-stateful-v2): typed, composable
 # per-key state primitives (ValueState/ListState/MapState + timers) behind
