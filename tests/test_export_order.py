@@ -106,3 +106,38 @@ def test_checked_names_come_from_reports_on_disk():
     assert catalog._driver_checked_names() == frozenset(_history())
     # and the module's history agrees with an independent parse
     assert catalog._driver_history() == _history()
+
+
+def test_edited_round_registry_tracks_builder_edits():
+    """_EDITED_ROUND is hand-maintained; this tripwire detects the
+    forgotten-bump failure mode (r6 review finding). A builder whose
+    fingerprint (own source + directly-imported logvision_spark module
+    sources) differs from the committed snapshot must carry an
+    _EDITED_ROUND entry at the CURRENT round (max driver round + 1), or
+    be fresh/not-green (those tiers already outrank rotation). Fix by
+    bumping _EDITED_ROUND then running
+    `python tests/update_builder_fingerprints.py`."""
+    import json as _json
+
+    from tests.update_builder_fingerprints import SNAPSHOT, builder_fingerprint
+
+    hist = _history()
+    current_round = max((r for r, _ in hist.values()), default=0) + 1
+    with open(SNAPSHOT) as f:
+        snap = _json.load(f)
+    stale = []
+    for name in catalog.CATALOG:
+        if name not in snap:
+            continue  # new entry: never-sampled tier covers it
+        if name not in hist or not hist[name][1]:
+            continue  # fresh or not-green tier already leads the export
+        if builder_fingerprint(name) != snap[name]:
+            if catalog._EDITED_ROUND.get(name, 0) < current_round:
+                stale.append(name)
+    assert not stale, (
+        f"builders edited without an _EDITED_ROUND bump to round "
+        f"{current_round}: {stale} — bump catalog._EDITED_ROUND and rerun "
+        "tests/update_builder_fingerprints.py"
+    )
+    # and the snapshot itself must not reference deleted entries
+    assert not (set(snap) - set(catalog.CATALOG)), "snapshot has dead entries"
