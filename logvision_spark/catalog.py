@@ -2532,28 +2532,42 @@ def _run_stream_to_memory(
     entry's doc claims RocksDB (review finding). ``rocksdb=False`` is
     for stateless queries (stream-static joins keep no state store).
     ``name``/``checkpoint`` pin identity across restarts for recovery
-    entries; ``stop`` ends the query so a restart can reuse both."""
+    entries; ``stop`` ends the query so a restart can reuse both.
+
+    The writer itself is pipeline.start_counter_query — one module owns
+    the memory-sink recipe (review finding: this helper had re-inlined
+    it). A drain TIMEOUT raises instead of returning a partly-filled
+    table: awaitTermination(t) returns False on timeout, and silently
+    treating that as drained would surface as an oracle hash mismatch
+    misdiagnosed as a correctness bug (review finding)."""
     import tempfile
     import uuid
 
-    from logvision_spark.streaming.pipeline import rocksdb_state_store
+    from logvision_spark.streaming.pipeline import (
+        rocksdb_state_store,
+        start_counter_query,
+    )
 
     spark = df.sparkSession
     name = name or f"{prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="lv_ckpt_")
 
     def _start_and_drain():
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
+        q = start_counter_query(
+            df,
+            name,
+            checkpoint_dir=checkpoint,
+            output_mode=output_mode,
+            available_now=True,
         )
-        q.awaitTermination(300)
-        if stop:
-            q.stop()
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    f"streaming entry {name!r} did not drain within 300s"
+                )
+        finally:
+            if stop or q.isActive:
+                q.stop()
 
     if rocksdb:
         with rocksdb_state_store(spark):
@@ -2746,12 +2760,17 @@ def stream_custom_state_totals(spark, sf_dir):
     )
     out = user_totals_apws(src)
     name = _run_stream_to_memory(out, "stream_apws", "update")
+    # final row per key = the one with max n_events (the row COUNT is
+    # strictly increasing across triggers, so it identifies the last
+    # emission even if value_cents itself is non-monotone — max over
+    # value_cents would silently assume non-negative values, review
+    # finding); value_cents rides along via max_by
     return (
         spark.table(name)
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("value_cents").alias("value_cents"),
+            F.max_by("value_cents", "n_events").alias("value_cents"),
         )
     )
 
@@ -4672,6 +4691,7 @@ _EDITED_ROUND: dict[str, int] = {
     "stream_j_interval_join": 6,
     "stream_j_left_outer": 6,
     "stream_w_append_finalized": 6,
+    "stream_j_static_enrich": 6,  # _run_stream_to_memory refactor
 }
 
 
