@@ -108,6 +108,14 @@ R6 = [
     "dedup_drop_list_16band",
 ]
 
+# Round-7 addition: the hot-key NEAREST as-of (symmetric carries; like
+# j6_asof_bucketed it must price like the plain nearest on unskewed
+# fixtures — its 2.2× hot-key win is measured separately at a 2M-row
+# hyperactive key in ARCHITECTURE.md).
+R7 = [
+    "j6_asof_bucketed_nearest",
+]
+
 
 def _get_spark():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -222,7 +230,7 @@ def _run_child(which: str, sf_dir: str) -> None:
         cache_sec = _warm_up(spark, sf_dir)
         # the r4 child also times R5 (one query — not worth its own JVM);
         # main() splits the subtotals by set membership
-        names = {"core": CORE, "new": NEW, "r4": R4 + R5 + R6}[which]
+        names = {"core": CORE, "new": NEW, "r4": R4 + R5 + R6 + R7}[which]
         # Two full passes in THIS one JVM (r3 verdict diagnostic): if a
         # query's r-over-r delta is JVM-warmup redistribution, pass 2
         # converges to pass 1's min; a plan regression reproduces in both.
@@ -303,7 +311,7 @@ def main() -> None:
         cache_secs = {"single_jvm": cache_sec}
         timings = _time_set(spark, sf_dir, CORE)
         timings_new = _time_set(spark, sf_dir, NEW)
-        timings_r4 = _time_set(spark, sf_dir, R4 + R5 + R6)
+        timings_r4 = _time_set(spark, sf_dir, R4 + R5 + R6 + R7)
         pass2 = {}
         spark.stop()
         isolated = False
@@ -344,6 +352,9 @@ def main() -> None:
             "r6_total": round(
                 sum(v for k, v in timings_r4.items() if k in set(R6)), 4
             ),
+            "r7_total": round(
+                sum(v for k, v in timings_r4.items() if k in set(R7)), 4
+            ),
             "sf": sf,
             "parse_rows_per_sec": parse_rows,
             "parse_rows_per_sec_4m": parse_rows_4m,
@@ -355,15 +366,10 @@ def main() -> None:
             "new_pass2_total": round(
                 sum(v for k, v in pass2.items() if k in set(NEW)), 4
             ) if pass2 else None,
-            "r4_pass2_total": round(
-                sum(v for k, v in pass2.items() if k in set(R4)), 4
-            ) if pass2 else None,
-            "r5_pass2_total": round(
-                sum(v for k, v in pass2.items() if k in set(R5)), 4
-            ) if pass2 else None,
-            "r6_pass2_total": round(
-                sum(v for k, v in pass2.items() if k in set(R6)), 4
-            ) if pass2 else None,
+            # r4..r7 pass-2 totals live in BENCH_DETAIL.json (derivable
+            # from its per-query pass-2 detail): the printed line must fit
+            # the driver's 2000-char stdout tail and R7 pushed the
+            # worst-case width past it (test_bench_line budget).
         },
         separators=(",", ":"),
     )

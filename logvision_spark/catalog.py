@@ -3378,6 +3378,50 @@ def j6_asof_bucketed(spark, sf_dir):
 
 
 @register(
+    "j6_asof_bucketed_nearest",
+    oracle="""
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime((SELECT s.ts FROM events s
+                 WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+                 ORDER BY abs(epoch_us(s.ts) - epoch_us(p.ts)), s.ts
+                 LIMIT 1), '%Y-%m-%d %H:%M:%S.%f') AS ts_asof
+FROM events p WHERE p.event_type = 'purchase'
+""",
+    doc="Hot-key NEAREST as-of join (operators/asof.asof_join_bucketed "
+    "direction='nearest', new r7): both fill windows run per (key, "
+    "1-hour bucket) with symmetric boundary carry-ins — backward: "
+    "per-bucket max_by + running last over earlier buckets injected at "
+    "the bucket start; forward: per-bucket min_by + running last over a "
+    "DESCENDING bucket sort (closest later bucket) injected at the "
+    "bucket end. The carries travel in separate pack columns so each "
+    "fill only sees its own direction. nearest is the direction that "
+    "costs TWO per-key sorts in the plain form, so a hyperactive key "
+    "hits the one-task ceiling twice — this is its mitigation. Both "
+    "fills stay unbounded-PRECEDING (plan-tested). Same correlated "
+    "min-|dt| DuckDB oracle as j6_asof_nearest: bucketing must be "
+    "invisible in the results.",
+)
+def j6_asof_bucketed_nearest(spark, sf_dir):
+    from logvision_spark.operators.asof import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join_bucketed(
+        purchases, signups, key="user_id", direction="nearest"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("ts_asof", fmt).alias("ts_asof"),
+    )
+
+
+@register(
     "a3_count_by_user_salted",
     oracle="SELECT user_id, CAST(count(*) AS BIGINT) AS cnt "
     "FROM events GROUP BY user_id",
@@ -4668,10 +4712,9 @@ _EDITED_ROUND: dict[str, int] = {
     "q18_large_orders": 5,       # aggregate-then-join rewrite
     "a_user_trend_slope": 5,     # grouped-map schema/key generalization
     "dedup_minhash_fast": 5,     # NULL-sig exclusion from banding
-    "j6_asof_forward": 5,        # struct-fill rework
+    "q7_nation_volume": 5,       # vacuous-gate fix (NATION_1/NATION_2)
     # round-6 edits (ADVICE fixes; same results on fixtures, but the
     # code path changed behind the green row)
-    "q7_nation_volume": 5,       # vacuous-gate fix (NATION_1/NATION_2)
     "a3_count_by_user_salted": 6,   # _salt_expr refactor (MapType skip)
     "j_salted_skew_join": 6,        # same
     "ivf_topk_vec0": 6,             # memo eviction rewrite
@@ -4681,17 +4724,30 @@ _EDITED_ROUND: dict[str, int] = {
     "sim_near_pairs": 6,
     "sim_near_pairs_lsh": 6,
     "sim_srp_topk_vec0": 6,
-    "j6_asof_nearest": 6,           # single-sort nearest formulation
     # round-6: stateful streaming entries moved to the RocksDB provider
     "stream_dedup_distinct_props": 6,
     "stream_a7_count_by_type": 6,
-    "stream_recovery_counts": 6,
     "stream_sketch_daily_users": 6,
     "stream_w_tumbling_counts": 6,
     "stream_j_interval_join": 6,
     "stream_j_left_outer": 6,
     "stream_w_append_finalized": 6,
     "stream_j_static_enrich": 6,  # _run_stream_to_memory refactor
+    # round-7 edits: asof.py grew direction support in
+    # asof_join_bucketed (shared carry aggregate; forward/nearest
+    # carries). asof_join itself is byte-identical, but the fingerprint
+    # hashes the whole module, so every asof entry re-greens.
+    "j6_asof_join": 7,
+    "j6_asof_forward": 7,
+    # r6 bump was the struct-payload doc/plan-pin rework (the
+    # single-sort nearest attempt was measured O(m²) and REVERTED —
+    # the shipped code keeps the two-sort formulation)
+    "j6_asof_nearest": 7,
+    "j6_asof_bucketed": 7,       # carry refactor (shared rb/spine join)
+    # round-7: recovery entry now exercises RocksDB changelog
+    # checkpointing (incremental changelog uploads instead of full
+    # snapshot uploads) across the kill/restart boundary
+    "stream_recovery_counts": 7,
 }
 
 

@@ -132,31 +132,51 @@ def asof_join_bucketed(
     value_cols: tuple[str, ...] = (),
     suffix: str = "_asof",
     bucket: str = "1 hour",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join partitioned by (key, coarse time bucket) —
-    the hot-key formulation this module's header prescribes: plain
+    """As-of join partitioned by (key, coarse time bucket) — the
+    hot-key formulation this module's header prescribes: plain
     ``asof_join`` partitions its window by key alone, so one
     hyperactive key serializes its entire history through a single
-    task. Here the window runs per (key, bucket) and a boundary
-    CARRY-IN supplies each bucket with the latest right row from all
-    earlier buckets, so results are row-identical to
-    ``asof_join(..., direction="backward")``:
+    task. Here the fill window runs per (key, bucket) and boundary
+    CARRY-INs supply each bucket with its cross-bucket candidate, so
+    results are row-identical to ``asof_join`` in every direction:
 
-    1. per-(key, bucket) latest right pack via ``max_by`` — an ordinary
-       partial-aggregatable groupBy (a hot key spreads over its
-       buckets, map-side combine shrinks it before the shuffle);
-    2. running ``last`` over the per-bucket aggregate, shifted one
-       bucket back — this window's input is ONE ROW PER BUCKET, not
-       per event, so the hyperactive key costs #buckets, not #rows;
-    3. the carried pack is injected at the bucket start with a sort
-       rank below every real row (_src=-1), and the usual
-       forward-fill window runs per (key, bucket).
+    - ``backward``: per-(key, bucket) latest right pack via ``max_by``
+      (an ordinary partial-aggregatable groupBy — a hot key spreads
+      over its buckets, map-side combine shrinks it before the
+      shuffle), then a running ``last`` over STRICTLY EARLIER buckets
+      — this window's input is ONE ROW PER BUCKET, not per event, so
+      the hyperactive key costs #buckets, not #rows. The carried pack
+      is injected at the bucket START with a sort rank below every
+      real row (_src=-1) and the usual ascending fill window runs per
+      (key, bucket).
+    - ``forward``: the mirror — per-bucket EARLIEST right pack via
+      ``min_by``, running ``last`` over a DESCENDING bucket sort
+      (strictly LATER buckets; the last non-null in that frame is the
+      closest later bucket, whose min IS the global min over all
+      later buckets since buckets are time-ordered), injected at the
+      bucket END (start + width; real rows live in [start, end), so
+      the carry strictly out-sorts them in the descending fill — no
+      equal-ts tie is possible), descending fill window per
+      (key, bucket).
+    - ``nearest``: both carries travel in SEPARATE pack columns
+      (_pb/_pf) so each fill only ever sees its own direction's packs
+      — with a shared column the backward carry at the bucket floor
+      would sit inside a boundary left row's forward frame (desc sort,
+      equal ts, _src=-1 first) and win the forward fill with a PAST
+      row. Both fills stay unbounded-PRECEDING on their own sort
+      order — never a (currentRow, unboundedFollowing) frame, which
+      Spark evaluates O(m²) per partition (asof.py r6 note; plan-
+      tested in tests/test_asof.py).
 
     The carried pack's timestamp stays the TRUE matched row's — only
     its sort position moves. A right row exactly on a bucket boundary
     belongs to that bucket (never its own carry-in), so real rows
-    always outrank the carry-in at equal sort ts.
+    always outrank the backward carry-in at equal sort ts.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lcols = left.columns
     b = lambda c: F.window(F.col(c), bucket)["start"]  # noqa: E731
     l = (
@@ -178,49 +198,108 @@ def asof_join_bucketed(
         .withColumn("_ts", F.col("_rts"))
         .withColumn("_b", b("_rts"))
     )
-    # (1) bucket-latest right pack; (2) spine over every (key, bucket)
-    # either side touches, so gaps between right buckets still receive
-    # the carry; (3) carry-in = running last over STRICTLY earlier buckets
-    rb = r.groupBy(key, "_b").agg(F.max_by("_rpack", "_rts").alias("_bpack"))
-    spine = (
-        l.select(key, "_b").union(rb.select(key, "_b")).distinct()
+    # spine over every (key, bucket) either side touches, so gaps
+    # between right buckets still receive the carry. ONE per-bucket
+    # aggregate and ONE spine join feed both carry directions (nearest
+    # needs both; computing them separately doubled the carry stages).
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    spine = l.select(key, "_b").union(r.select(key, "_b")).distinct()
+    rb = r.groupBy(key, "_b").agg(
+        *([F.max_by("_rpack", "_rts").alias("_pmax")] if need_back else []),
+        *([F.min_by("_rpack", "_rts").alias("_pmin")] if need_fwd else []),
     )
-    w_carry = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_b").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = (
-        spine.join(rb, [key, "_b"], "left")
-        .select(
-            key,
-            "_b",
-            F.last(F.col("_bpack"), ignorenulls=True)
-            .over(w_carry)
-            .alias("_rpack"),
+    sp = spine.join(rb, [key, "_b"], "left")
+
+    def carry_for(dir_: str) -> DataFrame:
+        """One carry row per (key, bucket): the cross-bucket candidate
+        from strictly earlier (backward) / later (forward) buckets."""
+        if dir_ == "backward":
+            pack, order = "_pmax", F.col("_b").asc()
+            inject_ts = F.col("_b")
+        else:
+            pack, order = "_pmin", F.col("_b").desc()
+            inject_ts = F.window(F.col("_b"), bucket)["end"]
+        w_carry = Window.partitionBy(key).orderBy(order).rowsBetween(
+            Window.unboundedPreceding, -1
         )
-        .where(F.col("_rpack").isNotNull())
-        .withColumn("_src", F.lit(-1))
-        .withColumn("_ts", F.col("_b"))
-    )
-    combined = l.unionByName(
-        r.select(key, "_b", "_src", "_ts", "_rpack"),
-        allowMissingColumns=True,
-    ).unionByName(
-        carry.select(key, "_b", "_src", "_ts", "_rpack"),
-        allowMissingColumns=True,
-    )
-    w = (
+        return (
+            sp.select(
+                key,
+                "_b",
+                F.last(F.col(pack), ignorenulls=True)
+                .over(w_carry)
+                .alias("_rpack"),
+            )
+            .where(F.col("_rpack").isNotNull())
+            .withColumn("_src", F.lit(-1))
+            .withColumn("_ts", inject_ts)
+        )
+
+    w_back = (
         Window.partitionBy(key, "_b")
         .orderBy(F.col("_ts").asc(), F.col("_src").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = combined.select(
-        "*", F.last(F.col("_rpack"), ignorenulls=True).over(w).alias("_f")
+    w_fwd = (
+        Window.partitionBy(key, "_b")
+        .orderBy(F.col("_ts").desc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     suffixed = [f"{c}{suffix}" for c in value_cols]
-    return filled.where(F.col("_src") == 1).select(
-        *lcols,
-        *[F.col("_f")[name].alias(name) for name in suffixed],
-        F.col("_f")["_rts"].alias(f"{right_ts}{suffix}"),
+
+    def unpack(pack):
+        return [
+            *[pack[name].alias(name) for name in suffixed],
+            pack["_rts"].alias(f"{right_ts}{suffix}"),
+        ]
+
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        combined = l.unionByName(
+            r.select(key, "_b", "_src", "_ts", "_rpack"),
+            allowMissingColumns=True,
+        ).unionByName(
+            carry_for(direction).select(key, "_b", "_src", "_ts", "_rpack"),
+            allowMissingColumns=True,
+        )
+        filled = combined.select(
+            "*", F.last(F.col("_rpack"), ignorenulls=True).over(w).alias("_f")
+        )
+        return filled.where(F.col("_src") == 1).select(
+            *lcols, *unpack(F.col("_f"))
+        )
+
+    # nearest: real right rows feed BOTH fills; each carry feeds only its own
+    r_both = r.select(
+        key,
+        "_b",
+        "_src",
+        "_ts",
+        F.col("_rpack").alias("_pb"),
+        F.col("_rpack").alias("_pf"),
     )
+    cb = carry_for("backward").select(
+        key, "_b", "_src", "_ts", F.col("_rpack").alias("_pb")
+    )
+    cf = carry_for("forward").select(
+        key, "_b", "_src", "_ts", F.col("_rpack").alias("_pf")
+    )
+    combined = (
+        l.unionByName(r_both, allowMissingColumns=True)
+        .unionByName(cb, allowMissingColumns=True)
+        .unionByName(cf, allowMissingColumns=True)
+    )
+    filled = combined.select(
+        "*",
+        F.last(F.col("_pb"), ignorenulls=True).over(w_back).alias("_fb"),
+        F.last(F.col("_pf"), ignorenulls=True).over(w_fwd).alias("_ff"),
+    ).where(F.col("_src") == 1)
+    l_us = F.unix_micros(F.col("_ts"))
+    back_us = F.unix_micros(F.col("_fb")["_rts"])
+    fwd_us = F.unix_micros(F.col("_ff")["_rts"])
+    use_back = F.col("_fb")["_rts"].isNotNull() & (
+        F.col("_ff")["_rts"].isNull() | ((l_us - back_us) <= (fwd_us - l_us))
+    )
+    pick = F.when(use_back, F.col("_fb")).otherwise(F.col("_ff"))
+    return filled.select(*lcols, *unpack(pick))

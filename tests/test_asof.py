@@ -91,14 +91,11 @@ def test_asof_nearest_tie_prefers_backward(spark):
     assert (out["ts_asof"], out["tag_asof"]) == (ts(7), "back")
 
 
-def test_asof_bucketed_equals_plain_backward(spark):
-    """asof_join_bucketed must be row-identical to the plain backward
-    asof_join for every bucket width — including matches carried across
-    many empty buckets, right rows exactly on bucket boundaries, and
-    keys with no right rows at all."""
+def _bucketed_fixture(spark):
+    """Randomized fixture shared by the bucketed-equivalence tests:
+    matches carried across many empty buckets, right rows exactly on
+    bucket boundaries, a hot key, and a key with no right rows."""
     import random
-
-    from logvision_spark.operators.asof import asof_join_bucketed
 
     rng = random.Random(7)
     base = datetime.datetime(2024, 1, 1)
@@ -115,27 +112,54 @@ def test_asof_bucketed_equals_plain_backward(spark):
          f"t{j}")
         for j in range(200)
     ]
-    ldf = spark.createDataFrame(left, ["event_id", "user", "ts"])
-    rdf = spark.createDataFrame(right, ["user", "ts", "tag"])
-    plain = {
-        r["event_id"]: (r["ts_asof"], r["tag_asof"])
-        for r in asof_join(
-            ldf, rdf, key="user", value_cols=("tag",), direction="backward"
-        ).collect()
-    }
-    for bucket in ("17 minutes", "1 hour", "3 hours"):
-        got = {
-            r["event_id"]: (r["ts_asof"], r["tag_asof"])
-            for r in asof_join_bucketed(
-                ldf, rdf, key="user", value_cols=("tag",), bucket=bucket
+    return (
+        spark.createDataFrame(left, ["event_id", "user", "ts"]),
+        spark.createDataFrame(right, ["user", "ts", "tag"]),
+    )
+
+
+def test_asof_bucketed_equals_plain_all_directions(spark):
+    """asof_join_bucketed must be row-identical to the plain asof_join
+    in EVERY direction and for every bucket width. Matched timestamps
+    must agree everywhere; tags may differ only where several right
+    rows tie on the matched timestamp (both formulations pick an
+    arbitrary row among exact-ts ties)."""
+    from logvision_spark.operators.asof import asof_join_bucketed
+
+    ldf, rdf = _bucketed_fixture(spark)
+    for direction in ("backward", "forward", "nearest"):
+        plain = {
+            r["event_id"]: r["ts_asof"]
+            for r in asof_join(
+                ldf, rdf, key="user", value_cols=("tag",), direction=direction
             ).collect()
         }
-        # matched timestamps must agree everywhere; tags may differ only
-        # where several right rows tie on the matched timestamp (both
-        # formulations pick an arbitrary row among exact-ts ties)
-        assert {k: v[0] for k, v in got.items()} == {
-            k: v[0] for k, v in plain.items()
-        }, bucket
+        for bucket in ("17 minutes", "1 hour", "3 hours"):
+            got = {
+                r["event_id"]: r["ts_asof"]
+                for r in asof_join_bucketed(
+                    ldf, rdf, key="user", value_cols=("tag",),
+                    bucket=bucket, direction=direction,
+                ).collect()
+            }
+            assert got == plain, (direction, bucket)
+
+
+def test_asof_bucketed_nearest_plan_has_no_unbounded_following_frame(spark):
+    """The bucketed nearest fill must keep both frames incremental
+    (unbounded-PRECEDING on their own sort order) — same structural pin
+    as the plain nearest plan test."""
+    from logvision_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame([(1, "u", ts(10))], ["event_id", "user", "ts"])
+    right = spark.createDataFrame([("u", ts(8), "a")], ["user", "ts", "tag"])
+    plan = (
+        asof_join_bucketed(left, right, key="user", direction="nearest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "unboundedfollowing" not in plan.lower().replace(" ", ""), plan
 
 
 def test_asof_nearest_hot_key_is_not_quadratic(spark):
@@ -169,7 +193,11 @@ def test_asof_nearest_hot_key_is_not_quadratic(spark):
     )
     wall = time.perf_counter() - t0
     assert row[0]["s"] is not None
-    assert wall < 40, f"nearest hot-key fill took {wall:.1f}s — quadratic frame?"
+    # generous bound: the linear form runs in ~2-4 s here, the quadratic
+    # frame took 50 s at 20k rows (so >100 s at 30k). 120 s absorbs a
+    # loaded CI host (r6 ADVICE: a tight wall bound flakes); the plan-
+    # shape test below is the primary, deterministic regression gate.
+    assert wall < 120, f"nearest hot-key fill took {wall:.1f}s — quadratic frame?"
 
 
 def test_asof_nearest_plan_has_no_unbounded_following_frame(spark):

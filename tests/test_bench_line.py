@@ -11,7 +11,7 @@ import bench
 
 
 def test_headline_json_line_fits_driver_tail_window():
-    names = bench.CORE + bench.NEW + bench.R4 + bench.R5 + bench.R6
+    names = bench.CORE + bench.NEW + bench.R4 + bench.R5 + bench.R6 + bench.R7
     assert len(names) == len(set(names)), "duplicate bench entries"
     line = json.dumps(
         {
@@ -24,6 +24,7 @@ def test_headline_json_line_fits_driver_tail_window():
             "r4_total": 9999.9999,
             "r5_total": 9999.9999,
             "r6_total": 9999.9999,
+            "r7_total": 9999.9999,
             "sf": 0.1,
             "parse_rows_per_sec": 9_999_999,
             "parse_rows_per_sec_4m": 9_999_999,
@@ -31,9 +32,6 @@ def test_headline_json_line_fits_driver_tail_window():
             "shingle_cache_build_sec": 9999.9999,
             "core_pass2_total": 9999.9999,
             "new_pass2_total": 9999.9999,
-            "r4_pass2_total": 9999.9999,
-            "r5_pass2_total": 9999.9999,
-            "r6_pass2_total": 9999.9999,
         },
         separators=(",", ":"),
     )

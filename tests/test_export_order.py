@@ -141,3 +141,22 @@ def test_edited_round_registry_tracks_builder_edits():
     )
     # and the snapshot itself must not reference deleted entries
     assert not (set(snap) - set(catalog.CATALOG)), "snapshot has dead entries"
+
+
+def test_fingerprint_covers_catalog_helpers_transitively():
+    """r6 ADVICE: the _run_stream_to_memory refactor removed direct
+    pipeline imports from the stream builders, so an edit to the shared
+    lifecycle helper (exactly the provider-migration class of change it
+    centralizes) no longer changed any fingerprint. The r7 fingerprint
+    hashes catalog-module helpers reachable by name from the builder —
+    transitively — plus THEIR logvision_spark imports. Pin that a
+    stream entry's material includes the helper's source AND
+    streaming/pipeline.py (reached only through the helper's own
+    import), so editing either without an _EDITED_ROUND bump fails the
+    registry test above."""
+    from tests.update_builder_fingerprints import fingerprint_material
+
+    labels = {label for label, _ in fingerprint_material("stream_a7_count_by_type")}
+    assert "helper:_run_stream_to_memory" in labels, labels
+    assert "helper:_events_stream" in labels, labels
+    assert "module:logvision_spark.streaming.pipeline" in labels, labels

@@ -25,25 +25,88 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "builder_fingerprints.json")
 
+_IMPORT_RE = re.compile(r"from (logvision_spark[.\w]+) import")
 
-def builder_fingerprint(name: str) -> str:
-    """Best-effort content hash of an entry's code path: the builder's
-    own source plus the full source of every logvision_spark module the
-    builder references by import. Edits to catalog-module helpers
-    (_t, _run_stream_to_memory, ...) and transitive imports are NOT
-    captured — this is a tripwire for the common case (builder or
-    directly-imported operator module edited), not a proof."""
+
+_HELPERS_MEMO: dict[str, str] | None = None
+
+
+def _catalog_helpers() -> dict[str, str]:
+    """name -> source for every module-level callable defined in
+    logvision_spark.catalog that is NOT itself a registered builder —
+    the shared-helper surface (_t, _run_stream_to_memory,
+    _events_stream, _shared_shingles, ...) whose edits the r6 tripwire
+    could not see (r6 ADVICE: the _run_stream_to_memory refactor
+    removed the direct pipeline imports from the stream builders, so a
+    provider-migration edit to the helper left every fingerprint
+    unchanged)."""
+    global _HELPERS_MEMO
+    if _HELPERS_MEMO is not None:
+        return _HELPERS_MEMO
+    import logvision_spark.catalog as cat
+
+    builders = {c.builder.__name__ for c in cat.CATALOG.values()}
+    out: dict[str, str] = {}
+    for nm, obj in vars(cat).items():
+        if not callable(obj) or isinstance(obj, type):
+            continue
+        if getattr(obj, "__module__", None) != "logvision_spark.catalog":
+            continue
+        if nm in builders:
+            continue
+        try:
+            out[nm] = inspect.getsource(obj)
+        except (OSError, TypeError):
+            pass
+    _HELPERS_MEMO = out
+    return out
+
+
+def fingerprint_material(name: str) -> list[tuple[str, str]]:
+    """The (label, content) parts hashed into an entry's fingerprint:
+    the builder's own source, then — transitively — the source of every
+    catalog-module helper the reachable source references by bare name,
+    and the full file content of every logvision_spark module any
+    reachable source imports. Deterministic order: builder first, then
+    sorted helper names, then sorted module paths. Still best-effort
+    (module-level CONSTANTS and helpers referenced only via getattr
+    are not captured), but the helper closure now covers exactly the
+    class of edit the r6 registry missed."""
     sys.path.insert(0, ROOT)
     from logvision_spark.catalog import CATALOG
 
-    src = inspect.getsource(CATALOG[name].builder)
-    h = hashlib.sha256(src.encode())
-    mods = sorted(set(re.findall(r"from (logvision_spark[.\w]+) import", src)))
-    for mod in mods:
+    helpers = _catalog_helpers()
+    builder_src = inspect.getsource(CATALOG[name].builder)
+    used: dict[str, str] = {}
+    mods: set[str] = set(_IMPORT_RE.findall(builder_src))
+    frontier = [builder_src]
+    while frontier:
+        src = frontier.pop()
+        for helper, hsrc in helpers.items():
+            if helper in used:
+                continue
+            if re.search(rf"\b{re.escape(helper)}\b", src):
+                used[helper] = hsrc
+                mods.update(_IMPORT_RE.findall(hsrc))
+                frontier.append(hsrc)
+    parts: list[tuple[str, str]] = [("builder", builder_src)]
+    for helper in sorted(used):
+        parts.append((f"helper:{helper}", used[helper]))
+    for mod in sorted(mods):
         path = os.path.join(ROOT, *mod.split(".")) + ".py"
         if os.path.exists(path):
-            with open(path, "rb") as f:
-                h.update(f.read())
+            with open(path, encoding="utf-8") as f:
+                parts.append((f"module:{mod}", f.read()))
+    return parts
+
+
+def builder_fingerprint(name: str) -> str:
+    h = hashlib.sha256()
+    for label, content in fingerprint_material(name):
+        h.update(label.encode())
+        h.update(b"\x00")
+        h.update(content.encode())
+        h.update(b"\x00")
     return h.hexdigest()
 
 
