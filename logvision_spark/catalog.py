@@ -2523,6 +2523,7 @@ def _run_stream_to_memory(
     name: str | None = None,
     checkpoint: str | None = None,
     stop: bool = False,
+    changelog: bool = False,
 ):
     """Run a streaming DataFrame to a memory sink under AvailableNow and
     block until drained; returns the memory table name. One place owns
@@ -2532,7 +2533,10 @@ def _run_stream_to_memory(
     entry's doc claims RocksDB (review finding). ``rocksdb=False`` is
     for stateless queries (stream-static joins keep no state store).
     ``name``/``checkpoint`` pin identity across restarts for recovery
-    entries; ``stop`` ends the query so a restart can reuse both.
+    entries; ``stop`` ends the query so a restart can reuse both;
+    ``changelog`` enables RocksDB changelog checkpointing (per-batch
+    delta uploads instead of full snapshots — the production knob for
+    large state; see pipeline.rocksdb_state_store).
 
     The writer itself is pipeline.start_counter_query — one module owns
     the memory-sink recipe (review finding: this helper had re-inlined
@@ -2570,7 +2574,7 @@ def _run_stream_to_memory(
                 q.stop()
 
     if rocksdb:
-        with rocksdb_state_store(spark):
+        with rocksdb_state_store(spark, changelog=changelog):
             _start_and_drain()
     else:
         _start_and_drain()
@@ -2632,8 +2636,11 @@ def stream_a7_count_by_type(spark, sf_dir):
     "or lost replay hash-mismatches. Same property as "
     "tests/test_streaming_recovery.py, phrased as a catalog entry so "
     "the driver sees the exactly-once story. Runs on the RocksDB "
-    "state store (r6), so the restart also proves state reload from "
-    "the checkpoint's RocksDB snapshot/changelog artifacts.",
+    "state store (r6) with CHANGELOG checkpointing (r7: per-batch "
+    "delta uploads instead of full snapshots — the production mode "
+    "for large state), so the restart also proves state reload from "
+    "the checkpoint's snapshot+changelog replay path, not just the "
+    "full-snapshot path.",
 )
 def stream_recovery_counts(spark, sf_dir):
     import tempfile
@@ -2657,7 +2664,7 @@ def stream_recovery_counts(spark, sf_dir):
         # RocksDB artifacts, not JVM memory
         _run_stream_to_memory(
             agg, "stream_recovery", "complete",
-            name=name, checkpoint=ckpt, stop=True,
+            name=name, checkpoint=ckpt, stop=True, changelog=True,
         )
 
     # phase 1: first half arrives, query runs to completion and stops
@@ -4724,15 +4731,6 @@ _EDITED_ROUND: dict[str, int] = {
     "sim_near_pairs": 6,
     "sim_near_pairs_lsh": 6,
     "sim_srp_topk_vec0": 6,
-    # round-6: stateful streaming entries moved to the RocksDB provider
-    "stream_dedup_distinct_props": 6,
-    "stream_a7_count_by_type": 6,
-    "stream_sketch_daily_users": 6,
-    "stream_w_tumbling_counts": 6,
-    "stream_j_interval_join": 6,
-    "stream_j_left_outer": 6,
-    "stream_w_append_finalized": 6,
-    "stream_j_static_enrich": 6,  # _run_stream_to_memory refactor
     # round-7 edits: asof.py grew direction support in
     # asof_join_bucketed (shared carry aggregate; forward/nearest
     # carries). asof_join itself is byte-identical, but the fingerprint
@@ -4748,6 +4746,20 @@ _EDITED_ROUND: dict[str, int] = {
     # checkpointing (incremental changelog uploads instead of full
     # snapshot uploads) across the kill/restart boundary
     "stream_recovery_counts": 7,
+    # round-7: rocksdb_state_store/_run_stream_to_memory grew the
+    # changelog knob (default OFF — these entries' behavior is
+    # unchanged, but the shared helper + pipeline.py they run through
+    # changed behind their green rows, and the r7 fingerprint now
+    # sees helper edits, so they re-green conservatively)
+    "stream_a7_count_by_type": 7,
+    "stream_custom_state_totals": 7,
+    "stream_dedup_distinct_props": 7,
+    "stream_j_interval_join": 7,
+    "stream_j_left_outer": 7,
+    "stream_j_static_enrich": 7,
+    "stream_sketch_daily_users": 7,
+    "stream_w_append_finalized": 7,
+    "stream_w_tumbling_counts": 7,
 }
 
 

@@ -207,6 +207,38 @@ def test_streaming_hll_sketch_state_merges_across_batches(spark, sf_dir, tmp_pat
     assert streamed == batch
 
 
+def _run_counting_memory_query(spark, name, checkpoint):
+    """Shared recipe for the state-store-conf tests: land 100 rows with a
+    7-value key in parquet, stream them through a groupBy-count into a
+    complete-mode memory sink under AvailableNow, and return lastProgress.
+    Must be called inside the state-store context under test; raises if
+    the query fails to drain (and stops it) so a slow host produces a
+    timeout error, not a misleading artifact-missing failure."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix=f"lv_{name}_in_")
+    spark.range(100).select(
+        F.col("id"), F.pmod("id", F.lit(7)).alias("k")
+    ).write.mode("append").parquet(d)
+    src = spark.readStream.schema("id long, k long").parquet(d)
+    agg = src.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "query did not drain within 120s"
+        return q.lastProgress
+    finally:
+        q.stop()
+
+
 def test_rocksdb_state_store_context_scopes_and_restores(spark, sf_dir):
     """The RocksDB context must (a) actually engage the provider for
     queries started inside it — verified via the query's state-operator
@@ -214,8 +246,6 @@ def test_rocksdb_state_store_context_scopes_and_restores(spark, sf_dir):
     the session's previous provider setting afterwards, so the driver's
     vanilla session never inherits engine conf."""
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from logvision_spark.streaming.pipeline import (
         ROCKSDB_PROVIDER,
@@ -226,27 +256,38 @@ def test_rocksdb_state_store_context_scopes_and_restores(spark, sf_dir):
     before = spark.conf.get(key)
     assert "RocksDB" not in before  # default provider going in
 
-    d = tempfile.mkdtemp(prefix="lv_rdb_t_")
-    spark.range(100).select(
-        F.col("id"), F.pmod("id", F.lit(7)).alias("k")
-    ).write.mode("append").parquet(d)
-    src = spark.readStream.schema("id long, k long").parquet(d)
-    agg = src.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
     with rocksdb_state_store(spark):
         assert spark.conf.get(key) == ROCKSDB_PROVIDER
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("rdb_scope_t")
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="lv_ck_"))
-            .trigger(availableNow=True)
-            .start()
+        progress = _run_counting_memory_query(
+            spark, "rdb_scope_t", tempfile.mkdtemp(prefix="lv_ck_")
         )
-        q.awaitTermination(120)
-        progress = q.lastProgress
     assert spark.conf.get(key) == before
     ops = (progress or {}).get("stateOperators") or []
     assert ops and any(
         "rocksdb" in m for m in (ops[0].get("customMetrics") or {})
     ), ops
     assert spark.table("rdb_scope_t").count() == 7
+
+
+def test_rocksdb_changelog_mode_engages_and_restores(spark, sf_dir):
+    """changelog=True must (a) set the changelog-checkpointing conf for
+    queries started inside the context and restore it after, and (b)
+    actually produce changelog checkpoint artifacts (.changelog files
+    in the state dir) instead of only per-batch snapshots."""
+    import glob
+    import tempfile
+
+    from logvision_spark.streaming.pipeline import (
+        CHANGELOG_KEY,
+        rocksdb_state_store,
+    )
+
+    before = spark.conf.get(CHANGELOG_KEY, None)
+    ck = tempfile.mkdtemp(prefix="lv_rdb_cl_ck_")
+    with rocksdb_state_store(spark, changelog=True):
+        assert spark.conf.get(CHANGELOG_KEY) == "true"
+        _run_counting_memory_query(spark, "rdb_changelog_t", ck)
+    assert spark.conf.get(CHANGELOG_KEY, None) == before
+    logs = glob.glob(f"{ck}/state/**/*.changelog", recursive=True)
+    assert logs, f"no changelog artifacts under {ck}/state"
+    assert spark.table("rdb_changelog_t").count() == 7
