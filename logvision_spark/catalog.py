@@ -4637,6 +4637,77 @@ def stream_w_append_finalized(spark, sf_dir):
 
 
 @register(
+    "stream_w_session",
+    oracle="""
+WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS cut FROM events),
+ o AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id % 10 = 0),
+ s AS (SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+       FROM o)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM s, m GROUP BY user_id, sid, m.cut
+HAVING max(ts) + INTERVAL 30 MINUTE <= m.cut
+""",
+    doc="SESSION WINDOWS on the STREAMING path, batch-verified (r7 — "
+    "the one stateful window class the nine r6 stream entries did not "
+    "drive: session_window keeps MERGING state per (key, open "
+    "session), a different state layout from tumbling windows or "
+    "dedup): file source → watermark → session_window(30 min gap) "
+    "count per user → APPEND mode (a session emits exactly once, "
+    "after the watermark closes it) → AvailableNow → memory sink, on "
+    "the RocksDB state store. Verified on sessions provably closed "
+    "(session_end <= max ts - 1 day, far past the 10-min delay): the "
+    "emitted set must equal the batch lag/cumsum sessionizer — the "
+    "same oracle as w_session_windows plus the finalized cutoff, so "
+    "the streaming merge state and the batch window agree row-for-row "
+    "(gap boundary semantics included: a gap of exactly 30 min starts "
+    "a new session on both engines).",
+)
+def stream_w_session(spark, sf_dir):
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("c"))
+        .first()["c"]
+    )
+    src = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("user_id") % 10 == 0)
+        .withWatermark("ts", "10 minutes")
+    )
+    sess = (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("ss"),
+            F.col("w.end").alias("se"),
+            "n_events",
+        )
+    )
+    name = _run_stream_to_memory(sess, "stream_session", "append")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        spark.table(name)
+        .where(F.col("se") <= F.lit(cutoff))
+        .select(
+            "user_id",
+            F.date_format("ss", fmt).alias("session_start"),
+            F.date_format("se", fmt).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "mm_partition_packing",
     oracle="""
 WITH s AS (SELECT doc_id AS asset_id, doc_id % 8 AS shard,
