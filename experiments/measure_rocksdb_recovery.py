@@ -7,7 +7,7 @@ checkpoint, and measure restart-to-first-batch-commit — the state-reload
 latency — plus per-commit times and checkpoint sizes, under both RocksDB
 checkpoint modes (full-snapshot vs changelog).
 
-Usage: MODE=changelog|snapshot python measure_recovery.py
+Usage: MODE=changelog|snapshot python experiments/measure_rocksdb_recovery.py
 """
 import json
 import os

@@ -2573,6 +2573,11 @@ def _run_stream_to_memory(
             if stop or q.isActive:
                 q.stop()
 
+    if changelog and not rocksdb:
+        # silently running WITHOUT the changelog path an entry's doc
+        # claims is the exact misconfiguration class this helper was
+        # centralized to prevent (review finding)
+        raise ValueError("changelog=True requires rocksdb=True")
     if rocksdb:
         with rocksdb_state_store(spark, changelog=changelog):
             _start_and_drain()

@@ -204,10 +204,16 @@ def asof_join_bucketed(
     # needs both; computing them separately doubled the carry stages).
     need_back = direction in ("backward", "nearest")
     need_fwd = direction in ("forward", "nearest")
-    spine = l.select(key, "_b").union(r.select(key, "_b")).distinct()
     rb = r.groupBy(key, "_b").agg(
         *([F.max_by("_rpack", "_rts").alias("_pmax")] if need_back else []),
         *([F.min_by("_rpack", "_rts").alias("_pmin")] if need_fwd else []),
+    )
+    # right buckets come from rb (already one row per (key, _b)) — not
+    # from re-scanning per-event right rows; ONE distinct total (a
+    # pre-dedup of the left side costs an extra sequential exchange on
+    # the hot side, measured +25% on the 2M-row hot-key fixture)
+    spine = (
+        l.select(key, "_b").unionByName(rb.select(key, "_b")).distinct()
     )
     sp = spine.join(rb, [key, "_b"], "left")
 
