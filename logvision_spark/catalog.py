@@ -4817,7 +4817,10 @@ _EDITED_ROUND: dict[str, int] = {
     # single-sort nearest attempt was measured O(m²) and REVERTED —
     # the shipped code keeps the two-sort formulation)
     "j6_asof_nearest": 7,
-    "j6_asof_bucketed": 7,       # carry refactor (shared rb/spine join)
+    # carry-stage plan rework: full-outer bucket spine (right side
+    # aggregated once) + nearest's two carries from ONE pass over the
+    # spine (explode) — executed-plan scans 8→4, hot-key 3.1×/2.9×
+    "j6_asof_bucketed": 7,
     # round-7: recovery entry now exercises RocksDB changelog
     # checkpointing (incremental changelog uploads instead of full
     # snapshot uploads) across the kill/restart boundary

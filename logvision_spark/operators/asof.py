@@ -208,14 +208,16 @@ def asof_join_bucketed(
         *([F.max_by("_rpack", "_rts").alias("_pmax")] if need_back else []),
         *([F.min_by("_rpack", "_rts").alias("_pmin")] if need_fwd else []),
     )
-    # right buckets come from rb (already one row per (key, _b)) — not
-    # from re-scanning per-event right rows; ONE distinct total (a
-    # pre-dedup of the left side costs an extra sequential exchange on
-    # the hot side, measured +25% on the 2M-row hot-key fixture)
-    spine = (
-        l.select(key, "_b").unionByName(rb.select(key, "_b")).distinct()
-    )
-    sp = spine.join(rb, [key, "_b"], "left")
+    # ONE distinct over the left's (key, bucket) pairs, FULL OUTER
+    # joined to the per-bucket aggregate: every bucket either side
+    # touches appears exactly once, and the right side is scanned and
+    # aggregated ONCE. (The previous union-spine + left-join recomputed
+    # rb in the executed plan — column pruning rewrote the spine branch
+    # into a second, aggregate-free groupBy, so ReusedExchange never
+    # fired and the right side shuffled twice. Both join children here
+    # already hash-partition on (key, _b) from their own aggregates, so
+    # the join adds no exchange.)
+    sp = l.select(key, "_b").distinct().join(rb, [key, "_b"], "full_outer")
 
     def carry_for(dir_: str) -> DataFrame:
         """One carry row per (key, bucket): the cross-bucket candidate
@@ -285,16 +287,62 @@ def asof_join_bucketed(
         F.col("_rpack").alias("_pb"),
         F.col("_rpack").alias("_pf"),
     )
-    cb = carry_for("backward").select(
-        key, "_b", "_src", "_ts", F.col("_rpack").alias("_pb")
+    # BOTH carries in ONE pass over sp: calling carry_for() per
+    # direction recomputes the whole sp subtree (left distinct + right
+    # aggregate + join — full scans of both inputs) once per direction.
+    # Instead: two windows over one sp child (same key partitioning —
+    # one exchange — with one ascending and one descending bucket
+    # sort over ONE ROW PER BUCKET), then explode each bucket into its
+    # two injected carry rows. Same unboundedPreceding..-1 frames and
+    # the same injection timestamps as carry_for.
+    w_cb = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cf = carry_for("forward").select(
-        key, "_b", "_src", "_ts", F.col("_rpack").alias("_pf")
+    w_cf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    combined = (
-        l.unionByName(r_both, allowMissingColumns=True)
-        .unionByName(cb, allowMissingColumns=True)
-        .unionByName(cf, allowMissingColumns=True)
+    none_pack = F.when(F.lit(False), F.col("_cb"))  # typed NULL pack
+    carries = (
+        sp.select(
+            key,
+            "_b",
+            F.last("_pmax", ignorenulls=True).over(w_cb).alias("_cb"),
+            F.last("_pmin", ignorenulls=True).over(w_cf).alias("_cf"),
+        )
+        .select(
+            key,
+            "_b",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_b").alias("_ts"),
+                        F.col("_cb").alias("_pb"),
+                        none_pack.alias("_pf"),
+                    ),
+                    F.struct(
+                        F.window(F.col("_b"), bucket)["end"].alias("_ts"),
+                        none_pack.alias("_pb"),
+                        F.col("_cf").alias("_pf"),
+                    ),
+                )
+            ).alias("_e"),
+        )
+        .select(
+            key,
+            "_b",
+            F.col("_e._ts").alias("_ts"),
+            F.col("_e._pb").alias("_pb"),
+            F.col("_e._pf").alias("_pf"),
+        )
+        .where(F.col("_pb").isNotNull() | F.col("_pf").isNotNull())
+        .withColumn("_src", F.lit(-1))
+    )
+    combined = l.unionByName(r_both, allowMissingColumns=True).unionByName(
+        carries, allowMissingColumns=True
     )
     filled = combined.select(
         "*",
