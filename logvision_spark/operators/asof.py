@@ -219,24 +219,29 @@ def asof_join_bucketed(
     # the join adds no exchange.)
     sp = l.select(key, "_b").distinct().join(rb, [key, "_b"], "full_outer")
 
+    def carry_spec(dir_: str):
+        """(pack column, bucket sort order, injection timestamp) for a
+        carry direction — the ONLY place these constants live; both
+        carry_for and nearest's one-pass dual carry read them here."""
+        if dir_ == "backward":
+            return "_pmax", F.col("_b").asc(), F.col("_b")
+        return "_pmin", F.col("_b").desc(), F.window(F.col("_b"), bucket)["end"]
+
+    def carry_window(order):
+        return Window.partitionBy(key).orderBy(order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+
     def carry_for(dir_: str) -> DataFrame:
         """One carry row per (key, bucket): the cross-bucket candidate
         from strictly earlier (backward) / later (forward) buckets."""
-        if dir_ == "backward":
-            pack, order = "_pmax", F.col("_b").asc()
-            inject_ts = F.col("_b")
-        else:
-            pack, order = "_pmin", F.col("_b").desc()
-            inject_ts = F.window(F.col("_b"), bucket)["end"]
-        w_carry = Window.partitionBy(key).orderBy(order).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
+        pack, order, inject_ts = carry_spec(dir_)
         return (
             sp.select(
                 key,
                 "_b",
                 F.last(F.col(pack), ignorenulls=True)
-                .over(w_carry)
+                .over(carry_window(order))
                 .alias("_rpack"),
             )
             .where(F.col("_rpack").isNotNull())
@@ -293,25 +298,17 @@ def asof_join_bucketed(
     # Instead: two windows over one sp child (same key partitioning —
     # one exchange — with one ascending and one descending bucket
     # sort over ONE ROW PER BUCKET), then explode each bucket into its
-    # two injected carry rows. Same unboundedPreceding..-1 frames and
-    # the same injection timestamps as carry_for.
-    w_cb = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_b").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cf = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_b").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # two injected carry rows. Frames, packs, and injection timestamps
+    # all come from carry_spec — the same constants carry_for reads.
+    bpack, border, binject = carry_spec("backward")
+    fpack, forder, finject = carry_spec("forward")
     none_pack = F.when(F.lit(False), F.col("_cb"))  # typed NULL pack
     carries = (
         sp.select(
             key,
             "_b",
-            F.last("_pmax", ignorenulls=True).over(w_cb).alias("_cb"),
-            F.last("_pmin", ignorenulls=True).over(w_cf).alias("_cf"),
+            F.last(bpack, ignorenulls=True).over(carry_window(border)).alias("_cb"),
+            F.last(fpack, ignorenulls=True).over(carry_window(forder)).alias("_cf"),
         )
         .select(
             key,
@@ -319,12 +316,12 @@ def asof_join_bucketed(
             F.explode(
                 F.array(
                     F.struct(
-                        F.col("_b").alias("_ts"),
+                        binject.alias("_ts"),
                         F.col("_cb").alias("_pb"),
                         none_pack.alias("_pf"),
                     ),
                     F.struct(
-                        F.window(F.col("_b"), bucket)["end"].alias("_ts"),
+                        finject.alias("_ts"),
                         none_pack.alias("_pb"),
                         F.col("_cf").alias("_pf"),
                     ),
