@@ -378,3 +378,28 @@ def test_q18_aggregates_before_join(spark, sf_dir):
     assert plan.index("Join") < plan.index("Aggregate"), (
         "q18 regressed to join-then-aggregate"
     )
+
+
+def test_conversion_funnel_stages_computed_once(spark, sf_dir):
+    """Each funnel stage must be computed exactly once: the executed
+    plan scans events once per event type (3 total, one per stage's
+    filter). The pre-r7 form counted each stage DataFrame separately,
+    recomputing its predecessors — 6 scans."""
+    from logvision_spark.plans.checks import explain_str
+
+    plan = explain_str(CATALOG["a_conversion_funnel"].builder(spark, sf_dir))
+    assert plan.count("events.parquet") <= 3, plan[:1500]
+
+
+def test_asof_bucketed_spine_not_recomputed(spark, sf_dir):
+    """The bucketed as-of's carry stage must reuse ONE spine subtree:
+    at most 4 scans of events (left main + left-bucket distinct +
+    right aggregate + right union rows) in EVERY direction. The pre-r7
+    nearest called carry_for per direction, recomputing the whole
+    spine — 8 scans; the union-spine's pruned rb branch added a fifth
+    to backward."""
+    from logvision_spark.plans.checks import explain_str
+
+    for entry in ("j6_asof_bucketed", "j6_asof_bucketed_nearest"):
+        plan = explain_str(CATALOG[entry].builder(spark, sf_dir))
+        assert plan.count("events.parquet") <= 4, (entry, plan[:1500])
