@@ -108,12 +108,15 @@ R6 = [
     "dedup_drop_list_16band",
 ]
 
-# Round-7 addition: the hot-key NEAREST as-of (symmetric carries; like
+# Round-7 additions: the hot-key NEAREST as-of (symmetric carries; like
 # j6_asof_bucketed it must price like the plain nearest on unskewed
-# fixtures — its 2.2× hot-key win is measured separately at a 2M-row
-# hyperactive key in ARCHITECTURE.md).
+# fixtures — its 3.1× hot-key win is measured separately at a 2M-row
+# hyperactive key in ARCHITECTURE.md) and the reworked conversion
+# funnel (LEFT-join chain counted once — tracks the r7 stop-stage-
+# recomputation fix; 3-scan bound pinned in test_plan_quality).
 R7 = [
     "j6_asof_bucketed_nearest",
+    "a_conversion_funnel",
 ]
 
 
