@@ -1,0 +1,99 @@
+"""Micro-batch plan-shape tests for the streaming pipelines.
+
+The batch-side plan audit (test_plan_quality.py) cannot see streaming
+plans: the stream entries execute their query on build and return only
+the drained memory table. These tests capture the LAST micro-batch's
+query execution via StreamingQuery.explainInternal while the query is
+still active and pin the same 100 TB guarantees there: no Python
+evaluation nodes, ONE scan of the source per micro-batch, and the
+stateful operator actually present (so the check cannot pass vacuously
+on a de-statefulized plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from logvision_spark.parser import parse_access_log
+from logvision_spark.streaming.pipeline import (
+    counter_views,
+    session_window_counts,
+    sliding_window_counts,
+)
+
+LINES = [
+    '10.0.0.1 - - [10/Oct/2020:13:55:{s:02d} +0000] '
+    '"GET /p{i} HTTP/1.1" 200 123'.format(s=s, i=i)
+    for i, s in enumerate([0, 1, 2, 7, 8, 21, 22, 40, 41, 59])
+]
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("plan_logs")
+    for i, line in enumerate(LINES):
+        (d / f"f{i}.log").write_text(line + "\n")
+    return str(d)
+
+
+def _microbatch_plan(spark, df, name, mode, tmp_path) -> str:
+    """Run the streaming df to a memory sink and return the LAST
+    micro-batch's full explain (analyzed/optimized/physical) captured
+    while the query is active — explainInternal on a terminated query
+    has no execution to print."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return q._jsq.explainInternal(True)
+    finally:
+        q.stop()
+
+
+def _assert_jvm_side_single_scan(plan: str) -> None:
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, plan[:1500]
+    # one scan of the file source per micro-batch plan
+    assert plan.count("Scan text") == 1, plan[:1500]
+
+
+def test_counter_view_microbatch_plan(spark, log_dir, tmp_path):
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 4)
+        .load(log_dir)
+    )
+    host = counter_views(parse_access_log(stream))["host"]
+    plan = _microbatch_plan(spark, host, "plan_counter", "complete", tmp_path)
+    _assert_jvm_side_single_scan(plan)
+    assert "StateStore" in plan, plan[:1500]  # running count is stateful
+
+
+def test_sliding_window_microbatch_plan(spark, log_dir, tmp_path):
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 4)
+        .load(log_dir)
+    )
+    sw = sliding_window_counts(parse_access_log(stream))
+    plan = _microbatch_plan(spark, sw, "plan_slide", "update", tmp_path)
+    _assert_jvm_side_single_scan(plan)
+    assert "StateStore" in plan, plan[:1500]
+
+
+def test_session_window_microbatch_plan(spark, log_dir, tmp_path):
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 4)
+        .load(log_dir)
+    )
+    sess = session_window_counts(parse_access_log(stream), gap="30 seconds")
+    plan = _microbatch_plan(spark, sess, "plan_sess", "append", tmp_path)
+    _assert_jvm_side_single_scan(plan)
+    # merging session state runs through the sessionization store
+    assert "SessionWindowStateStore" in plan or "StateStore" in plan, plan[:1500]
