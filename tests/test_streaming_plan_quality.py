@@ -58,8 +58,12 @@ def _microbatch_plan(spark, df, name, mode, tmp_path) -> str:
 def _assert_jvm_side_single_scan(plan: str) -> None:
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan, plan[:1500]
-    # one scan of the file source per micro-batch plan
-    assert plan.count("Scan text") == 1, plan[:1500]
+    # at most one scan of the file source per micro-batch plan — the
+    # LAST batch can legitimately be a NO-DATA batch (watermark-advance
+    # emit for append-mode stateful ops) whose plan scans nothing, so
+    # ==1 flakes on timing; the double-scan regression this guards
+    # against still trips <=1
+    assert plan.count("Scan text") <= 1, plan[:1500]
 
 
 def test_counter_view_microbatch_plan(spark, log_dir, tmp_path):
