@@ -2627,6 +2627,101 @@ def stream_a7_count_by_type(spark, sf_dir):
 
 
 @register(
+    "stream_counter_multiplex",
+    oracle=(
+        "SELECT 'user' AS counter, CAST(user_id AS VARCHAR) AS member, "
+        "CAST(count(*) AS BIGINT) AS total FROM events GROUP BY user_id "
+        "UNION ALL SELECT 'type', event_type, CAST(count(*) AS BIGINT) "
+        "FROM events GROUP BY event_type "
+        "UNION ALL SELECT 'datetime', "
+        "strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S'), "
+        "CAST(count(*) AS BIGINT) FROM events GROUP BY 2 "
+        "UNION ALL SELECT 'totals', 'line_cnt', CAST(count(*) AS BIGINT) "
+        "FROM events "
+        "UNION ALL SELECT 'totals', 'size_bytes', "
+        "CAST(sum(length(props)) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'totals', 'value_cents', "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) FROM events"
+    ),
+    doc="THE production counter topology (r7 VERDICT item 1; SURVEY.md "
+    "§3.1 made physical): the ENTIRE counter catalog — two key "
+    "counters, the per-second time series, and three integral totals — "
+    "through ONE stateless append-mode foreachBatch over ONE stream, "
+    "computed per micro-batch as a single melt + ONE hash aggregation "
+    "(one source scan + one shuffle per trigger, regardless of catalog "
+    "size) and merged into the zincrby-equivalent KV store, replay-"
+    "fenced by batch_id. The events copy lands as 4 parquet files "
+    "streamed one per trigger, so the driver row checks the CROSS-"
+    "TRIGGER merge: accumulated KV state must hash-match one batch "
+    "aggregation over everything (the Redis-equivalence property, "
+    "SURVEY.md §5.2). Replaces the reference's 11 foreachRDD passes "
+    "per batch (streaming.scala:176-186) AND our own one-query-per-"
+    "view fan-out (the r7 audit's remaining scale gap); per-trigger "
+    "plan shape pinned in tests/test_streaming_plan_quality.py, "
+    "fan-out A/B in experiments/measure_counter_multiplex.py.",
+)
+def stream_counter_multiplex(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from logvision_spark.streaming.multiplex import (
+        CounterSpec,
+        KVCounterStore,
+        start_multiplexed_counter_sink,
+    )
+
+    # land the events table as 4 files so AvailableNow + one-file
+    # triggers exercises a real multi-batch KV merge, not a single pass
+    d = tempfile.mkdtemp(prefix="lv_mux_")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        ev.repartition(4).write.mode("overwrite").parquet(f"{d}/events")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/events")
+        )
+        specs = [
+            CounterSpec("user", F.col("user_id")),
+            CounterSpec("type", F.col("event_type")),
+            CounterSpec(
+                "datetime",
+                F.date_format(
+                    F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+                ),
+            ),
+            CounterSpec("totals", F.lit("line_cnt")),
+            CounterSpec(
+                "totals", F.lit("size_bytes"), weight=F.length("props")
+            ),
+            CounterSpec("totals", F.lit("value_cents"), weight=cents("value")),
+        ]
+        store = KVCounterStore()
+        q = start_multiplexed_counter_sink(
+            stream,
+            specs,
+            store.merge,
+            checkpoint_dir=f"{d}/ckpt",
+            available_now=True,
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "stream_counter_multiplex did not drain within 300s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+        if len(store._applied) < 2:
+            # a single mega-batch would silently skip the cross-trigger
+            # merge this entry exists to verify
+            raise AssertionError("expected >=2 micro-batches in the merge")
+        return store.to_df(spark)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "stream_recovery_counts",
     oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type",
     doc="EXACTLY-ONCE CHECKPOINT RECOVERY, driver-checked (the "

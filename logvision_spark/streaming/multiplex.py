@@ -1,0 +1,252 @@
+"""Single-scan multiplexed counter sink — SURVEY.md §3.1 made physical.
+
+The reference materializes its counter catalog as ELEVEN independent
+DStream actions (reference: spark/src/main/scala/streaming.scala:176-186),
+each `foreachRDD`-ing into a Redis ZSET — eleven passes over every batch.
+Our previous counter path avoided the per-counter re-PARSE (one parsed
+lineage, `pipeline.counter_views`) but still started one streaming QUERY
+per view (`pipeline.start_counter_query`), so at the source level the
+aggregate cost per trigger stayed linear in the number of materialized
+views: N queries × (1 source scan + 1 parse) — the r7 audit's one
+remaining scale gap.
+
+This module is the production counter topology:
+
+    ONE append-mode foreachBatch over ONE parsed stream.
+    Per micro-batch, the ENTIRE counter catalog is computed as
+    (counter, member, delta) rows by a single melt + ONE hash
+    aggregation, then merged into the KV store (the zincrby
+    equivalent), replay-fenced by batch_id.
+
+Why this is the 100 TB shape:
+- **One source scan + one parse per trigger**, independent of how many
+  counters the catalog holds (the old fan-out: N of each).
+- **One shuffle, map-side combined.** The melt explodes each row into
+  ~|specs| tiny structs, but partial aggregation collapses them BEFORE
+  the exchange — only (counter, member, partial) rows move, and a
+  Zipf-hot member (the reference's host/url shape, SURVEY.md §4.2)
+  collapses to one row per map task exactly like any batch hash agg.
+- **No Spark state.** The streaming query is stateless (append over raw
+  events); the running totals live in the external KV store, which is
+  what the reference's Redis architecture actually is — minus its
+  double-counting on replay (deltas here are checkpoint-fenced by
+  batch_id, see `KVCounterStore.merge`).
+- **Integer-unit deltas.** Weights are LONG (counts, bytes, cents) so
+  cross-batch merge order can never drift a float; unit division
+  (KB/MB/currency) happens once at read, in the serving layer.
+
+`melted_counter_deltas` works identically on a batch DataFrame — the
+same specs drive backfill (one batch pass over the archive) and the
+live stream, which is the equivalence property the tests pin:
+merged KV state ≡ one batch aggregation over the concatenated input.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+DELTA_SCHEMA = "counter string, member string, delta long"
+
+
+@dataclass(frozen=True)
+class CounterSpec:
+    """One counter's contribution per input row.
+
+    counter: the catalog key (Redis ZSET name in the reference).
+    member:  the ZSET member — cast to string in the melt; may evaluate
+             to NULL and the NULL group is KEPT (a parsed line with a
+             NULL username still counts toward the username counter,
+             exactly like `counter_views`' groupBy).
+    weight:  LONG contribution (1 for counts; bytes/cents for sums).
+             NULL weight drops the row — identical to contributing 0
+             to a sum, without poisoning the aggregate.
+    when:    row-applicability predicate (e.g. `parsed`); rows failing
+             it contribute nothing to THIS counter but still reach the
+             others — this is how per-key counters see only parsed rows
+             while the totals see every line, in one pass.
+    """
+
+    counter: str
+    member: Column
+    weight: Column | None = None
+    when: Column | None = None
+
+
+def melted_counter_deltas(
+    df: DataFrame, specs: Sequence[CounterSpec]
+) -> DataFrame:
+    """ALL counters' deltas from one pass over ``df``: one projection
+    (array-of-structs melt), one explode, ONE hash aggregation →
+    (counter, member, delta) rows.
+
+    Pure built-ins (array/explode/filter/sum) — whole-stage codegen,
+    no Python in the row path. The explode multiplies rows by
+    ~len(specs), but they are 3-field structs and partial aggregation
+    collapses them map-side before the single exchange; what shuffles
+    is bounded by (distinct members × partitions), not input rows.
+    """
+    entries = []
+    for s in specs:
+        weight = s.weight if s.weight is not None else F.lit(1)
+        valid = s.when if s.when is not None else F.lit(True)
+        entries.append(
+            F.struct(
+                F.lit(s.counter).alias("counter"),
+                s.member.cast("string").alias("member"),
+                weight.cast("long").alias("weight"),
+                valid.alias("valid"),
+            )
+        )
+    e = F.explode(F.array(*entries)).alias("e")
+    return (
+        df.select(e)
+        .where(F.col("e.valid") & F.col("e.weight").isNotNull())
+        .groupBy(
+            F.col("e.counter").alias("counter"),
+            F.col("e.member").alias("member"),
+        )
+        .agg(F.sum("e.weight").alias("delta"))
+    )
+
+
+def log_counter_specs() -> list[CounterSpec]:
+    """The reference's full Redis counter catalog (streaming.scala:176-186)
+    over the parsed combined-log schema, as melt specs — the production
+    replacement for running `counter_views`' N views as N queries.
+
+    Per-key counters count parsed rows only (NULL members kept, matching
+    `count_by` over the parsed subset); the totals cover EVERY line
+    (line_cnt/size include malformed input, as the reference's raw-line
+    counters do). Units are integral: size in BYTES and traffic in BYTES
+    (not KB/MB) so deltas merge exactly; the serving read divides.
+    """
+    parsed = F.col("parsed")
+    specs = [
+        CounterSpec(key, F.col(key), when=parsed)
+        for key in (
+            "host",
+            "rfc931",
+            "username",
+            "req_method",
+            "url",
+            "protocol",
+            "status_code",
+        )
+    ]
+    specs.append(
+        CounterSpec(
+            "datetime",
+            F.date_format(
+                F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ),
+            when=parsed & F.col("ts").isNotNull(),
+        )
+    )
+    specs.append(CounterSpec("totals", F.lit("line_cnt")))
+    specs.append(
+        CounterSpec("totals", F.lit("size_bytes"), weight=F.length("raw"))
+    )
+    specs.append(
+        CounterSpec(
+            "totals",
+            F.lit("traffic_bytes"),
+            weight=F.coalesce(F.col("bytes"), F.lit(0)),
+        )
+    )
+    return specs
+
+
+class KVCounterStore:
+    """In-memory zincrby-equivalent: merge per-batch integer deltas,
+    replay-fenced by batch_id.
+
+    Structured Streaming's foreachBatch is at-least-once — after a
+    failure the SAME batch_id can be re-delivered, and the reference's
+    zincrby double-counts it (streaming.scala:163; SURVEY.md §2.9).
+    Fencing on batch_id restores effective exactly-once for an
+    idempotent KV target. A production store does the same check
+    transactionally (store the high-water batch_id WITH the deltas);
+    this in-memory form is the test/serving stand-in and the contract
+    documentation.
+
+    Thread-safe: memory-sink-style reads (``snapshot``/``to_df``) can
+    race the running query's merges.
+    """
+
+    def __init__(self) -> None:
+        self._counts: dict[tuple[str, str | None], int] = {}
+        self._applied: set[int] = set()
+        self._lock = threading.Lock()
+
+    def merge(self, deltas: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: ``deltas`` must be (counter, member, delta)
+        rows — small by construction (post-aggregation), so collecting
+        them to the writer is the intended pattern (same contract as
+        sinks.foreach_batch_kv)."""
+        rows = deltas.collect()
+        with self._lock:
+            if batch_id in self._applied:
+                return
+            for r in rows:
+                key = (r["counter"], r["member"])
+                self._counts[key] = self._counts.get(key, 0) + r["delta"]
+            self._applied.add(batch_id)
+
+    def snapshot(self) -> dict[tuple[str, str | None], int]:
+        with self._lock:
+            return dict(self._counts)
+
+    def zscore(self, counter: str, member: str | None) -> int:
+        """Point lookup — app.py's `zscore` read path (flask/app.py:84)."""
+        with self._lock:
+            return self._counts.get((counter, member), 0)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Accumulated state as (counter, member, total) — the zrange-all
+        read path, for verification against a batch aggregation."""
+        rows = [
+            (c, m, int(v)) for (c, m), v in sorted(self.snapshot().items())
+        ]
+        return spark.createDataFrame(
+            rows, "counter string, member string, total long"
+        )
+
+
+def start_multiplexed_counter_sink(
+    parsed_stream: DataFrame,
+    specs: Sequence[CounterSpec],
+    write_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """THE production counter topology: one stateless append-mode
+    foreachBatch over one parsed stream; each trigger computes the full
+    catalog's deltas via `melted_counter_deltas` (one scan of the
+    micro-batch, one shuffle) and hands them to ``write_batch`` — e.g.
+    ``KVCounterStore.merge`` or any zincrby-equivalent.
+
+    Replaces N × `start_counter_query` for counter materialization: the
+    per-trigger source cost is ONE scan + ONE parse regardless of
+    catalog size (the A/B vs the fan-out is in ARCHITECTURE.md and
+    reproducible via experiments/measure_counter_multiplex.py).
+    `start_counter_query` remains the right tool for a SINGLE live view
+    (ad-hoc dashboards, memory-sink tests).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch(melted_counter_deltas(batch_df, specs), batch_id)
+
+    writer = (
+        parsed_stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,144 @@
+"""Multiplexed counter sink: equivalence, replay fencing, plan shape.
+
+The contract under test (SURVEY.md §3.1, VERDICT r7 item 1): the WHOLE
+counter catalog through ONE stateless foreachBatch query — merged KV
+state must equal one batch aggregation over the concatenated input (the
+Redis-equivalence property, SURVEY.md §5.2), the inner per-batch delta
+job must be one scan with no Python in the row path, and a replayed
+batch_id must not double-count.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logvision_spark.parser import parse_access_log
+from logvision_spark.streaming.multiplex import (
+    KVCounterStore,
+    log_counter_specs,
+    melted_counter_deltas,
+    start_multiplexed_counter_sink,
+)
+from logvision_spark.streaming.pipeline import counter_views
+
+# Mixed corpus: parsed lines with a NULL username ('-'), a NULL-bytes
+# line ('-'), and one malformed line (counts toward totals only).
+LINES = [
+    '10.0.0.1 - alice [10/Oct/2020:13:55:00 +0000] "GET /a HTTP/1.1" 200 100',
+    '10.0.0.1 - - [10/Oct/2020:13:55:00 +0000] "GET /a HTTP/1.1" 200 250',
+    '10.0.0.2 - alice [10/Oct/2020:13:55:01 +0000] "POST /b HTTP/1.0" 404 -',
+    '10.0.0.2 - bob [10/Oct/2020:13:55:02 +0000] "GET /a HTTP/1.1" 500 7',
+    "this line is garbage",
+    '10.0.0.3 - - [10/Oct/2020:13:55:02 +0000] "HEAD /c HTTP/1.1" 200 0',
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    return parse_access_log(
+        spark.createDataFrame([(x,) for x in LINES], "value string")
+    )
+
+
+def _as_map(df):
+    return {
+        (r["counter"], r["member"]): r["delta"] for r in df.collect()
+    }
+
+
+def test_melt_matches_counter_views_per_key(spark, parsed):
+    """Every per-key counter in the melt ≡ the same key's counter_views
+    groupBy — including the NULL-member group (username '-')."""
+    melted = _as_map(melted_counter_deltas(parsed, log_counter_specs()))
+    views = counter_views(parsed)
+    for key in ("host", "rfc931", "username", "req_method", "url",
+                "protocol", "status_code"):
+        expect = {
+            (key, None if r["member"] is None else str(r["member"])): r["cnt"]
+            for r in views[key].collect()
+        }
+        got = {k: v for k, v in melted.items() if k[0] == key}
+        assert got == expect, key
+
+
+def test_melt_matches_counter_views_datetime_and_totals(spark, parsed):
+    melted = _as_map(melted_counter_deltas(parsed, log_counter_specs()))
+    views = counter_views(parsed)
+    expect_dt = {
+        ("datetime", r["second"].strftime("%Y-%m-%d %H:%M:%S")): r["cnt"]
+        for r in views["datetime"].collect()
+    }
+    assert {k: v for k, v in melted.items() if k[0] == "datetime"} == expect_dt
+    tot = views["totals"].collect()[0]
+    assert melted[("totals", "line_cnt")] == tot["line_cnt"]
+    # integral units in the melt; counter_views divides at aggregation
+    assert melted[("totals", "size_bytes")] / 1024.0 == pytest.approx(
+        tot["size_kb"]
+    )
+    assert melted[("totals", "traffic_bytes")] / 1048576.0 == pytest.approx(
+        tot["traffic_mb"]
+    )
+
+
+def test_melt_single_scan_no_python(spark, parsed):
+    """The whole-catalog delta job: ONE scan of the input, no Python
+    eval nodes — the executed plan, not the logical one (r7 lesson)."""
+    deltas = melted_counter_deltas(parsed, log_counter_specs())
+    deltas.collect()
+    plan = deltas._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends an "== Initial Plan ==" copy after the final
+    # plan; count nodes in the FINAL section only or everything doubles
+    plan = plan.split("== Initial Plan ==")[0]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    # exactly one leaf scan and one exchange (the single counter
+    # shuffle, partial-aggregated map-side) for the ENTIRE 11-counter
+    # catalog — the whole point of the melt
+    assert plan.count("Scan ExistingRDD") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "partial_sum" in plan, plan  # map-side combine before the shuffle
+
+
+def test_streaming_multiplex_equals_batch(spark, tmp_path):
+    """Redis-equivalence: N micro-batches merged into the KV store ≡ one
+    batch melt over the concatenated input, through a real streaming
+    query (one file per trigger)."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    for i, line in enumerate(LINES):
+        (d / f"f{i}.log").write_text(line + "\n")
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    store = KVCounterStore()
+    specs = log_counter_specs()
+    q = start_multiplexed_counter_sink(
+        parse_access_log(stream),
+        specs,
+        store.merge,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    assert q.awaitTermination(120), "multiplex sink did not drain"
+    assert len(store._applied) > 1, "expected multiple micro-batches"
+
+    batch = parse_access_log(spark.read.text(str(d)))
+    expect = _as_map(melted_counter_deltas(batch, specs))
+    assert store.snapshot() == expect
+    assert store.zscore("host", "10.0.0.1") == 2
+
+
+def test_replay_fence(spark, parsed):
+    store = KVCounterStore()
+    deltas = melted_counter_deltas(parsed, log_counter_specs())
+    store.merge(deltas, 0)
+    once = store.snapshot()
+    store.merge(deltas, 0)  # replayed batch: must be a no-op
+    assert store.snapshot() == once
+    store.merge(deltas, 1)  # a NEW batch id merges additively
+    assert store.zscore("totals", "line_cnt") == 2 * once[
+        ("totals", "line_cnt")
+    ]

@@ -36,6 +36,27 @@ def log_dir(tmp_path_factory):
     return str(d)
 
 
+def _explain_internal(q) -> str:
+    """Full explain of the last micro-batch via the (private)
+    `StreamingQuery._jsq.explainInternal` — there is no public PySpark
+    API for the EXTENDED streaming explain. Version-guarded: if a
+    PySpark upgrade moves the internal, skip rather than fail the
+    suite on an API shim (r7 ADVICE)."""
+    try:
+        return q._jsq.explainInternal(True)
+    except AttributeError:  # pragma: no cover - future-PySpark guard
+        pytest.skip("StreamingQuery._jsq.explainInternal unavailable")
+
+
+def _physical(plan: str) -> str:
+    """The '== Physical Plan ==' section of an extended explain — scan
+    counting over the full output would also match the same node names
+    in the analyzed/optimized sections (r7 ADVICE)."""
+    marker = "== Physical Plan =="
+    assert marker in plan, plan[:500]
+    return plan.split(marker, 1)[1]
+
+
 def _microbatch_plan(spark, df, name, mode, tmp_path) -> str:
     """Run the streaming df to a memory sink and return the LAST
     micro-batch's full explain (analyzed/optimized/physical) captured
@@ -50,20 +71,21 @@ def _microbatch_plan(spark, df, name, mode, tmp_path) -> str:
     )
     try:
         q.processAllAvailable()
-        return q._jsq.explainInternal(True)
+        return _explain_internal(q)
     finally:
         q.stop()
 
 
 def _assert_jvm_side_single_scan(plan: str) -> None:
+    phys = _physical(plan)
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
-        assert node not in plan, plan[:1500]
-    # at most one scan of the file source per micro-batch plan — the
-    # LAST batch can legitimately be a NO-DATA batch (watermark-advance
-    # emit for append-mode stateful ops) whose plan scans nothing, so
-    # ==1 flakes on timing; the double-scan regression this guards
-    # against still trips <=1
-    assert plan.count("Scan text") <= 1, plan[:1500]
+        assert node not in phys, phys[:1500]
+    # at most one scan of the file source per micro-batch physical plan —
+    # the LAST batch can legitimately be a NO-DATA batch (watermark-
+    # advance emit for append-mode stateful ops) whose plan scans
+    # nothing, so ==1 flakes on timing; the double-scan regression this
+    # guards against still trips <=1
+    assert phys.count("Scan text") <= 1, phys[:1500]
 
 
 def test_counter_view_microbatch_plan(spark, log_dir, tmp_path):
@@ -88,6 +110,66 @@ def test_sliding_window_microbatch_plan(spark, log_dir, tmp_path):
     plan = _microbatch_plan(spark, sw, "plan_slide", "update", tmp_path)
     _assert_jvm_side_single_scan(plan)
     assert "StateStore" in plan, plan[:1500]
+
+
+def test_multiplexed_counter_catalog_one_scan_per_trigger(
+    spark, log_dir, tmp_path
+):
+    """THE N-counter aggregate-cost pin (r7 VERDICT item 1): the ENTIRE
+    11-counter catalog through ONE streaming query; every trigger's
+    delta job is ONE scan of the micro-batch + ONE shuffle, no Python —
+    asserted on the EXECUTED plan captured inside the foreachBatch hook
+    (the melt is a batch job the streaming explain cannot see). The old
+    fan-out topology costs N source scans + N parses per trigger for
+    the same catalog (A/B: experiments/measure_counter_multiplex.py)."""
+    from logvision_spark.streaming.multiplex import (
+        log_counter_specs,
+        start_multiplexed_counter_sink,
+    )
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 4)
+        .load(log_dir)
+    )
+    specs = log_counter_specs()
+    trigger_plans: list[str] = []
+
+    def _capture(deltas, batch_id):
+        # the sink hands write_batch the ALREADY-melted deltas
+        deltas.collect()
+        plan = deltas._jdf.queryExecution().executedPlan().toString()
+        trigger_plans.append(plan.split("== Initial Plan ==")[0])
+
+    before = len(spark.streams.active)
+    q = start_multiplexed_counter_sink(
+        parse_access_log(stream),
+        specs,
+        _capture,
+        checkpoint_dir=str(tmp_path / "ckpt_mux"),
+    )
+    try:
+        # one query serves the whole catalog (the fan-out needed N)
+        assert len(spark.streams.active) == before + 1
+        q.processAllAvailable()
+        stream_plan = _explain_internal(q)
+    finally:
+        q.stop()
+
+    # the source scan + parse happen ONCE, in the streaming micro-batch
+    # plan; foreachBatch hands the hook a LogicalRDD over that batch's
+    # already-computed rows, so the melt job re-scans NOTHING
+    assert _physical(stream_plan).count("Scan text") <= 1
+    assert len(trigger_plans) >= 2  # 10 files / 4 per trigger
+    for plan in trigger_plans:
+        for node in (
+            "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+        ):
+            assert node not in plan, plan[:1500]
+        assert plan.count("Scan text") == 0, plan[:1500]
+        assert plan.count("Scan ExistingRDD") == 1, plan[:1500]
+        assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+        assert "partial_sum" in plan, plan[:1500]
 
 
 def test_session_window_microbatch_plan(spark, log_dir, tmp_path):
