@@ -4949,24 +4949,22 @@ _EDITED_ROUND: dict[str, int] = {
     # chain counted once from the final frame (3 scans, each stage
     # computed once; a 1-scan window form measured slower — see doc)
     "a_conversion_funnel": 7,
-    # round-7: recovery entry now exercises RocksDB changelog
-    # checkpointing (incremental changelog uploads instead of full
-    # snapshot uploads) across the kill/restart boundary
-    "stream_recovery_counts": 7,
-    # round-7: rocksdb_state_store/_run_stream_to_memory grew the
-    # changelog knob (default OFF — these entries' behavior is
-    # unchanged, but the shared helper + pipeline.py they run through
-    # changed behind their green rows, and the r7 fingerprint now
-    # sees helper edits, so they re-green conservatively)
-    "stream_a7_count_by_type": 7,
-    "stream_custom_state_totals": 7,
-    "stream_dedup_distinct_props": 7,
-    "stream_j_interval_join": 7,
-    "stream_j_left_outer": 7,
-    "stream_j_static_enrich": 7,
-    "stream_sketch_daily_users": 7,
-    "stream_w_append_finalized": 7,
-    "stream_w_tumbling_counts": 7,
+    # round-8: rocksdb_state_store docstring-only edit (the changelog
+    # BOTH-WAYS pinning is now documented as deliberate, r7 ADVICE).
+    # Behavior is byte-identical, but pipeline.py's file content is
+    # hashed into every stream entry's fingerprint, so they re-green
+    # conservatively — same precedent as the r7 bump below.
+    "stream_recovery_counts": 8,
+    "stream_a7_count_by_type": 8,
+    "stream_custom_state_totals": 8,
+    "stream_dedup_distinct_props": 8,
+    "stream_j_interval_join": 8,
+    "stream_j_left_outer": 8,
+    "stream_j_static_enrich": 8,
+    "stream_sketch_daily_users": 8,
+    "stream_w_append_finalized": 8,
+    "stream_w_tumbling_counts": 8,
+    "stream_w_session": 8,
 }
 
 

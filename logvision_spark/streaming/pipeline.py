@@ -72,7 +72,16 @@ def rocksdb_state_store(spark: SparkSession, changelog: bool = False):
     knob for high-cardinality stateful queries. The conf is sticky
     per CHECKPOINT (Spark 4 records the mode in the state metadata
     and supports switching either way on restart); it is read at
-    query start, so the same set/restore scoping applies."""
+    query start, so the same set/restore scoping applies.
+
+    DELIBERATE: the context PINS the changelog mode BOTH ways — with
+    ``changelog=False`` it sets the conf to 'false' even if the
+    session carries an ambient changelogCheckpointing=true (restored
+    on exit). A query run inside this context gets exactly the mode
+    the call site names, never an inherited one: the recovery/scale
+    experiments A/B the two modes and an ambient override would
+    silently invalidate the "no changelog" arm (r7 ADVICE — chosen
+    over only-set-when-True)."""
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     prev_cl = spark.conf.get(CHANGELOG_KEY, None)

@@ -14,12 +14,14 @@ mode the registry was built to prevent is forgetting the bump entirely
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import json
 import os
 import re
 import sys
+import textwrap
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -62,16 +64,43 @@ def _catalog_helpers() -> dict[str, str]:
     return out
 
 
+def _referenced_names(src: str) -> set[str]:
+    """Identifiers referenced by CODE in ``src`` — ast-based, so a
+    helper mentioned only in a docstring or comment does not get pulled
+    into the fingerprint closure (r7 ADVICE: the bare-name regex over
+    raw source made fingerprints churn on doc-only edits to helpers
+    that were merely mentioned). Falls back to the over-inclusive word
+    scan if the snippet does not parse standalone — over-triggering
+    re-greens is the safe direction."""
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:  # pragma: no cover - decorator/partial snippets
+        return {m.group(0) for m in re.finditer(r"\w+", src)}
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            names.add(node.id)
+        elif isinstance(node, ast.Attribute):
+            names.add(node.attr)
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                               ast.ClassDef)):
+            names.add(node.name)
+        elif isinstance(node, ast.alias):
+            names.add(node.asname or node.name.split(".")[0])
+    return names
+
+
 def fingerprint_material(name: str) -> list[tuple[str, str]]:
     """The (label, content) parts hashed into an entry's fingerprint:
     the builder's own source, then — transitively — the source of every
-    catalog-module helper the reachable source references by bare name,
-    and the full file content of every logvision_spark module any
-    reachable source imports. Deterministic order: builder first, then
-    sorted helper names, then sorted module paths. Still best-effort
-    (module-level CONSTANTS and helpers referenced only via getattr
-    are not captured), but the helper closure now covers exactly the
-    class of edit the r6 registry missed."""
+    catalog-module helper the reachable CODE references (ast-scanned,
+    so docstring/comment mentions don't count), and the full file
+    content of every logvision_spark module any reachable source
+    imports. Deterministic order: builder first, then sorted helper
+    names, then sorted module paths. Still best-effort (module-level
+    CONSTANTS and helpers referenced only via getattr are not
+    captured), but the helper closure now covers exactly the class of
+    edit the r6 registry missed."""
     sys.path.insert(0, ROOT)
     from logvision_spark.catalog import CATALOG
 
@@ -82,10 +111,11 @@ def fingerprint_material(name: str) -> list[tuple[str, str]]:
     frontier = [builder_src]
     while frontier:
         src = frontier.pop()
+        referenced = _referenced_names(src)
         for helper, hsrc in helpers.items():
             if helper in used:
                 continue
-            if re.search(rf"\b{re.escape(helper)}\b", src):
+            if helper in referenced:
                 used[helper] = hsrc
                 mods.update(_IMPORT_RE.findall(hsrc))
                 frontier.append(hsrc)
