@@ -208,12 +208,19 @@ def _bench_parse_throughput(spark, n_rows: int = 400_000) -> float:
                 f'"GET /p{i % 1000}/r{i % 37} HTTP/1.1" {200 + (i % 5)} {i % 100000} '
                 f'"http://ref.example/" "bench-agent/1.0"\n'
             )
+    import shutil
+
     lines = spark.read.text(d)
     best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        parse_access_log(lines).where(F.col("parsed")).groupBy("host").count().count()
-        best = min(best, time.perf_counter() - t0)
+    try:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            parse_access_log(lines).where(F.col("parsed")).groupBy("host").count().count()
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        # the 4M-row corpus is ~0.5 GB; leaking one per call adds up
+        # across rounds (review finding)
+        shutil.rmtree(d, ignore_errors=True)
     return round(n_rows / best)
 
 

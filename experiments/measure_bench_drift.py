@@ -67,10 +67,10 @@ for name, (r6, r7) in MOVERS.items():
     print(f"{name:28s} {r6:7.3f} {r7:7.3f} {mn:7.3f} {med:7.3f} "
           f"{mx:7.3f}  {verdict}")
 
-best = 0.0
-for _ in range(3):
-    rate = bench._bench_parse_throughput(spark, n_rows=4_000_000)
-    best = max(best, rate)
+# one call only: the helper itself takes best-of-3 over one synthesized
+# corpus (calling it in a loop re-pays the 4M-line synthesis and leaks a
+# ~0.5 GB temp dir per call — review finding)
+best = bench._bench_parse_throughput(spark, n_rows=4_000_000)
 print(f"\nparse_rows_per_sec_4m: best-of-3 {best:,.0f} "
       f"(r6 3,094,286 / r7 2,164,522) -> "
       f"{'ambient' if best >= 2_800_000 else 'investigate'}")

@@ -188,7 +188,14 @@ class KVCounterStore:
         """foreachBatch hook: ``deltas`` must be (counter, member, delta)
         rows — small by construction (post-aggregation), so collecting
         them to the writer is the intended pattern (same contract as
-        sinks.foreach_batch_kv)."""
+        sinks.foreach_batch_kv). The fence is consulted BEFORE the
+        collect: a replayed batch (the at-least-once redelivery the
+        fence exists for) must not pay the melt's scan + shuffle just
+        to discard the result — and re-checked under the lock before
+        applying, in case two replays race (review finding)."""
+        with self._lock:
+            if batch_id in self._applied:
+                return
         rows = deltas.collect()
         with self._lock:
             if batch_id in self._applied:
@@ -209,9 +216,17 @@ class KVCounterStore:
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Accumulated state as (counter, member, total) — the zrange-all
-        read path, for verification against a batch aggregation."""
+        read path, for verification against a batch aggregation. The
+        sort key is None-safe: NULL members are legal store state (the
+        melt contract keeps them — a '-' username parses to NULL and
+        still counts), and a bare tuple sort would raise TypeError on
+        None < str (review finding)."""
         rows = [
-            (c, m, int(v)) for (c, m), v in sorted(self.snapshot().items())
+            (c, m, int(v))
+            for (c, m), v in sorted(
+                self.snapshot().items(),
+                key=lambda kv: (kv[0][0], kv[0][1] is not None, kv[0][1] or ""),
+            )
         ]
         return spark.createDataFrame(
             rows, "counter string, member string, total long"

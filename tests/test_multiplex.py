@@ -22,8 +22,11 @@ from logvision_spark.streaming.multiplex import (
 )
 from logvision_spark.streaming.pipeline import counter_views
 
-# Mixed corpus: parsed lines with a NULL username ('-'), a NULL-bytes
-# line ('-'), and one malformed line (counts toward totals only).
+# Mixed corpus: '-' placeholder fields (kept as literal strings by the
+# parser), a NULL-bytes line ('-' in a NUMERIC field -> NULL), one
+# malformed line (counts toward totals only), and one method-only
+# request line whose OPTIONAL url/protocol groups parse to NULL members
+# (the parser's actual NULL-member source).
 LINES = [
     '10.0.0.1 - alice [10/Oct/2020:13:55:00 +0000] "GET /a HTTP/1.1" 200 100',
     '10.0.0.1 - - [10/Oct/2020:13:55:00 +0000] "GET /a HTTP/1.1" 200 250',
@@ -31,6 +34,7 @@ LINES = [
     '10.0.0.2 - bob [10/Oct/2020:13:55:02 +0000] "GET /a HTTP/1.1" 500 7',
     "this line is garbage",
     '10.0.0.3 - - [10/Oct/2020:13:55:02 +0000] "HEAD /c HTTP/1.1" 200 0',
+    '10.0.0.9 - carol [10/Oct/2020:13:55:03 +0000] "PING" 200 5',
 ]
 
 
@@ -84,14 +88,12 @@ def test_melt_matches_counter_views_datetime_and_totals(spark, parsed):
 def test_melt_single_scan_no_python(spark, parsed):
     """The whole-catalog delta job: ONE scan of the input, no Python
     eval nodes — the executed plan, not the logical one (r7 lesson)."""
+    from tests.plan_utils import assert_no_python_eval, final_plan
+
     deltas = melted_counter_deltas(parsed, log_counter_specs())
     deltas.collect()
-    plan = deltas._jdf.queryExecution().executedPlan().toString()
-    # AQE's toString appends an "== Initial Plan ==" copy after the final
-    # plan; count nodes in the FINAL section only or everything doubles
-    plan = plan.split("== Initial Plan ==")[0]
-    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
-        assert node not in plan
+    plan = final_plan(deltas)
+    assert_no_python_eval(plan)
     # exactly one leaf scan and one exchange (the single counter
     # shuffle, partial-aggregated map-side) for the ENTIRE 11-counter
     # catalog — the whole point of the melt
@@ -122,13 +124,28 @@ def test_streaming_multiplex_equals_batch(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         available_now=True,
     )
-    assert q.awaitTermination(120), "multiplex sink did not drain"
+    try:
+        assert q.awaitTermination(120), "multiplex sink did not drain"
+    finally:
+        # a failed drain must not leak an active query into the shared
+        # session (review finding)
+        if q.isActive:
+            q.stop()
     assert len(store._applied) > 1, "expected multiple micro-batches"
 
     batch = parse_access_log(spark.read.text(str(d)))
     expect = _as_map(melted_counter_deltas(batch, specs))
     assert store.snapshot() == expect
     assert store.zscore("host", "10.0.0.1") == 2
+    # zrange-all read path: NULL members are legal store state (the
+    # method-only "PING" line parses url/protocol to NULL) and must not
+    # crash the sort (the None < str TypeError the review reproduced)
+    assert store.zscore("url", None) == 1
+    out = store.to_df(spark)
+    assert out.where(
+        (F.col("counter") == "url") & F.col("member").isNull()
+    ).collect()[0]["total"] == 1
+    assert out.count() == len(expect)
 
 
 def test_replay_fence(spark, parsed):

@@ -77,9 +77,10 @@ def _microbatch_plan(spark, df, name, mode, tmp_path) -> str:
 
 
 def _assert_jvm_side_single_scan(plan: str) -> None:
+    from tests.plan_utils import assert_no_python_eval
+
     phys = _physical(plan)
-    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
-        assert node not in phys, phys[:1500]
+    assert_no_python_eval(phys)
     # at most one scan of the file source per micro-batch physical plan —
     # the LAST batch can legitimately be a NO-DATA batch (watermark-
     # advance emit for append-mode stateful ops) whose plan scans
@@ -132,14 +133,15 @@ def test_multiplexed_counter_catalog_one_scan_per_trigger(
         .option("maxFilesPerTrigger", 4)
         .load(log_dir)
     )
+    from tests.plan_utils import assert_no_python_eval, final_plan
+
     specs = log_counter_specs()
     trigger_plans: list[str] = []
 
     def _capture(deltas, batch_id):
         # the sink hands write_batch the ALREADY-melted deltas
         deltas.collect()
-        plan = deltas._jdf.queryExecution().executedPlan().toString()
-        trigger_plans.append(plan.split("== Initial Plan ==")[0])
+        trigger_plans.append(final_plan(deltas))
 
     before = len(spark.streams.active)
     q = start_multiplexed_counter_sink(
@@ -162,10 +164,7 @@ def test_multiplexed_counter_catalog_one_scan_per_trigger(
     assert _physical(stream_plan).count("Scan text") <= 1
     assert len(trigger_plans) >= 2  # 10 files / 4 per trigger
     for plan in trigger_plans:
-        for node in (
-            "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
-        ):
-            assert node not in plan, plan[:1500]
+        assert_no_python_eval(plan)
         assert plan.count("Scan text") == 0, plan[:1500]
         assert plan.count("Scan ExistingRDD") == 1, plan[:1500]
         assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
