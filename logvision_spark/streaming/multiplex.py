@@ -214,6 +214,21 @@ class KVCounterStore:
         with self._lock:
             return self._counts.get((counter, member), 0)
 
+    def zrevrange(
+        self, counter: str, k: int
+    ) -> list[tuple[str | None, int]]:
+        """Top-k members of one counter by accumulated total — the
+        reference's `zrevrange` board read (flask/app.py zrange loops
+        behind every top-N panel). Ties break on member (None-safe,
+        NULL last) so the returned SET is deterministic, same rule as
+        every ORDER BY ... LIMIT in the catalog."""
+        with self._lock:
+            rows = [
+                (m, v) for (c, m), v in self._counts.items() if c == counter
+            ]
+        rows.sort(key=lambda r: (-r[1], r[0] is None, r[0] or ""))
+        return rows[:k]
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Accumulated state as (counter, member, total) — the zrange-all
         read path, for verification against a batch aggregation. The

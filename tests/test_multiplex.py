@@ -148,6 +148,19 @@ def test_streaming_multiplex_equals_batch(spark, tmp_path):
     assert out.count() == len(expect)
 
 
+def test_zrevrange_board_read(spark, parsed):
+    """The zrevrange top-k board read over accumulated state: ordered by
+    total desc, deterministic tie-break on member, NULL member last."""
+    store = KVCounterStore()
+    store.merge(melted_counter_deltas(parsed, log_counter_specs()), 0)
+    hosts = store.zrevrange("host", 2)
+    assert hosts == [("10.0.0.1", 2), ("10.0.0.2", 2)]  # tie -> member asc
+    urls = store.zrevrange("url", 10)
+    assert urls[0] == ("/a", 3)
+    assert urls[-1] == (None, 1)  # NULL member sorts last within ties
+    assert store.zrevrange("nope", 3) == []
+
+
 def test_replay_fence(spark, parsed):
     store = KVCounterStore()
     deltas = melted_counter_deltas(parsed, log_counter_specs())
