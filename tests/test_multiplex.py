@@ -148,6 +148,53 @@ def test_streaming_multiplex_equals_batch(spark, tmp_path):
     assert out.count() == len(expect)
 
 
+def test_multiplex_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once across a kill/restart: half the corpus lands, the
+    sink drains and STOPS; the other half lands; a NEW query restarts
+    from the SAME checkpoint into the SAME store. The offset log must
+    skip the committed files (no double count) and pick up only the
+    new ones — the KV analog of stream_recovery_counts, plus the
+    batch_id fence guarding any redelivered batch."""
+    d = tmp_path / "rlogs"
+    d.mkdir()
+    half = len(LINES) // 2
+    for i, line in enumerate(LINES[:half]):
+        (d / f"f{i}.log").write_text(line + "\n")
+
+    specs = log_counter_specs()
+    store = KVCounterStore()
+    ck = str(tmp_path / "rckpt")
+
+    def _drain():
+        q = start_multiplexed_counter_sink(
+            parse_access_log(
+                spark.readStream.format("text")
+                .option("maxFilesPerTrigger", 1)
+                .load(str(d))
+            ),
+            specs,
+            store.merge,
+            checkpoint_dir=ck,
+            available_now=True,
+        )
+        try:
+            assert q.awaitTermination(120), "did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+
+    _drain()
+    after_half = store.zscore("totals", "line_cnt")
+    assert after_half == half
+    for i, line in enumerate(LINES[half:]):
+        (d / f"g{i}.log").write_text(line + "\n")
+    _drain()  # restart: same checkpoint, same store
+
+    batch = parse_access_log(spark.read.text(str(d)))
+    expect = _as_map(melted_counter_deltas(batch, specs))
+    assert store.snapshot() == expect  # nothing lost, nothing doubled
+
+
 def test_zrevrange_board_read(spark, parsed):
     """The zrevrange top-k board read over accumulated state: ordered by
     total desc, deterministic tie-break on member, NULL member last."""
