@@ -182,7 +182,7 @@ def run_multiplex() -> tuple[float, KVCounterStore]:
     if not q.awaitTermination(1800):
         raise TimeoutError("multiplex query did not drain")
     sec = time.perf_counter() - t0
-    print(f"multiplex: {len(store._applied)} triggers")
+    print(f"multiplex: {store.high_water_batch_id + 1} triggers")
     return sec, store
 
 
@@ -211,7 +211,16 @@ for (view, member), val in fan_kv.items():
         )
         ok = abs(got - val) < 1e-6 * max(1.0, abs(val))
     else:
-        m = None if member is None else str(member)
+        # r8 ADVICE: the fan-out's datetime view holds Timestamp
+        # members; str() only matches the multiplex's date_format
+        # string while microseconds are zero — format explicitly so a
+        # sub-second corpus change can't fake a mismatch.
+        if member is None:
+            m = None
+        elif hasattr(member, "strftime"):
+            m = member.strftime("%Y-%m-%d %H:%M:%S")
+        else:
+            m = str(member)
         ok = mux.get((view, m)) == val
     if not ok:
         mismatch += 1

@@ -2712,7 +2712,7 @@ def stream_counter_multiplex(spark, sf_dir):
         finally:
             if q.isActive:
                 q.stop()
-        if len(store._applied) < 2:
+        if store.high_water_batch_id < 1:
             # a single mega-batch would silently skip the cross-trigger
             # merge this entry exists to verify
             raise AssertionError("expected >=2 micro-batches in the merge")
@@ -4965,6 +4965,11 @@ _EDITED_ROUND: dict[str, int] = {
     "stream_w_append_finalized": 8,
     "stream_w_tumbling_counts": 8,
     "stream_w_session": 8,
+    # round-9: KVCounterStore fence set → high-water batch_id (r8
+    # verdict item 4) + empty-specs ValueError in the melt (r8 ADVICE);
+    # the builder's own drain check moved to high_water_batch_id.
+    # multiplex.py is hashed only into this entry's fingerprint.
+    "stream_counter_multiplex": 9,
 }
 
 

@@ -91,6 +91,10 @@ def melted_counter_deltas(
     collapses them map-side before the single exchange; what shuffles
     is bounded by (distinct members × partitions), not input rows.
     """
+    if not specs:
+        # F.array() with zero columns fails at ANALYSIS with an opaque
+        # error; an empty catalog is a caller bug — say so directly.
+        raise ValueError("specs must be non-empty")
     entries = []
     for s in specs:
         weight = s.weight if s.weight is not None else F.lit(1)
@@ -172,8 +176,11 @@ class KVCounterStore:
     Fencing on batch_id restores effective exactly-once for an
     idempotent KV target. A production store does the same check
     transactionally (store the high-water batch_id WITH the deltas);
-    this in-memory form is the test/serving stand-in and the contract
-    documentation.
+    this in-memory form models that exact contract: batch_ids are
+    monotonic per checkpoint (and continue monotonically across a
+    restart from the same checkpoint), so ONE integer — the high-water
+    batch_id — is the whole fence, O(1) memory forever. A redelivered
+    batch is always ≤ the last applied id, never a gap ahead of it.
 
     Thread-safe: memory-sink-style reads (``snapshot``/``to_df``) can
     race the running query's merges.
@@ -181,7 +188,7 @@ class KVCounterStore:
 
     def __init__(self) -> None:
         self._counts: dict[tuple[str, str | None], int] = {}
-        self._applied: set[int] = set()
+        self._high_water: int = -1  # last applied batch_id
         self._lock = threading.Lock()
 
     def merge(self, deltas: DataFrame, batch_id: int) -> None:
@@ -194,16 +201,24 @@ class KVCounterStore:
         to discard the result — and re-checked under the lock before
         applying, in case two replays race (review finding)."""
         with self._lock:
-            if batch_id in self._applied:
+            if batch_id <= self._high_water:
                 return
         rows = deltas.collect()
         with self._lock:
-            if batch_id in self._applied:
+            if batch_id <= self._high_water:
                 return
             for r in rows:
                 key = (r["counter"], r["member"])
                 self._counts[key] = self._counts.get(key, 0) + r["delta"]
-            self._applied.add(batch_id)
+            self._high_water = batch_id
+
+    @property
+    def high_water_batch_id(self) -> int:
+        """Last applied batch_id (-1 before any merge) — the single
+        integer a production store persists transactionally with the
+        deltas."""
+        with self._lock:
+            return self._high_water
 
     def snapshot(self) -> dict[tuple[str, str | None], int]:
         with self._lock:

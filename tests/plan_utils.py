@@ -5,6 +5,8 @@ copy-pasted both)."""
 
 from __future__ import annotations
 
+import pytest
+
 PYTHON_EVAL_NODES = (
     "BatchEvalPython",
     "ArrowEvalPython",
@@ -15,8 +17,17 @@ PYTHON_EVAL_NODES = (
 def final_plan(df) -> str:
     """Executed-plan text, FINAL section only. AQE's toString appends an
     '== Initial Plan ==' copy after the final plan, so counting nodes
-    over the raw string doubles everything."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    over the raw string doubles everything.
+
+    `_jdf.queryExecution()` is private API (same class of risk as
+    test_streaming_plan_quality._explain_internal, which got the
+    version guard in r7) — skip rather than error if a PySpark upgrade
+    removes it, so a plan-SHAPE pin never masquerades as a correctness
+    failure."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except AttributeError:  # pragma: no cover - private-API drift
+        pytest.skip("DataFrame._jdf.queryExecution unavailable")
     return plan.split("== Initial Plan ==")[0]
 
 

@@ -19,7 +19,6 @@ def test_headline_json_line_fits_driver_tail_window():
             "value": 9999.9999,
             "unit": "sec",
             "queries": {n: 9999.9999 for n in names},
-            "core_total": 9999.9999,
             "new_total": 9999.9999,
             "r4_total": 9999.9999,
             "r5_total": 9999.9999,
@@ -29,9 +28,10 @@ def test_headline_json_line_fits_driver_tail_window():
             "parse_rows_per_sec": 9_999_999,
             "parse_rows_per_sec_4m": 9_999_999,
             "isolated_jvms": True,
-            "shingle_cache_build_sec": 9999.9999,
-            "core_pass2_total": 9999.9999,
-            "new_pass2_total": 9999.9999,
+            "min_totals": {
+                s: 9999.9999
+                for s in ("core", "new", "r4", "r5", "r6", "r7")
+            },
         },
         separators=(",", ":"),
     )

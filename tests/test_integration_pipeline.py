@@ -43,6 +43,129 @@ def tiny_model(spark, tmp_path_factory):
     )
 
 
+def test_full_production_topology_live(spark, tiny_model, tmp_path):
+    """The RECOMMENDED production topology, composed live (r8 verdict
+    item 3 — the pieces were each tested, the composition was not):
+
+        replayer → watched dir → file-source streams → parse →
+          (a) ONE multiplexed foreachBatch → KVCounterStore, with the
+              serving loop reading `zrevrange` boards + `zscore` totals
+              per trigger and pushing them to a websocket-style client
+              (the reference's flask/app.py:75-121 panels over Redis,
+              through the r8 single-scan counter path), and
+          (b) the scored stream through the ONCE-loaded model →
+              flagged-intrusion alert feed via websocket_push_sink
+              (app.py's live intrusion panel, minus the per-batch
+              model reload of streaming.scala:189-235).
+
+    Gate: merged board state ≡ one batch aggregation over everything
+    replayed, and the board top-k reads match the batch top-k."""
+    lines = []
+    for i in range(40):
+        url = BENIGN[i % 3] if i % 2 == 0 else ATTACKS[i % 3]
+        lines.append(
+            f'10.0.0.{i % 4} - u{i % 5} [10/Oct/2020:13:55:{i % 60:02d} +0000] '
+            f'"GET {url} HTTP/1.1" 200 {100 + i}'
+        )
+    log_dir = str(tmp_path / "plive")
+    LogReplayer(
+        lines, log_dir, lines_per_tick=10, tick_seconds=0.2
+    ).start().drain()
+
+    from logvision_spark.streaming.multiplex import (
+        KVCounterStore,
+        log_counter_specs,
+        melted_counter_deltas,
+        start_multiplexed_counter_sink,
+    )
+    from logvision_spark.streaming.sinks import websocket_push_sink
+
+    specs = log_counter_specs()
+    store = KVCounterStore()
+    board_frames: list[str] = []  # the SocketIO emit stand-in
+
+    def serve(deltas_df, batch_id):
+        # the serving loop: merge this trigger's deltas, then push the
+        # refreshed board panels — exactly what the reference does with
+        # zincrby-then-zrevrange per batch
+        store.merge(deltas_df, batch_id)
+        board_frames.append(json.dumps({
+            "top_hosts": store.zrevrange("host", 5),
+            "top_urls": store.zrevrange("url", 5),
+            "line_cnt": store.zscore("totals", "line_cnt"),
+            "traffic_bytes": store.zscore("totals", "traffic_bytes"),
+        }))
+
+    def _lines_stream():
+        return (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)  # one replayer tick per trigger
+            .load(log_dir)
+        )
+
+    q_counters = start_multiplexed_counter_sink(
+        parse_access_log(_lines_stream()),
+        specs,
+        serve,
+        checkpoint_dir=str(tmp_path / "pc_ckpt"),
+        available_now=True,
+    )
+    # alert feed: model loaded ONCE, transform applied to the STREAM
+    # itself (M8), flagged rows pushed row-wise to the client
+    alerts: list[str] = []
+    alert_view = (
+        score_stream(tiny_model, parse_access_log(_lines_stream()))
+        .where(F.col("prediction") == 1.0)
+        .select("host", "username", "url", "prediction")
+    )
+    q_alerts = websocket_push_sink(
+        alert_view,
+        alerts.append,
+        checkpoint_dir=str(tmp_path / "pa_ckpt"),
+        output_mode="append",
+    )
+    try:
+        assert q_counters.awaitTermination(180), "counter sink did not drain"
+        # the push sink is a LONG-RUNNING query (no availableNow — a
+        # live panel feed never self-terminates): drain what's available,
+        # then stop it, as a deploy's shutdown hook would
+        q_alerts.processAllAvailable()
+    finally:
+        for q in (q_counters, q_alerts):
+            if q.isActive:
+                q.stop()
+
+    # board state ≡ one batch aggregation over everything replayed
+    batch = parse_access_log(spark.read.text(log_dir))
+    expect = {
+        (r["counter"], r["member"]): r["delta"]
+        for r in melted_counter_deltas(batch, specs).collect()
+    }
+    assert store.snapshot() == expect
+    # the zrevrange board read ≡ the batch top-k over the same corpus
+    batch_top_hosts = [
+        (r["host"], r["cnt"])
+        for r in batch.where("parsed").groupBy("host")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "host").limit(5).collect()
+    ]
+    assert store.zrevrange("host", 5) == batch_top_hosts
+    # the push loop emitted one refreshed board per trigger, and the
+    # final frame carries the fully-merged totals
+    assert len(board_frames) >= 2, "expected one board push per trigger"
+    final = json.loads(board_frames[-1])
+    assert final["line_cnt"] == len(lines)
+    assert final["traffic_bytes"] == sum(100 + i for i in range(40))
+    assert [tuple(x) for x in final["top_hosts"]] == batch_top_hosts
+    # the alert feed flagged attacks (valid JSON rows, attack urls only)
+    assert alerts, "expected flagged intrusions on the alert feed"
+    parsed_alerts = [json.loads(a) for a in alerts]
+    assert all(r["prediction"] == 1.0 for r in parsed_alerts)
+    flagged_urls = {r["url"] for r in parsed_alerts}
+    assert flagged_urls <= set(ATTACKS + BENIGN)
+    assert flagged_urls & set(ATTACKS)
+
+
 def test_live_pipeline_scores_and_archives(spark, tiny_model, tmp_path):
     lines = []
     for i in range(10):

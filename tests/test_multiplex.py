@@ -51,6 +51,13 @@ def _as_map(df):
     }
 
 
+def test_melt_rejects_empty_specs(spark, parsed):
+    """An empty catalog is a caller bug — clear ValueError, not the
+    opaque analysis failure F.array() with zero columns produces."""
+    with pytest.raises(ValueError, match="non-empty"):
+        melted_counter_deltas(parsed, [])
+
+
 def test_melt_matches_counter_views_per_key(spark, parsed):
     """Every per-key counter in the melt ≡ the same key's counter_views
     groupBy — including the NULL-member group (username '-')."""
@@ -131,7 +138,7 @@ def test_streaming_multiplex_equals_batch(spark, tmp_path):
         # session (review finding)
         if q.isActive:
             q.stop()
-    assert len(store._applied) > 1, "expected multiple micro-batches"
+    assert store.high_water_batch_id >= 1, "expected multiple micro-batches"
 
     batch = parse_access_log(spark.read.text(str(d)))
     expect = _as_map(melted_counter_deltas(batch, specs))
@@ -219,3 +226,7 @@ def test_replay_fence(spark, parsed):
     assert store.zscore("totals", "line_cnt") == 2 * once[
         ("totals", "line_cnt")
     ]
+    twice = store.snapshot()
+    store.merge(deltas, 0)  # id BELOW the high-water mark: also fenced
+    assert store.snapshot() == twice
+    assert store.high_water_batch_id == 1

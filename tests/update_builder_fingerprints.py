@@ -76,6 +76,17 @@ def _referenced_names(src: str) -> set[str]:
         tree = ast.parse(textwrap.dedent(src))
     except SyntaxError:  # pragma: no cover - decorator/partial snippets
         return {m.group(0) for m in re.finditer(r"\w+", src)}
+    # Docstring Constant nodes are excluded from the string scan below —
+    # pulling them in is exactly the doc-edit churn the r7 fix removed.
+    docstrings: set[int] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.FunctionDef,
+                             ast.AsyncFunctionDef, ast.ClassDef)):
+            body = getattr(node, "body", [])
+            if (body and isinstance(body[0], ast.Expr)
+                    and isinstance(body[0].value, ast.Constant)
+                    and isinstance(body[0].value.value, str)):
+                docstrings.add(id(body[0].value))
     names: set[str] = set()
     for node in ast.walk(tree):
         if isinstance(node, ast.Name):
@@ -87,6 +98,13 @@ def _referenced_names(src: str) -> set[str]:
             names.add(node.name)
         elif isinstance(node, ast.alias):
             names.add(node.asname or node.name.split(".")[0])
+        elif (isinstance(node, ast.Constant)
+              and isinstance(node.value, str)
+              and id(node) not in docstrings):
+            # r8 ADVICE: a helper referenced only inside a string
+            # literal (a UDF named in F.expr()/spark.sql() text) must
+            # still reach the fingerprint closure.
+            names.update(re.findall(r"\w+", node.value))
     return names
 
 
