@@ -60,9 +60,13 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-N_ROWS = 4_000_000
-N_FILES = 8
-FILES_PER_TRIGGER = 2  # -> 4 triggers for every query in both topologies
+# Defaults reproduce the r8 A/B (4 M rows, 4 triggers); the r9 scale
+# point (does per-trigger cost stay flat as batches grow 10×?) runs the
+# same script at LV_MUX_ROWS=40000000 LV_MUX_FILES=32 — results for
+# both rows in ARCHITECTURE.md "Counter serving topology".
+N_ROWS = int(os.environ.get("LV_MUX_ROWS", 4_000_000))
+N_FILES = int(os.environ.get("LV_MUX_FILES", 8))
+FILES_PER_TRIGGER = int(os.environ.get("LV_MUX_FILES_PER_TRIGGER", 2))
 
 corpus = tempfile.mkdtemp(prefix="lv_mux_ab_")
 rows_per_file = N_ROWS // N_FILES

@@ -2661,6 +2661,18 @@ def stream_a7_count_by_type(spark, sf_dir):
     "fan-out A/B in experiments/measure_counter_multiplex.py.",
 )
 def stream_counter_multiplex(spark, sf_dir):
+    return _merged_event_counters(spark, sf_dir).to_df(spark)
+
+
+def _merged_event_counters(spark, sf_dir):
+    """Run THE production counter topology over the events table and
+    return the merged KVCounterStore: events landed as 4 parquet files
+    streamed one per trigger through ONE multiplexed foreachBatch
+    (melt + one hash agg per micro-batch), deltas merged under the
+    high-water batch_id fence. Shared by the state-dump entry
+    (stream_counter_multiplex) and the board-read entry
+    (stream_board_top_users) so both driver rows check the SAME
+    cross-trigger merge through different serving reads."""
     import shutil
     import tempfile
 
@@ -2707,18 +2719,44 @@ def stream_counter_multiplex(spark, sf_dir):
         try:
             if not q.awaitTermination(300):
                 raise TimeoutError(
-                    "stream_counter_multiplex did not drain within 300s"
+                    "multiplexed counter sink did not drain within 300s"
                 )
         finally:
             if q.isActive:
                 q.stop()
         if store.high_water_batch_id < 1:
             # a single mega-batch would silently skip the cross-trigger
-            # merge this entry exists to verify
+            # merge these entries exist to verify
             raise AssertionError("expected >=2 micro-batches in the merge")
-        return store.to_df(spark)
+        return store
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "stream_board_top_users",
+    oracle=(
+        "SELECT CAST(user_id AS VARCHAR) AS member, "
+        "CAST(count(*) AS BIGINT) AS total FROM events GROUP BY user_id "
+        "ORDER BY total DESC, member IS NULL, member LIMIT 10"
+    ),
+    doc="THE serving loop end-to-end, driver-checked (r8 VERDICT item "
+    "3's catalog row): the same multiplexed topology as "
+    "stream_counter_multiplex — events as 4 files, one per trigger, "
+    "melt + one hash agg per micro-batch, high-water-fenced KV merge — "
+    "read back through the `zrevrange` BOARD read (the reference's "
+    "flask/app.py top-N panels over Redis ZSETs): top-10 members of "
+    "the user counter by accumulated total, ties broken member-asc "
+    "NULL-last, matching every ORDER BY..LIMIT tie-break in the "
+    "catalog. The oracle recomputes the board as one batch top-k over "
+    "everything streamed, so this row pins ingest → multiplexed merge "
+    "→ serving read, not just the state dump.",
+)
+def stream_board_top_users(spark, sf_dir):
+    store = _merged_event_counters(spark, sf_dir)
+    return spark.createDataFrame(
+        store.zrevrange("user", 10), "member string, total long"
+    )
 
 
 @register(
