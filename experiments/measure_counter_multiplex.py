@@ -67,6 +67,14 @@ spark.sparkContext.setLogLevel("ERROR")
 N_ROWS = int(os.environ.get("LV_MUX_ROWS", 4_000_000))
 N_FILES = int(os.environ.get("LV_MUX_FILES", 8))
 FILES_PER_TRIGGER = int(os.environ.get("LV_MUX_FILES_PER_TRIGGER", 2))
+if N_ROWS % N_FILES or N_FILES % FILES_PER_TRIGGER:
+    # integer division below would silently write fewer lines than
+    # N_ROWS while every printed figure (and any per-row cost derived
+    # from it) still cites N_ROWS — refuse rather than misreport
+    raise SystemExit(
+        "LV_MUX_ROWS must be divisible by LV_MUX_FILES, and "
+        "LV_MUX_FILES by LV_MUX_FILES_PER_TRIGGER"
+    )
 
 corpus = tempfile.mkdtemp(prefix="lv_mux_ab_")
 rows_per_file = N_ROWS // N_FILES

@@ -5006,7 +5006,11 @@ _EDITED_ROUND: dict[str, int] = {
     # round-9: KVCounterStore fence set → high-water batch_id (r8
     # verdict item 4) + empty-specs ValueError in the melt (r8 ADVICE);
     # the builder's own drain check moved to high_water_batch_id.
-    # multiplex.py is hashed only into this entry's fingerprint.
+    # NOTE: multiplex.py is hashed into BOTH this entry's fingerprint
+    # and stream_board_top_users' (via the shared _merged_event_counters
+    # helper) — a future multiplex.py edit must bump both; the board
+    # entry needs no bump THIS round only because it is r9-fresh (the
+    # never-sampled tier already leads the export).
     "stream_counter_multiplex": 9,
 }
 

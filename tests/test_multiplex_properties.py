@@ -91,5 +91,60 @@ def test_melt_split_merge_equals_whole(spark, rows):
     assert merged == whole
 
 
+class _FakeDeltas:
+    """Stand-in for the post-aggregation deltas DataFrame: merge() only
+    calls .collect(), and dict rows support the r[\"counter\"] access the
+    real Row objects do — lets the fence property run WITHOUT Spark."""
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return self._rows
+
+
+# Structured Streaming's delivery contract for foreachBatch: batch_ids
+# arrive in non-decreasing order, where a repeat or drop-back is an
+# at-least-once REDELIVERY of work already applied (checkpoint replay).
+delivery = st.lists(st.integers(0, 6), min_size=1, max_size=12).map(sorted)
+
+
+@given(ids=delivery, shuffle=st.randoms())
+@settings(max_examples=200, deadline=None)
+def test_high_water_fence_applies_each_batch_exactly_once(ids, shuffle):
+    """For ANY non-decreasing delivery with replays — including replays
+    arriving late, below the high-water mark — the merged state must
+    equal applying each DISTINCT batch exactly once (the exactly-once
+    contract the fence exists to restore over at-least-once delivery)."""
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    # inject some below-high-water redeliveries while preserving the
+    # "replay only what was already seen" invariant: any prefix still
+    # never contains an id that has not been delivered before it
+    replayed = list(ids)
+    for i in range(1, len(replayed)):
+        if shuffle.random() < 0.3:
+            replayed.insert(i, shuffle.choice(replayed[:i]))
+
+    store = KVCounterStore()
+    for b in replayed:
+        # payload is a deterministic function of the batch id, so a
+        # double-applied replay is guaranteed to corrupt a total
+        store.merge(
+            _FakeDeltas([
+                {"counter": "c", "member": f"m{b % 3}", "delta": b + 1},
+                {"counter": "totals", "member": "n", "delta": 1},
+            ]),
+            b,
+        )
+
+    expect: dict = {}
+    for b in sorted(set(replayed)):
+        for key, d in ((("c", f"m{b % 3}"), b + 1), (("totals", "n"), 1)):
+            expect[key] = expect.get(key, 0) + d
+    assert store.snapshot() == expect
+    assert store.high_water_batch_id == max(replayed)
+
+
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
