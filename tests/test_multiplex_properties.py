@@ -146,5 +146,44 @@ def test_high_water_fence_applies_each_batch_exactly_once(ids, shuffle):
     assert store.high_water_batch_id == max(replayed)
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["c1", "c2"]),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", ""])),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(0, 8),
+)
+@settings(max_examples=200, deadline=None)
+def test_zrevrange_is_the_deterministic_topk(rows, k):
+    """The board read the driver now checks (stream_board_top_users):
+    zrevrange(counter, k) must equal the first k of that counter's
+    members under (total DESC, member ASC, NULL member last) — the same
+    tie-break every ORDER BY..LIMIT in the catalog uses, for ANY
+    accumulated state including NULL members and score ties."""
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    store.merge(
+        _FakeDeltas(
+            [{"counter": c, "member": m, "delta": d} for c, m, d in rows]
+        ),
+        0,
+    )
+    for counter in ("c1", "c2"):
+        totals: dict = {}
+        for c, m, d in rows:
+            if c == counter:
+                totals[m] = totals.get(m, 0) + d
+        model = sorted(
+            totals.items(), key=lambda r: (-r[1], r[0] is None, r[0] or "")
+        )[:k]
+        assert store.zrevrange(counter, k) == model
+
+
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
