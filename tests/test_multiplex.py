@@ -202,6 +202,65 @@ def test_multiplex_checkpoint_recovery(spark, tmp_path):
     assert store.snapshot() == expect  # nothing lost, nothing doubled
 
 
+def test_fence_survives_engine_redelivery(spark, tmp_path):
+    """THE production failure the fence exists for, driven through the
+    REAL engine (not simulated merge calls): the KV write for batch 1
+    succeeds but the sink hook dies BEFORE the checkpoint commit — the
+    exact window where the reference's zincrby double-counts — so on
+    restart Structured Streaming redelivers the SAME batch_id and the
+    high-water fence must discard it while later batches proceed."""
+    d = tmp_path / "xlogs"
+    d.mkdir()
+    for i, line in enumerate(LINES):
+        (d / f"f{i}.log").write_text(line + "\n")
+
+    specs = log_counter_specs()
+    store = KVCounterStore()
+    ck = str(tmp_path / "xckpt")
+    crash_once = {"armed": True}
+    delivered: list[int] = []
+
+    def hook(deltas, batch_id):
+        delivered.append(batch_id)
+        store.merge(deltas, batch_id)  # KV write lands...
+        if crash_once["armed"] and batch_id == 1:
+            crash_once["armed"] = False
+            # ...then the process dies before the offset-log commit
+            raise RuntimeError("crash after KV write, before commit")
+
+    def _run():
+        return start_multiplexed_counter_sink(
+            parse_access_log(
+                spark.readStream.format("text")
+                .option("maxFilesPerTrigger", 1)
+                .load(str(d))
+            ),
+            specs,
+            hook,
+            checkpoint_dir=ck,
+            available_now=True,
+        )
+
+    q = _run()
+    with pytest.raises(Exception, match="crash after KV write"):
+        q.awaitTermination(120)
+    assert store.high_water_batch_id == 1  # batch 1 WAS applied
+
+    q2 = _run()  # restart: engine redelivers batch 1 (uncommitted)
+    try:
+        assert q2.awaitTermination(120), "restarted sink did not drain"
+    finally:
+        if q2.isActive:
+            q2.stop()
+
+    # the engine really did redeliver batch 1 (else the fence assert
+    # below would be vacuously true — batch 1 was applied pre-crash)
+    assert delivered.count(1) == 2, delivered
+    batch = parse_access_log(spark.read.text(str(d)))
+    expect = _as_map(melted_counter_deltas(batch, specs))
+    assert store.snapshot() == expect  # redelivery fenced, tail applied
+
+
 def test_zrevrange_board_read(spark, parsed):
     """The zrevrange top-k board read over accumulated state: ordered by
     total desc, deterministic tie-break on member, NULL member last."""
