@@ -212,6 +212,25 @@ class KVCounterStore:
                 self._counts[key] = self._counts.get(key, 0) + r["delta"]
             self._high_water = batch_id
 
+    def backfill(self, deltas: DataFrame) -> None:
+        """One-time batch backfill — the archive pass the module
+        docstring promises (same specs, one `melted_counter_deltas`
+        over the archive) — applied WITHOUT consulting or advancing
+        the replay fence. The fence domain is a streaming CHECKPOINT's
+        monotonic batch_ids; a backfill batch belongs to no checkpoint,
+        and routing it through merge() would either be silently fenced
+        (its id ≤ the high-water mark) or poison the fence against the
+        live query's first batches (its id above them). Run the
+        backfill BEFORE attaching the live stream, over archive files
+        the stream will not re-read. A production store draws the same
+        line: the transactional high-water mark guards the streaming
+        writer only, while bulk loads go through the plain merge path."""
+        rows = deltas.collect()
+        with self._lock:
+            for r in rows:
+                key = (r["counter"], r["member"])
+                self._counts[key] = self._counts.get(key, 0) + r["delta"]
+
     @property
     def high_water_batch_id(self) -> int:
         """Last applied batch_id (-1 before any merge) — the single

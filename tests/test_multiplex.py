@@ -202,6 +202,57 @@ def test_multiplex_checkpoint_recovery(spark, tmp_path):
     assert store.snapshot() == expect  # nothing lost, nothing doubled
 
 
+def test_backfill_then_live_cutover(spark, tmp_path):
+    """The archive→live cutover the module docstring promises: backfill
+    the KV store with ONE batch melt over the archive (outside any
+    fence domain — a checkpoint's batch_ids belong to the streaming
+    writer only), then attach the live multiplexed stream over NEW
+    files. The live query's batch ids start at 0 and must NOT be
+    fenced by the backfill; final state ≡ one batch aggregation over
+    archive + live together."""
+    archive = tmp_path / "archive"
+    live = tmp_path / "live"
+    archive.mkdir()
+    live.mkdir()
+    half = len(LINES) // 2
+    for i, line in enumerate(LINES[:half]):
+        (archive / f"a{i}.log").write_text(line + "\n")
+    for i, line in enumerate(LINES[half:]):
+        (live / f"l{i}.log").write_text(line + "\n")
+
+    specs = log_counter_specs()
+    store = KVCounterStore()
+    store.backfill(
+        melted_counter_deltas(
+            parse_access_log(spark.read.text(str(archive))), specs
+        )
+    )
+    assert store.high_water_batch_id == -1  # fence untouched by backfill
+
+    q = start_multiplexed_counter_sink(
+        parse_access_log(
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(live))
+        ),
+        specs,
+        store.merge,
+        checkpoint_dir=str(tmp_path / "bckpt"),
+        available_now=True,
+    )
+    try:
+        assert q.awaitTermination(120), "live sink did not drain"
+    finally:
+        if q.isActive:
+            q.stop()
+    assert store.high_water_batch_id >= 1  # live batches all applied
+
+    both = parse_access_log(
+        spark.read.text([str(archive), str(live)])
+    )
+    assert store.snapshot() == _as_map(melted_counter_deltas(both, specs))
+
+
 def test_fence_survives_engine_redelivery(spark, tmp_path):
     """THE production failure the fence exists for, driven through the
     REAL engine (not simulated merge calls): the KV write for batch 1
