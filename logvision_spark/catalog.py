@@ -2664,6 +2664,29 @@ def stream_counter_multiplex(spark, sf_dir):
     return _merged_event_counters(spark, sf_dir).to_df(spark)
 
 
+def _event_counter_specs():
+    """The events-table counter catalog as melt specs — two key
+    counters, the per-second time series, and three integral totals —
+    shared by every multiplexed-KV entry (state dump, board read,
+    backfill cutover) so they all verify the SAME catalog against the
+    same DuckDB aggregation shapes."""
+    from logvision_spark.streaming.multiplex import CounterSpec
+
+    return [
+        CounterSpec("user", F.col("user_id")),
+        CounterSpec("type", F.col("event_type")),
+        CounterSpec(
+            "datetime",
+            F.date_format(
+                F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ),
+        ),
+        CounterSpec("totals", F.lit("line_cnt")),
+        CounterSpec("totals", F.lit("size_bytes"), weight=F.length("props")),
+        CounterSpec("totals", F.lit("value_cents"), weight=cents("value")),
+    ]
+
+
 def _merged_event_counters(spark, sf_dir):
     """Run THE production counter topology over the events table and
     return the merged KVCounterStore: events landed as 4 parquet files
@@ -2677,7 +2700,6 @@ def _merged_event_counters(spark, sf_dir):
     import tempfile
 
     from logvision_spark.streaming.multiplex import (
-        CounterSpec,
         KVCounterStore,
         start_multiplexed_counter_sink,
     )
@@ -2693,21 +2715,7 @@ def _merged_event_counters(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{d}/events")
         )
-        specs = [
-            CounterSpec("user", F.col("user_id")),
-            CounterSpec("type", F.col("event_type")),
-            CounterSpec(
-                "datetime",
-                F.date_format(
-                    F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
-                ),
-            ),
-            CounterSpec("totals", F.lit("line_cnt")),
-            CounterSpec(
-                "totals", F.lit("size_bytes"), weight=F.length("props")
-            ),
-            CounterSpec("totals", F.lit("value_cents"), weight=cents("value")),
-        ]
+        specs = _event_counter_specs()
         store = KVCounterStore()
         q = start_multiplexed_counter_sink(
             stream,
@@ -2757,6 +2765,98 @@ def stream_board_top_users(spark, sf_dir):
     return spark.createDataFrame(
         store.zrevrange("user", 10), "member string, total long"
     )
+
+
+@register(
+    "stream_backfill_cutover",
+    oracle=(
+        "SELECT 'user' AS counter, CAST(user_id AS VARCHAR) AS member, "
+        "CAST(count(*) AS BIGINT) AS total FROM events GROUP BY user_id "
+        "UNION ALL SELECT 'type', event_type, CAST(count(*) AS BIGINT) "
+        "FROM events GROUP BY event_type "
+        "UNION ALL SELECT 'datetime', "
+        "strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S'), "
+        "CAST(count(*) AS BIGINT) FROM events GROUP BY 2 "
+        "UNION ALL SELECT 'totals', 'line_cnt', CAST(count(*) AS BIGINT) "
+        "FROM events "
+        "UNION ALL SELECT 'totals', 'size_bytes', "
+        "CAST(sum(length(props)) AS BIGINT) FROM events "
+        "UNION ALL SELECT 'totals', 'value_cents', "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) FROM events"
+    ),
+    doc="The ARCHIVE→LIVE cutover every real deployment of the counter "
+    "topology runs first, driver-checked (r9 VERDICT item 2): the even-"
+    "event_id half of the table is the archive — ONE batch melt applied "
+    "via KVCounterStore.backfill BEFORE the live stream attaches, "
+    "outside any checkpoint's replay fence (backfill ENFORCES that "
+    "ordering since r10: it raises once live merges have begun, because "
+    "nothing fences a late backfill against double-counting files the "
+    "stream also read — the reference's standing zincrby flaw, "
+    "streaming.scala:163). The odd half then lands as 2 files streamed "
+    "one per trigger through the fenced multiplexed sink into the SAME "
+    "store; the live query's batch ids start at 0 and must not be "
+    "fenced by the backfill. The oracle is one batch aggregation over "
+    "ALL events, so a lost tranche, a doubled tranche, or a fence "
+    "misfire on either side hash-mismatches. Same specs both sides "
+    "(_event_counter_specs) — the batch/streaming equivalence the "
+    "multiplex module docstring promises, as a driver row.",
+)
+def stream_backfill_cutover(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from logvision_spark.streaming.multiplex import (
+        KVCounterStore,
+        melted_counter_deltas,
+        start_multiplexed_counter_sink,
+    )
+
+    d = tempfile.mkdtemp(prefix="lv_cutover_")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        specs = _event_counter_specs()
+        store = KVCounterStore()
+        # archive tranche FIRST: one batch melt, fence untouched.
+        # event_id is a non-null row id, so even/odd is a total,
+        # disjoint split — archive + live = the oracle's whole table.
+        store.backfill(
+            melted_counter_deltas(
+                ev.where(F.col("event_id") % 2 == 0), specs
+            )
+        )
+        if store.high_water_batch_id != -1:
+            raise AssertionError("backfill must not advance the fence")
+        # live tranche: 2 files, one per trigger, through the fenced sink
+        ev.where(F.col("event_id") % 2 != 0).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/live")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/live")
+        )
+        q = start_multiplexed_counter_sink(
+            stream,
+            specs,
+            store.merge,
+            checkpoint_dir=f"{d}/ckpt",
+            available_now=True,
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "cutover live sink did not drain within 300s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+        if store.high_water_batch_id < 1:
+            # the live side must contribute >=2 micro-batches or the
+            # cross-trigger half of the cutover went unexercised
+            raise AssertionError("expected >=2 live micro-batches")
+        return store.to_df(spark)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(
@@ -5003,15 +5103,14 @@ _EDITED_ROUND: dict[str, int] = {
     "stream_w_append_finalized": 8,
     "stream_w_tumbling_counts": 8,
     "stream_w_session": 8,
-    # round-9: KVCounterStore fence set → high-water batch_id (r8
-    # verdict item 4) + empty-specs ValueError in the melt (r8 ADVICE);
-    # the builder's own drain check moved to high_water_batch_id.
-    # NOTE: multiplex.py is hashed into BOTH this entry's fingerprint
-    # and stream_board_top_users' (via the shared _merged_event_counters
-    # helper) — a future multiplex.py edit must bump both; the board
-    # entry needs no bump THIS round only because it is r9-fresh (the
-    # never-sampled tier already leads the export).
-    "stream_counter_multiplex": 9,
+    # round-10: KVCounterStore.backfill now ENFORCES the run-before-live
+    # contract (raises once high_water_batch_id >= 0 unless force=True —
+    # r9 verdict item 1). multiplex.py is hashed into both entries'
+    # fingerprints via the shared _merged_event_counters helper, so both
+    # re-green together (the coupling is pinned mechanically by
+    # tests/test_export_order.py::test_multiplex_edit_trips_both_entries).
+    "stream_counter_multiplex": 10,
+    "stream_board_top_users": 10,
 }
 
 

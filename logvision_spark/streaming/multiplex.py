@@ -212,7 +212,7 @@ class KVCounterStore:
                 self._counts[key] = self._counts.get(key, 0) + r["delta"]
             self._high_water = batch_id
 
-    def backfill(self, deltas: DataFrame) -> None:
+    def backfill(self, deltas: DataFrame, force: bool = False) -> None:
         """One-time batch backfill — the archive pass the module
         docstring promises (same specs, one `melted_counter_deltas`
         over the archive) — applied WITHOUT consulting or advancing
@@ -224,9 +224,34 @@ class KVCounterStore:
         backfill BEFORE attaching the live stream, over archive files
         the stream will not re-read. A production store draws the same
         line: the transactional high-water mark guards the streaming
-        writer only, while bulk loads go through the plain merge path."""
+        writer only, while bulk loads go through the plain merge path.
+
+        That ordering is ENFORCED, not just documented: once live
+        merges have begun (``high_water_batch_id >= 0``) a backfill
+        raises — nothing fences it, so a late backfill of files the
+        stream also read would silently double-count them (the exact
+        misuse the reference's unfenced zincrby commits on every
+        replay, streaming.scala:163). ``force=True`` is the explicit
+        operator override for the one legitimate late case — loading a
+        second archive tranche the live stream provably does not
+        watch — and puts the disjointness burden on the caller."""
+        if not force and self.high_water_batch_id != -1:
+            # checked BEFORE the collect (don't pay the melt's scan +
+            # shuffle just to refuse) and re-checked under the lock
+            raise RuntimeError(
+                "backfill after live merges have begun would double-count "
+                "any rows the stream also read; run backfill BEFORE "
+                "attaching the live stream, or pass force=True if the "
+                "archive is provably disjoint from the streamed input"
+            )
         rows = deltas.collect()
         with self._lock:
+            if not force and self._high_water != -1:
+                raise RuntimeError(
+                    "live merges began while the backfill was computing; "
+                    "its input can no longer be assumed disjoint from the "
+                    "stream — rerun before the live query, or force=True"
+                )
             for r in rows:
                 key = (r["counter"], r["member"])
                 self._counts[key] = self._counts.get(key, 0) + r["delta"]

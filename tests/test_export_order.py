@@ -160,3 +160,21 @@ def test_fingerprint_covers_catalog_helpers_transitively():
     assert "helper:_run_stream_to_memory" in labels, labels
     assert "helper:_events_stream" in labels, labels
     assert "module:logvision_spark.streaming.pipeline" in labels, labels
+
+
+def test_multiplex_edit_trips_both_entries():
+    """stream_counter_multiplex and stream_board_top_users share
+    _merged_event_counters, which imports streaming/multiplex.py — so a
+    multiplex.py edit MUST change BOTH fingerprints (and hence trip the
+    registry test for both if either bump is forgotten). This pin makes
+    the coupling mechanical; it used to live in a hand-maintained NOTE
+    beside _EDITED_ROUND (r9 verdict item 4)."""
+    from tests.update_builder_fingerprints import fingerprint_material
+
+    for entry in ("stream_counter_multiplex", "stream_board_top_users"):
+        labels = {label for label, _ in fingerprint_material(entry)}
+        assert "helper:_merged_event_counters" in labels, (entry, labels)
+        assert "module:logvision_spark.streaming.multiplex" in labels, (
+            entry,
+            labels,
+        )

@@ -253,6 +253,28 @@ def test_backfill_then_live_cutover(spark, tmp_path):
     assert store.snapshot() == _as_map(melted_counter_deltas(both, specs))
 
 
+def test_backfill_refuses_after_live_merges(spark, parsed):
+    """The cutover ORDER is enforced, not just documented (r9 verdict):
+    once live merges have begun, an unfenced backfill of files the
+    stream may also have read would silently double-count — backfill()
+    must raise. force=True is the explicit operator override for a
+    provably-disjoint late tranche, and applies without touching the
+    fence."""
+    specs = log_counter_specs()
+    deltas = melted_counter_deltas(parsed, specs)
+    store = KVCounterStore()
+    store.merge(deltas, 0)  # live stream attached: merges have begun
+    after_live = store.snapshot()
+    with pytest.raises(RuntimeError, match="BEFORE attaching"):
+        store.backfill(deltas)
+    assert store.snapshot() == after_live  # refused atomically, no partial apply
+    store.backfill(deltas, force=True)  # explicit override still works
+    assert store.zscore("totals", "line_cnt") == 2 * after_live[
+        ("totals", "line_cnt")
+    ]
+    assert store.high_water_batch_id == 0  # fence untouched either way
+
+
 def test_fence_survives_engine_redelivery(spark, tmp_path):
     """THE production failure the fence exists for, driven through the
     REAL engine (not simulated merge calls): the KV write for batch 1

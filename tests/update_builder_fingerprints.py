@@ -78,7 +78,13 @@ def _referenced_names(src: str) -> set[str]:
         return {m.group(0) for m in re.finditer(r"\w+", src)}
     # Docstring Constant nodes are excluded from the string scan below —
     # pulling them in is exactly the doc-edit churn the r7 fix removed.
-    docstrings: set[int] = set()
+    # So are strings inside @register(...) decorator calls (r9 ADVICE):
+    # inspect.getsource(builder) includes the decorator, and its oracle=
+    # SQL / doc= prose are documentation, not code — a helper merely
+    # MENTIONED there must not pull its source into the closure. Strings
+    # in the builder BODY (F.expr/spark.sql text naming a UDF) still
+    # count, which is the r8 case the scan exists for.
+    excluded: set[int] = set()
     for node in ast.walk(tree):
         if isinstance(node, (ast.Module, ast.FunctionDef,
                              ast.AsyncFunctionDef, ast.ClassDef)):
@@ -86,7 +92,16 @@ def _referenced_names(src: str) -> set[str]:
             if (body and isinstance(body[0], ast.Expr)
                     and isinstance(body[0].value, ast.Constant)
                     and isinstance(body[0].value.value, str)):
-                docstrings.add(id(body[0].value))
+                excluded.add(id(body[0].value))
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for dec in node.decorator_list:
+                if (isinstance(dec, ast.Call)
+                        and isinstance(dec.func, ast.Name)
+                        and dec.func.id == "register"):
+                    for sub in ast.walk(dec):
+                        if (isinstance(sub, ast.Constant)
+                                and isinstance(sub.value, str)):
+                            excluded.add(id(sub))
     names: set[str] = set()
     for node in ast.walk(tree):
         if isinstance(node, ast.Name):
@@ -100,7 +115,7 @@ def _referenced_names(src: str) -> set[str]:
             names.add(node.asname or node.name.split(".")[0])
         elif (isinstance(node, ast.Constant)
               and isinstance(node.value, str)
-              and id(node) not in docstrings):
+              and id(node) not in excluded):
             # r8 ADVICE: a helper referenced only inside a string
             # literal (a UDF named in F.expr()/spark.sql() text) must
             # still reach the fingerprint closure.
