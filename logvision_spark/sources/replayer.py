@@ -27,11 +27,19 @@ class LogReplayer:
         out_dir: str,
         lines_per_tick: int = 5,
         tick_seconds: float = 2.0,
+        file_prefix: str = "part",
     ):
+        """``file_prefix`` namespaces this replayer's files: a SECOND
+        replayer resuming into the same watched dir (e.g. after a sink
+        crash, while the query is down) must not reuse the default
+        names — its chunk index restarts at 0 and the atomic rename
+        would silently OVERWRITE an already-ingested immutable file,
+        breaking the file source's contract."""
         self._lines = list(lines)
         self._out_dir = out_dir
         self._n = lines_per_tick
         self._tick = tick_seconds
+        self._prefix = file_prefix
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.files_written = 0
@@ -45,8 +53,8 @@ class LogReplayer:
         for idx, chunk in enumerate(self._chunks()):
             if self._stop.is_set():
                 return
-            tmp = os.path.join(self._out_dir, f".part-{idx:06d}.tmp")
-            final = os.path.join(self._out_dir, f"part-{idx:06d}.log")
+            tmp = os.path.join(self._out_dir, f".{self._prefix}-{idx:06d}.tmp")
+            final = os.path.join(self._out_dir, f"{self._prefix}-{idx:06d}.log")
             with open(tmp, "w") as f:
                 f.write("\n".join(chunk) + "\n")
             os.rename(tmp, final)  # atomic visibility for the file source

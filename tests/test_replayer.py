@@ -37,3 +37,22 @@ def test_replayer_drives_live_stream(spark, tmp_path):
     got = {r["member"]: r["cnt"] for r in spark.table("live_counts").collect()}
     assert got == {"10.0.0.1": 10, "10.0.0.2": 10, "10.0.0.3": 10}
     assert rep.files_written == 3
+
+
+def test_replayer_prefix_isolates_resumed_replays(tmp_path):
+    """A second replayer resuming into the same watched dir restarts its
+    chunk index at 0 — without a distinct file_prefix the atomic rename
+    would OVERWRITE an already-ingested file (the file source treats
+    visible files as immutable). The prefix keeps both replays' files
+    side by side."""
+    d = str(tmp_path / "resume")
+    LogReplayer(["one"], d, lines_per_tick=1, tick_seconds=0.01).start().drain()
+    LogReplayer(
+        ["two"], d, lines_per_tick=1, tick_seconds=0.01, file_prefix="tail"
+    ).start().drain()
+    import os
+
+    names = sorted(os.listdir(d))
+    assert names == ["part-000000.log", "tail-000000.log"], names
+    assert open(os.path.join(d, "part-000000.log")).read() == "one\n"
+    assert open(os.path.join(d, "tail-000000.log")).read() == "two\n"
