@@ -162,6 +162,33 @@ def test_fingerprint_covers_catalog_helpers_transitively():
     assert "module:logvision_spark.streaming.pipeline" in labels, labels
 
 
+def test_fingerprint_scan_skips_register_kwarg_strings():
+    """r9 ADVICE: inspect.getsource(builder) includes the @register
+    decorator, so its oracle= SQL and doc= prose were word-scanned —
+    a helper merely MENTIONED in doc prose pulled its full source into
+    the closure, reintroducing the doc-edit churn class the r7 docstring
+    fix removed via a different path. Pin the boundary: register-kwarg
+    strings are excluded, builder-BODY strings (the r8 F.expr/spark.sql
+    case the scan exists for) still count."""
+    from tests.update_builder_fingerprints import _referenced_names
+
+    src = (
+        '@register(\n'
+        '    "entry_name",\n'
+        '    oracle="SELECT oracle_only_name FROM events",\n'
+        '    doc="prose mentioning doc_only_helper by name",\n'
+        ')\n'
+        "def entry_name(spark, sf_dir):\n"
+        '    """Docstring mentioning docstring_only_helper."""\n'
+        '    return spark.sql("SELECT lv_body_udf(x) FROM t")\n'
+    )
+    names = _referenced_names(src)
+    assert "lv_body_udf" in names  # body strings still reach the closure
+    assert "oracle_only_name" not in names
+    assert "doc_only_helper" not in names
+    assert "docstring_only_helper" not in names
+
+
 def test_multiplex_edit_trips_both_entries():
     """stream_counter_multiplex and stream_board_top_users share
     _merged_event_counters, which imports streaming/multiplex.py — so a
