@@ -147,6 +147,62 @@ def test_high_water_fence_applies_each_batch_exactly_once(ids, shuffle):
 
 
 @given(
+    n_backfills=st.integers(0, 3),
+    ids=delivery,
+    shuffle=st.randoms(),
+    late_force=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_backfill_contract_over_any_cutover(
+    n_backfills, ids, shuffle, late_force
+):
+    """The r10 ordering guard as a property: ANY number of backfills
+    BEFORE the first live merge apply additively without touching the
+    fence; any delivery-with-replays after them is fenced exactly-once;
+    and a LATE backfill — at-least-one-merge-later — always raises and
+    leaves state byte-identical, unless the operator forces it (the
+    declared provably-disjoint override), in which case it applies and
+    the fence still reads the live high-water mark."""
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    expect: dict = {}
+    for j in range(n_backfills):
+        store.backfill(
+            _FakeDeltas(
+                [{"counter": "c", "member": f"a{j % 2}", "delta": j + 1}]
+            )
+        )
+        expect[("c", f"a{j % 2}")] = expect.get(("c", f"a{j % 2}"), 0) + j + 1
+    assert store.high_water_batch_id == -1  # backfills never advance it
+
+    replayed = list(ids)
+    for i in range(1, len(replayed)):
+        if shuffle.random() < 0.3:
+            replayed.insert(i, shuffle.choice(replayed[:i]))
+    for b in replayed:
+        store.merge(
+            _FakeDeltas([{"counter": "c", "member": f"a{b % 2}",
+                          "delta": b + 1}]),
+            b,
+        )
+    for b in sorted(set(replayed)):
+        expect[("c", f"a{b % 2}")] = expect.get(("c", f"a{b % 2}"), 0) + b + 1
+
+    late = _FakeDeltas([{"counter": "c", "member": "late", "delta": 5}])
+    if late_force:
+        store.backfill(late, force=True)
+        expect[("c", "late")] = 5
+    else:
+        before = store.snapshot()
+        with pytest.raises(RuntimeError, match="BEFORE attaching"):
+            store.backfill(late)
+        assert store.snapshot() == before  # refusal is atomic
+    assert store.snapshot() == expect
+    assert store.high_water_batch_id == max(replayed)
+
+
+@given(
     rows=st.lists(
         st.tuples(
             st.sampled_from(["c1", "c2"]),
