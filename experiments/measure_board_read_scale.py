@@ -12,9 +12,9 @@ cost, not a best case). Correctness gate before timing: the top-10 must
 equal heapq.nlargest under the same (-total, member is None, member)
 key.
 
-No Spark: the store is populated through `merge()` with a list-backed
-deltas stub (the same pattern the Hypothesis property tests use), so
-the numbers isolate the READ path.
+No Spark: the store is populated through `merge()` with the Hypothesis
+property tests' `_FakeDeltas` stub, so the numbers isolate the READ
+path.
 
 Run:  python experiments/measure_board_read_scale.py
 """
@@ -30,18 +30,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from logvision_spark.streaming.multiplex import KVCounterStore  # noqa: E402
+from tests.test_multiplex_properties import _FakeDeltas  # noqa: E402
 
 REPEATS = 7
-
-
-class _ListDeltas:
-    """merge() only needs .collect() -> rows indexable by column name."""
-
-    def __init__(self, rows):
-        self._rows = rows
-
-    def collect(self):
-        return self._rows
 
 
 def _build(n_members: int) -> KVCounterStore:
@@ -55,7 +46,7 @@ def _build(n_members: int) -> KVCounterStore:
             {"counter": c, "member": f"m{i:07d}", "delta": 1 + (i % 1000)}
             for i in range(n_members)
         ]
-    store.merge(_ListDeltas(rows), 0)
+    store.merge(_FakeDeltas(rows), 0)
     return store
 
 

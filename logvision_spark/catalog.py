@@ -2626,9 +2626,14 @@ def stream_a7_count_by_type(spark, sf_dir):
     return spark.table(name)
 
 
-@register(
-    "stream_counter_multiplex",
-    oracle=(
+def _event_counter_oracle() -> str:
+    """The DuckDB mirror of `_event_counter_specs` — one batch
+    aggregation per counter over the WHOLE events table, shared by
+    every multiplexed-KV entry so the two sides of the spec/oracle
+    contract can only drift together (a helper function, not a
+    module-level constant, so it stays inside the fingerprint
+    closure)."""
+    return (
         "SELECT 'user' AS counter, CAST(user_id AS VARCHAR) AS member, "
         "CAST(count(*) AS BIGINT) AS total FROM events GROUP BY user_id "
         "UNION ALL SELECT 'type', event_type, CAST(count(*) AS BIGINT) "
@@ -2642,7 +2647,12 @@ def stream_a7_count_by_type(spark, sf_dir):
         "CAST(sum(length(props)) AS BIGINT) FROM events "
         "UNION ALL SELECT 'totals', 'value_cents', "
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) FROM events"
-    ),
+    )
+
+
+@register(
+    "stream_counter_multiplex",
+    oracle=_event_counter_oracle(),
     doc="THE production counter topology (r7 VERDICT item 1; SURVEY.md "
     "§3.1 made physical): the ENTIRE counter catalog — two key "
     "counters, the per-second time series, and three integral totals — "
@@ -2769,21 +2779,7 @@ def stream_board_top_users(spark, sf_dir):
 
 @register(
     "stream_backfill_cutover",
-    oracle=(
-        "SELECT 'user' AS counter, CAST(user_id AS VARCHAR) AS member, "
-        "CAST(count(*) AS BIGINT) AS total FROM events GROUP BY user_id "
-        "UNION ALL SELECT 'type', event_type, CAST(count(*) AS BIGINT) "
-        "FROM events GROUP BY event_type "
-        "UNION ALL SELECT 'datetime', "
-        "strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S'), "
-        "CAST(count(*) AS BIGINT) FROM events GROUP BY 2 "
-        "UNION ALL SELECT 'totals', 'line_cnt', CAST(count(*) AS BIGINT) "
-        "FROM events "
-        "UNION ALL SELECT 'totals', 'size_bytes', "
-        "CAST(sum(length(props)) AS BIGINT) FROM events "
-        "UNION ALL SELECT 'totals', 'value_cents', "
-        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) FROM events"
-    ),
+    oracle=_event_counter_oracle(),
     doc="The ARCHIVE→LIVE cutover every real deployment of the counter "
     "topology runs first, driver-checked (r9 VERDICT item 2): the even-"
     "event_id half of the table is the archive — ONE batch melt applied "

@@ -189,6 +189,7 @@ class KVCounterStore:
     def __init__(self) -> None:
         self._counts: dict[tuple[str, str | None], int] = {}
         self._high_water: int = -1  # last applied batch_id
+        self._live_begun: bool = False  # any merge() call, even fenced
         self._lock = threading.Lock()
 
     def merge(self, deltas: DataFrame, batch_id: int) -> None:
@@ -199,8 +200,16 @@ class KVCounterStore:
         collect: a replayed batch (the at-least-once redelivery the
         fence exists for) must not pay the melt's scan + shuffle just
         to discard the result — and re-checked under the lock before
-        applying, in case two replays race (review finding)."""
+        applying, in case two replays race (review finding).
+
+        The live-begun flag is raised HERE, under the lock, before the
+        collect: the high-water mark alone is not enough for backfill's
+        ordering guard, because merge holds no lock during the collect —
+        a backfill racing the FIRST batch's in-flight collect would see
+        high_water == -1 on both of its checks and slip through the
+        exact double-count the guard enforces against (review finding)."""
         with self._lock:
+            self._live_begun = True
             if batch_id <= self._high_water:
                 return
         rows = deltas.collect()
@@ -226,32 +235,40 @@ class KVCounterStore:
         line: the transactional high-water mark guards the streaming
         writer only, while bulk loads go through the plain merge path.
 
-        That ordering is ENFORCED, not just documented: once live
-        merges have begun (``high_water_batch_id >= 0``) a backfill
-        raises — nothing fences it, so a late backfill of files the
+        That ordering is ENFORCED, not just documented: once the live
+        writer has called merge() at all — even a fenced replay, even a
+        first batch whose collect is still in flight — a backfill
+        raises. Nothing fences a backfill, so a late one over files the
         stream also read would silently double-count them (the exact
         misuse the reference's unfenced zincrby commits on every
-        replay, streaming.scala:163). ``force=True`` is the explicit
+        replay, streaming.scala:163). The guard keys on the live-begun
+        flag merge() raises under the lock BEFORE its collect, not on
+        the high-water mark, which only advances AFTER the first
+        batch's collect returns — checking the mark alone leaves a
+        window where a backfill racing that in-flight collect passes
+        both checks (review finding). ``force=True`` is the explicit
         operator override for the one legitimate late case — loading a
         second archive tranche the live stream provably does not
         watch — and puts the disjointness burden on the caller."""
-        if not force and self.high_water_batch_id != -1:
+
+        def _refuse(when: str) -> None:
+            raise RuntimeError(
+                f"backfill {when} would double-count any rows the stream "
+                "also read; run backfill BEFORE attaching the live "
+                "stream, or pass force=True if the archive is provably "
+                "disjoint from the streamed input"
+            )
+
+        if not force:
             # checked BEFORE the collect (don't pay the melt's scan +
             # shuffle just to refuse) and re-checked under the lock
-            raise RuntimeError(
-                "backfill after live merges have begun would double-count "
-                "any rows the stream also read; run backfill BEFORE "
-                "attaching the live stream, or pass force=True if the "
-                "archive is provably disjoint from the streamed input"
-            )
+            with self._lock:
+                if self._live_begun:
+                    _refuse("after live merges have begun")
         rows = deltas.collect()
         with self._lock:
-            if not force and self._high_water != -1:
-                raise RuntimeError(
-                    "live merges began while the backfill was computing; "
-                    "its input can no longer be assumed disjoint from the "
-                    "stream — rerun before the live query, or force=True"
-                )
+            if not force and self._live_begun:
+                _refuse("while the live stream's first merge is in flight")
             for r in rows:
                 key = (r["counter"], r["member"])
                 self._counts[key] = self._counts.get(key, 0) + r["delta"]

@@ -189,19 +189,27 @@ def test_fingerprint_scan_skips_register_kwarg_strings():
     assert "docstring_only_helper" not in names
 
 
-def test_multiplex_edit_trips_both_entries():
-    """stream_counter_multiplex and stream_board_top_users share
-    _merged_event_counters, which imports streaming/multiplex.py — so a
-    multiplex.py edit MUST change BOTH fingerprints (and hence trip the
-    registry test for both if either bump is forgotten). This pin makes
-    the coupling mechanical; it used to live in a hand-maintained NOTE
-    beside _EDITED_ROUND (r9 verdict item 4)."""
+def test_multiplex_edit_trips_all_kv_entries():
+    """All three multiplexed-KV entries depend on streaming/multiplex.py
+    (the state-dump and board-read entries through _merged_event_counters,
+    the cutover entry through its own import) — so a multiplex.py edit
+    MUST change ALL THREE fingerprints (and hence trip the registry test
+    for each whose bump is forgotten). This pin makes the coupling
+    mechanical; it used to live in a hand-maintained NOTE beside
+    _EDITED_ROUND (r9 verdict item 4)."""
     from tests.update_builder_fingerprints import fingerprint_material
 
-    for entry in ("stream_counter_multiplex", "stream_board_top_users"):
+    for entry in (
+        "stream_counter_multiplex",
+        "stream_board_top_users",
+        "stream_backfill_cutover",
+    ):
         labels = {label for label, _ in fingerprint_material(entry)}
-        assert "helper:_merged_event_counters" in labels, (entry, labels)
         assert "module:logvision_spark.streaming.multiplex" in labels, (
             entry,
             labels,
         )
+        assert "helper:_event_counter_specs" in labels, (entry, labels)
+    for entry in ("stream_counter_multiplex", "stream_board_top_users"):
+        labels = {label for label, _ in fingerprint_material(entry)}
+        assert "helper:_merged_event_counters" in labels, (entry, labels)

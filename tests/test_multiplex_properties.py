@@ -146,6 +146,41 @@ def test_high_water_fence_applies_each_batch_exactly_once(ids, shuffle):
     assert store.high_water_batch_id == max(replayed)
 
 
+def test_backfill_refused_during_inflight_first_merge():
+    """The TOCTOU window the review found: merge() holds no lock during
+    its collect and only advances the high-water mark AFTER applying, so
+    a guard keyed on high_water alone would let a backfill racing the
+    FIRST batch's in-flight collect pass both checks and double-count.
+    Reproduced deterministically: the merge's own collect() call
+    attempts the backfill — it must be refused (the live-begun flag is
+    raised under the lock BEFORE the collect), and the merge itself must
+    still apply."""
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    refused = {}
+
+    class _CollectRacesBackfill:
+        def collect(self):
+            # at this instant batch 0 is mid-flight: fence passed,
+            # high_water still -1
+            assert store.high_water_batch_id == -1
+            try:
+                store.backfill(
+                    _FakeDeltas(
+                        [{"counter": "c", "member": "dup", "delta": 1}]
+                    )
+                )
+            except RuntimeError as exc:
+                refused["err"] = str(exc)
+            return [{"counter": "c", "member": "m", "delta": 7}]
+
+    store.merge(_CollectRacesBackfill(), 0)
+    assert "BEFORE attaching" in refused["err"]
+    assert store.snapshot() == {("c", "m"): 7}  # merge applied once, no dup
+    assert store.high_water_batch_id == 0
+
+
 @given(
     n_backfills=st.integers(0, 3),
     ids=delivery,
