@@ -5,16 +5,19 @@ dict per read — fine for tests and demos, but the serving docs say
 k) zrevrange)" and that pointer deserves a measured point, not a vibe.
 
 What this measures: median wall latency of `zrevrange(counter, 10)` and
-`zscore` over stores of 10 k / 100 k / 1 M members in the hot counter
-(plus a second counter of equal size, so the read also pays the
-full-dict scan that filters by counter name — the actual implementation
-cost, not a best case). Correctness gate before timing: the top-10 must
-equal heapq.nlargest under the same (-total, member is None, member)
-key.
+`zscore` over stores of 10 k / 100 k / 1 M members in the hot counter,
+PLUS a second counter of equal size. Under the r10 flat
+(counter, member)-keyed dict, every read scanned and filtered BOTH
+counters (858 ms per zrevrange(10) at 1 M members); the r11 per-counter
+layout scopes the read to one counter's dict, so the sibling is free —
+and a third timing (`zrevrange` of a 150-member board beside the 1 M
+sibling) pins exactly that isolation. Correctness gate before timing:
+the top-10 must equal heapq.nlargest under the same
+(-total, member is None, member) key.
 
-No Spark: the store is populated through `merge()` with the Hypothesis
-property tests' `_FakeDeltas` stub, so the numbers isolate the READ
-path.
+No Spark: the store is populated through `merge()` with a 6-line deltas
+stub (merge only calls .collect(); dict rows support the r["counter"]
+access real Rows do), so the numbers isolate the READ path.
 
 Run:  python experiments/measure_board_read_scale.py
 """
@@ -30,22 +33,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from logvision_spark.streaming.multiplex import KVCounterStore  # noqa: E402
-from tests.test_multiplex_properties import _FakeDeltas  # noqa: E402
 
 REPEATS = 7
+
+
+class _FakeDeltas:
+    """Stand-in for the post-aggregation deltas DataFrame: merge() only
+    calls .collect(), and dict rows support the r["counter"] access the
+    real Row objects do — keeps this experiment Spark-free and decoupled
+    from the test suite (it previously imported the Hypothesis property
+    tests' stub, which required pytest+hypothesis just to measure)."""
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return self._rows
 
 
 def _build(n_members: int) -> KVCounterStore:
     store = KVCounterStore()
     # deterministic totals with heavy ties (the board's worst case: the
-    # tie-break comparator runs on member strings) across TWO counters,
-    # so zrevrange('user', k) pays the real filter-by-counter scan
+    # tie-break comparator runs on member strings) across TWO equal-size
+    # counters — under the flat layout zrevrange('user', k) paid a scan
+    # of both; the per-counter layout should make the sibling free —
+    # plus a SMALL 150-member board, the realistic serving shape (a user
+    # board beside a huge url counter), to pin the isolation directly
     rows = []
     for c in ("user", "url"):
         rows += [
             {"counter": c, "member": f"m{i:07d}", "delta": 1 + (i % 1000)}
             for i in range(n_members)
         ]
+    rows += [
+        {"counter": "small_board", "member": f"u{i:03d}", "delta": 1 + i}
+        for i in range(150)
+    ]
     store.merge(_FakeDeltas(rows), 0)
     return store
 
@@ -60,21 +83,33 @@ def _timeit(fn) -> float:
 
 
 def main() -> None:
-    print(f"{'members/counter':>16} {'zrevrange(10)':>14} {'zscore':>12}")
+    print(
+        f"{'members/counter':>16} {'zrevrange(10)':>14} {'zscore':>12}"
+        f" {'150-mem board':>14}"
+    )
     for n in (10_000, 100_000, 1_000_000):
         store = _build(n)
         # equality gate BEFORE timing: stand-in top-10 ≡ nlargest under
-        # the catalog tie-break
-        got = store.zrevrange("user", 10)
-        want = heapq.nsmallest(
-            10,
-            ((m, v) for (c, m), v in store.snapshot().items() if c == "user"),
-            key=lambda r: (-r[1], r[0] is None, r[0] or ""),
-        )
-        assert got == want, (got[:3], want[:3])
+        # the catalog tie-break, for the hot counter AND the small board
+        for counter in ("user", "small_board"):
+            got = store.zrevrange(counter, 10)
+            want = heapq.nsmallest(
+                10,
+                (
+                    (m, v)
+                    for (c, m), v in store.snapshot().items()
+                    if c == counter
+                ),
+                key=lambda r: (-r[1], r[0] is None, r[0] or ""),
+            )
+            assert got == want, (counter, got[:3], want[:3])
         t_board = _timeit(lambda: store.zrevrange("user", 10))
         t_score = _timeit(lambda: store.zscore("user", "m0000042"))
-        print(f"{n:>16,} {t_board * 1e3:>11.1f} ms {t_score * 1e6:>9.2f} µs")
+        t_small = _timeit(lambda: store.zrevrange("small_board", 10))
+        print(
+            f"{n:>16,} {t_board * 1e3:>11.1f} ms {t_score * 1e6:>9.2f} µs"
+            f" {t_small * 1e6:>11.2f} µs"
+        )
 
 
 if __name__ == "__main__":

@@ -5099,14 +5099,17 @@ _EDITED_ROUND: dict[str, int] = {
     "stream_w_append_finalized": 8,
     "stream_w_tumbling_counts": 8,
     "stream_w_session": 8,
-    # round-10: KVCounterStore.backfill now ENFORCES the run-before-live
-    # contract (raises once high_water_batch_id >= 0 unless force=True —
-    # r9 verdict item 1). multiplex.py is hashed into both entries'
-    # fingerprints via the shared _merged_event_counters helper, so both
-    # re-green together (the coupling is pinned mechanically by
-    # tests/test_export_order.py::test_multiplex_edit_trips_both_entries).
-    "stream_counter_multiplex": 10,
-    "stream_board_top_users": 10,
+    # round-11: KVCounterStore's internal layout went per-counter
+    # (dict[counter -> dict[member -> total]]) so board reads stop
+    # scanning sibling counters (r10 verdict item 2). Public contract
+    # (snapshot/zscore/zrevrange/to_df, merge/backfill fencing) is
+    # unchanged — the Hypothesis property tests run unmodified — but
+    # multiplex.py is hashed into all three KV entries' fingerprints,
+    # so all three re-green together (coupling pinned mechanically by
+    # tests/test_export_order.py::test_multiplex_edit_trips_all_kv_entries).
+    "stream_counter_multiplex": 11,
+    "stream_board_top_users": 11,
+    "stream_backfill_cutover": 11,
 }
 
 

@@ -237,6 +237,78 @@ def test_backfill_contract_over_any_cutover(
     assert store.high_water_batch_id == max(replayed)
 
 
+# a backfill tranche as the deltas merge()/backfill() consume: counter,
+# member (NULLs and collisions with the live alphabet on purpose), delta
+tranche_row = st.tuples(
+    st.sampled_from(["c", "totals"]),
+    st.one_of(st.none(), st.sampled_from(["a0", "a1", "x", ""])),
+    st.integers(-5, 5),
+)
+tranche = st.lists(tranche_row, min_size=0, max_size=10)
+
+
+def _agg(rows_by_key: dict, rows) -> None:
+    for c, m, d in rows:
+        rows_by_key[(c, m)] = rows_by_key.get((c, m), 0) + d
+
+
+@given(tranche_a=tranche, ids=delivery, shuffle=st.randoms(),
+       tranche_b=tranche)
+@settings(max_examples=200, deadline=None)
+def test_forced_late_backfill_of_disjoint_tranche_is_additive(
+    tranche_a, ids, shuffle, tranche_b
+):
+    """The one legitimate `force=True` use the docstring names
+    (multiplex.py backfill: "loading a second archive tranche the live
+    stream provably does not watch"), pinned as a property: for ANY
+    early tranche + ANY fenced live delivery-with-replays + ANY second
+    tranche whose ROWS are disjoint from the streamed input (members may
+    and do collide — disjointness is about files, not keys), a forced
+    late backfill must apply additively, leave the fence at the live
+    high-water mark, and end with store ≡ ONE batch aggregation over
+    tranche_a ∪ distinct-live-batches ∪ tranche_b (the merged-state ≡
+    batch-agg-over-union equivalence the module docstring promises)."""
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    expect: dict = {}
+
+    if tranche_a:
+        store.backfill(
+            _FakeDeltas(
+                [{"counter": c, "member": m, "delta": d}
+                 for c, m, d in tranche_a]
+            )
+        )
+        _agg(expect, tranche_a)
+
+    replayed = list(ids)
+    for i in range(1, len(replayed)):
+        if shuffle.random() < 0.3:
+            replayed.insert(i, shuffle.choice(replayed[:i]))
+    for b in replayed:
+        store.merge(
+            _FakeDeltas([{"counter": "c", "member": f"a{b % 2}",
+                          "delta": b + 1}]),
+            b,
+        )
+    _agg(expect, (("c", f"a{b % 2}", b + 1) for b in sorted(set(replayed))))
+
+    # live has begun (delivery is non-empty), so this backfill is LATE —
+    # unforced it must raise (pinned elsewhere); forced it must apply
+    store.backfill(
+        _FakeDeltas(
+            [{"counter": c, "member": m, "delta": d}
+             for c, m, d in tranche_b]
+        ),
+        force=True,
+    )
+    _agg(expect, tranche_b)
+
+    assert store.snapshot() == expect
+    assert store.high_water_batch_id == max(replayed)
+
+
 @given(
     rows=st.lists(
         st.tuples(
