@@ -91,15 +91,13 @@ def main() -> None:
         store = _build(n)
         # equality gate BEFORE timing: stand-in top-10 ≡ nlargest under
         # the catalog tie-break, for the hot counter AND the small board
+        # (one snapshot, hoisted — it flattens the whole store)
+        snap = store.snapshot()
         for counter in ("user", "small_board"):
             got = store.zrevrange(counter, 10)
             want = heapq.nsmallest(
                 10,
-                (
-                    (m, v)
-                    for (c, m), v in store.snapshot().items()
-                    if c == counter
-                ),
+                ((m, v) for (c, m), v in snap.items() if c == counter),
                 key=lambda r: (-r[1], r[0] is None, r[0] or ""),
             )
             assert got == want, (counter, got[:3], want[:3])

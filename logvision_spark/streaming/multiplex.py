@@ -295,13 +295,17 @@ class KVCounterStore:
     def snapshot(self) -> dict[tuple[str, str | None], int]:
         """Flat (counter, member) → total view — the public contract the
         tests and oracles compare against; the nested internal layout is
-        a read-path optimization only."""
+        a read-path optimization only. Only the C-level inner-dict copies
+        happen under the lock; the Python-level flatten runs outside it,
+        so a large snapshot cannot stall the live writer's merge() on the
+        shared lock (review finding)."""
         with self._lock:
-            return {
-                (c, m): v
-                for c, members in self._counters.items()
-                for m, v in members.items()
-            }
+            copied = {c: dict(ms) for c, ms in self._counters.items()}
+        return {
+            (c, m): v
+            for c, members in copied.items()
+            for m, v in members.items()
+        }
 
     def zscore(self, counter: str, member: str | None) -> int:
         """Point lookup — app.py's `zscore` read path (flask/app.py:84)."""
