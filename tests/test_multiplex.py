@@ -253,6 +253,73 @@ def test_backfill_then_live_cutover(spark, tmp_path):
     assert store.snapshot() == _as_map(melted_counter_deltas(both, specs))
 
 
+def test_forced_second_tranche_after_live_stream(spark, tmp_path):
+    """The one legitimate force=True use, driven END-TO-END through a
+    real streaming query (the property test pins it over fakes): archive
+    tranche 1 backfilled, the live stream attached and drained over its
+    own directory, then a SECOND archive tranche — files the stream
+    provably does not watch — force-backfilled late. Final state must
+    equal ONE batch aggregation over all three corpora, and the fence
+    must still read the live high-water mark (a forced backfill never
+    touches it, so a later live restart from the same checkpoint stays
+    correctly fenced)."""
+    archive1 = tmp_path / "tranche1"
+    live = tmp_path / "live"
+    archive2 = tmp_path / "tranche2"
+    for d in (archive1, live, archive2):
+        d.mkdir()
+    for i, line in enumerate(LINES[:2]):
+        (archive1 / f"a{i}.log").write_text(line + "\n")
+    for i, line in enumerate(LINES[2:5]):
+        (live / f"l{i}.log").write_text(line + "\n")
+    for i, line in enumerate(LINES[5:]):
+        (archive2 / f"b{i}.log").write_text(line + "\n")
+
+    specs = log_counter_specs()
+    store = KVCounterStore()
+    store.backfill(
+        melted_counter_deltas(
+            parse_access_log(spark.read.text(str(archive1))), specs
+        )
+    )
+
+    q = start_multiplexed_counter_sink(
+        parse_access_log(
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(live))
+        ),
+        specs,
+        store.merge,
+        checkpoint_dir=str(tmp_path / "fckpt"),
+        available_now=True,
+    )
+    try:
+        assert q.awaitTermination(120), "live sink did not drain"
+    finally:
+        if q.isActive:
+            q.stop()
+    live_high_water = store.high_water_batch_id
+    assert live_high_water >= 1
+
+    # live has begun: the second tranche must be refused unforced...
+    tranche2 = melted_counter_deltas(
+        parse_access_log(spark.read.text(str(archive2))), specs
+    )
+    with pytest.raises(RuntimeError, match="BEFORE attaching"):
+        store.backfill(tranche2)
+    # ...and applied under the explicit override, leaving the fence alone
+    store.backfill(tranche2, force=True)
+    assert store.high_water_batch_id == live_high_water
+
+    everything = parse_access_log(
+        spark.read.text([str(archive1), str(live), str(archive2)])
+    )
+    assert store.snapshot() == _as_map(
+        melted_counter_deltas(everything, specs)
+    )
+
+
 def test_backfill_refuses_after_live_merges(spark, parsed):
     """The cutover ORDER is enforced, not just documented (r9 verdict):
     once live merges have begun, an unfenced backfill of files the

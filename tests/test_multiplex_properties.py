@@ -309,6 +309,69 @@ def test_forced_late_backfill_of_disjoint_tranche_is_additive(
     assert store.high_water_batch_id == max(replayed)
 
 
+def test_reads_race_merges_without_tearing():
+    """The class docstring's thread-safety promise, exercised: one
+    writer thread applies 400 distinct batches while reader threads
+    hammer snapshot/zrevrange/zscore/to-high-water the whole time. No
+    read may raise, every snapshot must be internally CONSISTENT (each
+    batch writes the same delta to two counters, so any torn read —
+    e.g. the r11 outside-lock flatten accidentally exposing a half-
+    applied batch — shows up as the pair diverging), and the final
+    state must equal all batches applied exactly once."""
+    import threading
+
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    n_batches = 400
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def _writer():
+        for b in range(n_batches):
+            # the same delta lands in BOTH counters under the one lock,
+            # so ("a", m) and ("b", m) can never legally diverge
+            store.merge(
+                _FakeDeltas([
+                    {"counter": "a", "member": f"m{b % 5}", "delta": 1},
+                    {"counter": "b", "member": f"m{b % 5}", "delta": 1},
+                ]),
+                b,
+            )
+
+    def _reader():
+        try:
+            while not stop.is_set():
+                snap = store.snapshot()
+                a = {m: v for (c, m), v in snap.items() if c == "a"}
+                b = {m: v for (c, m), v in snap.items() if c == "b"}
+                assert a == b, "torn snapshot: paired counters diverged"
+                store.zrevrange("a", 3)
+                store.zscore("b", "m0")
+                store.high_water_batch_id
+        except BaseException as exc:  # surfaced to the main thread
+            errors.append(exc)
+
+    readers = [threading.Thread(target=_reader) for _ in range(4)]
+    writer = threading.Thread(target=_writer)
+    for t in readers:
+        t.start()
+    writer.start()
+    writer.join(60)
+    stop.set()
+    for t in readers:
+        t.join(10)
+    assert not writer.is_alive() and not any(t.is_alive() for t in readers)
+    assert not errors, errors[:1]
+    expect = {}
+    for b in range(n_batches):
+        for c in ("a", "b"):
+            k = (c, f"m{b % 5}")
+            expect[k] = expect.get(k, 0) + 1
+    assert store.snapshot() == expect
+    assert store.high_water_batch_id == n_batches - 1
+
+
 @given(
     rows=st.lists(
         st.tuples(
