@@ -297,8 +297,11 @@ class KVCounterStore:
         tests and oracles compare against; the nested internal layout is
         a read-path optimization only. Only the C-level inner-dict copies
         happen under the lock; the Python-level flatten runs outside it,
-        so a large snapshot cannot stall the live writer's merge() on the
-        shared lock (review finding)."""
+        so a large snapshot stalls the live writer's merge() only for the
+        O(n) C-level copy, not the several-times-longer per-entry tuple
+        build (review finding — frequent snapshot polling on a 1 M+ entry
+        store still costs the writer tens of ms per poll; poll boards via
+        zrevrange, which copies one counter, not the store)."""
         with self._lock:
             copied = {c: dict(ms) for c, ms in self._counters.items()}
         return {
