@@ -292,11 +292,21 @@ def main() -> None:
         # way min is for a latency; both JVMs' raw figures go to the
         # BENCH_DETAIL sidecar for auditability.
         parse_passes = [_spawn("parse", sf_dir), _spawn("parse", sf_dir)]
-        parse = {
-            k: max(p[k] for p in parse_passes if p.get(k) is not None)
-            for k in ("parse_rows_per_sec", "parse_rows_per_sec_4m")
-            if any(p.get(k) is not None for p in parse_passes)
-        }
+        # BOTH published figures come from the ONE JVM whose primary
+        # metric (parse_rows_per_sec) is higher — a per-metric max could
+        # stitch a (rows_per_sec, rows_per_sec_4m) pair that never
+        # co-occurred in a single run (r11 ADVICE); the loser JVM's raw
+        # figures stay in the sidecar
+        parse = max(
+            (p for p in parse_passes if p.get("parse_rows_per_sec")),
+            key=lambda p: p["parse_rows_per_sec"],
+            default={},
+        )
+        # fail loud, not KeyError-at-a-distance, if both parse children
+        # came back without the primary metric (r11 ADVICE)
+        assert "parse_rows_per_sec" in parse, (
+            f"no parse JVM returned parse_rows_per_sec: {parse_passes}"
+        )
         core = _spawn("core", sf_dir)
         new = _spawn("new", sf_dir)
         r4 = _spawn("r4", sf_dir)
@@ -368,13 +378,29 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_DETAIL.json"), "w"
     ) as f:
+        qmin = {
+            k: round(min(v, pass2.get(k, v)), 4)
+            for k, v in {**timings, **timings_new, **timings_r4}.items()
+        } if pass2 else None
         json.dump(
-            {"queries_pass2": pass2 or None, "sf": sf,
+            {"queries_pass2": pass2 or None,
+             # per-query min over both in-JVM passes — THE tracked
+             # round-over-round comparator (r11 verdict item 4: pass-1
+             # totals swing with co-tenant load; the min does not).
+             # Lives here, not on the printed line: the driver keeps
+             # ~2000 chars of stdout tail and two 48-entry maps cannot
+             # both fit (the r4 parsed=null lesson); the line keeps the
+             # pass-1 "queries" map the driver contract names, plus a
+             # qmin_sidecar marker pointing here.
+             "queries_min": qmin,
+             "sf": sf,
              "isolated_jvms": isolated,
              "shingle_cache_build_sec": cache_sec,
              "shingle_cache_build_sec_per_child": cache_secs,
-             # raw per-JVM parse figures behind the max-of-two-JVMs
-             # headline (the printed line carries only the max)
+             # raw per-JVM parse figures behind the headline (both
+             # published figures come from the winner JVM — the one
+             # with the higher primary metric; the other JVM's pair
+             # is auditable here)
              "parse_jvm_passes": parse_detail},
             f, indent=1,
         )
@@ -405,6 +431,8 @@ def main() -> None:
             "parse_rows_per_sec": parse_rows,
             "parse_rows_per_sec_4m": parse_rows_4m,
             "isolated_jvms": isolated,
+            # per-query min-of-passes map is in BENCH_DETAIL.json
+            "qmin_sidecar": bool(pass2),
             # EVERY set's stable numerator vs the 2x-baseline bar (the
             # r7/r8 drift lesson: pass-1 totals swing with co-tenant
             # load; the per-query min over both in-JVM passes does not —

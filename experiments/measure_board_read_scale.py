@@ -24,7 +24,6 @@ Run:  python experiments/measure_board_read_scale.py
 
 from __future__ import annotations
 
-import heapq
 import os
 import statistics
 import sys
@@ -89,17 +88,18 @@ def main() -> None:
     )
     for n in (10_000, 100_000, 1_000_000):
         store = _build(n)
-        # equality gate BEFORE timing: stand-in top-10 ≡ nlargest under
-        # the catalog tie-break, for the hot counter AND the small board
+        # equality gate BEFORE timing: stand-in top-10 ≡ a FULL SORT
+        # under the catalog tie-break (independent oracle — zrevrange
+        # itself is heap-select since r12, so the gate must not share
+        # its algorithm), for the hot counter AND the small board
         # (one snapshot, hoisted — it flattens the whole store)
         snap = store.snapshot()
         for counter in ("user", "small_board"):
             got = store.zrevrange(counter, 10)
-            want = heapq.nsmallest(
-                10,
+            want = sorted(
                 ((m, v) for (c, m), v in snap.items() if c == counter),
                 key=lambda r: (-r[1], r[0] is None, r[0] or ""),
-            )
+            )[:10]
             assert got == want, (counter, got[:3], want[:3])
         t_board = _timeit(lambda: store.zrevrange("user", 10))
         t_score = _timeit(lambda: store.zscore("user", "m0000042"))

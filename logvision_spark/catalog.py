@@ -5099,17 +5099,20 @@ _EDITED_ROUND: dict[str, int] = {
     "stream_w_append_finalized": 8,
     "stream_w_tumbling_counts": 8,
     "stream_w_session": 8,
-    # round-11: KVCounterStore's internal layout went per-counter
-    # (dict[counter -> dict[member -> total]]) so board reads stop
-    # scanning sibling counters (r10 verdict item 2). Public contract
+    # round-12: zrevrange's within-counter full sort became a
+    # threshold heap-select (value-only k-th pass + candidate filter
+    # under the lock, tie-break sort of candidates outside) — 1 M-
+    # member top-10 read ~750 ms (r10) → ~58 ms (r11 verdict item 2;
+    # experiments/measure_board_read_scale.py). Public contract
     # (snapshot/zscore/zrevrange/to_df, merge/backfill fencing) is
     # unchanged — the Hypothesis property tests run unmodified — but
     # multiplex.py is hashed into all three KV entries' fingerprints,
     # so all three re-green together (coupling pinned mechanically by
     # tests/test_export_order.py::test_multiplex_edit_trips_all_kv_entries).
-    "stream_counter_multiplex": 11,
-    "stream_board_top_users": 11,
-    "stream_backfill_cutover": 11,
+    # (Previous bump: r11 per-counter store layout.)
+    "stream_counter_multiplex": 12,
+    "stream_board_top_users": 12,
+    "stream_backfill_cutover": 12,
 }
 
 

@@ -43,6 +43,7 @@ merged KV state ≡ one batch aggregation over the concatenated input.
 
 from __future__ import annotations
 
+import heapq
 import threading
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
@@ -284,6 +285,40 @@ class KVCounterStore:
                     members.get(r["member"], 0) + r["delta"]
                 )
 
+    @classmethod
+    def restore(
+        cls,
+        state: dict[tuple[str, str | None], int],
+        high_water: int,
+    ) -> "KVCounterStore":
+        """Re-instantiate from persisted ``(snapshot(), high_water_batch_id)``
+        state — the restart story pinned at the STORE level, not only
+        through Spark's checkpoint replay (r11 verdict item 6). A
+        production deployment persists the totals and the high-water
+        mark transactionally together; this is the matching load path,
+        and a restored store behaves exactly as the original did at the
+        persistence point:
+
+        - the fence carries over: a redelivered batch_id ≤ ``high_water``
+          is a no-op, the next unseen id applies — so a restart under
+          at-least-once redelivery still applies each distinct batch
+          exactly once (property-tested in
+          tests/test_multiplex_properties.py);
+        - a non-empty merge history (``high_water >= 0``) counts as
+          live-begun, so an unforced ``backfill`` REFUSES: the persisted
+          totals came from a live stream, and a post-restart backfill
+          over files that stream also read would double-count them —
+          restarting must not reopen the ordering guard. ``force=True``
+          stays the explicit provably-disjoint override. A store whose
+          persisted state came only from backfills (``high_water == -1``)
+          restores with the guard open, matching the original."""
+        store = cls()
+        for (c, m), v in state.items():
+            store._counters.setdefault(c, {})[m] = int(v)
+        store._high_water = high_water
+        store._live_begun = high_water >= 0
+        return store
+
     @property
     def high_water_batch_id(self) -> int:
         """Last applied batch_id (-1 before any merge) — the single
@@ -325,16 +360,32 @@ class KVCounterStore:
         NULL last) so the returned SET is deterministic, same rule as
         every ORDER BY ... LIMIT in the catalog.
 
-        Cost is O(members-in-THIS-counter) per read (sort of one
-        counter's dict) — sibling counters are never touched, so a 1 M-
-        member url board no longer taxes the 150-member user board
-        (measured in experiments/measure_board_read_scale.py). The
-        production pointer stands: a real ZSET makes this O(log n + k)."""
+        Cost is O(n + k log k) over members-in-THIS-counter per read:
+        a value-only heap pass finds the k-th largest total (C-speed
+        int comparisons, no tuple copy), a list-comp keeps only members
+        at-or-above it, and the full tie-break comparator sorts just
+        those candidates. The r11 per-counter layout freed sibling
+        counters; this removes the last stand-in cost, the
+        within-counter O(n log n) sort — measured in
+        experiments/measure_board_read_scale.py, the 1 M-member top-10
+        read dropped ~750 ms (r10 flat layout) → ~230 ms (plain
+        heap-select with the tuple key) → ~55 ms. The select runs
+        under the lock (it iterates the live dict twice — copying
+        first, the pre-r12 shape, held the lock LONGER: list() of 1 M
+        items is ~140 ms against ~50 ms for this pass); only the
+        candidate sort runs outside. Worst case is an all-tied counter
+        (every member passes the threshold): the candidate copy still
+        holds the lock ~n list-comp appends, and the outside sort
+        degrades to the old full sort. The production pointer stands: a
+        real ZSET makes this O(log n + k)."""
         with self._lock:
             members = self._counters.get(counter)
-            rows = list(members.items()) if members else []
-        rows.sort(key=lambda r: (-r[1], r[0] is None, r[0] or ""))
-        return rows[:k]
+            if not members or k <= 0:
+                return []
+            kth = heapq.nlargest(k, members.values())[-1]
+            cands = [r for r in members.items() if r[1] >= kth]
+        cands.sort(key=lambda r: (-r[1], r[0] is None, r[0] or ""))
+        return cands[:k]
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Accumulated state as (counter, member, total) — the zrange-all

@@ -411,5 +411,84 @@ def test_zrevrange_is_the_deterministic_topk(rows, k):
         assert store.zrevrange(counter, k) == model
 
 
+@given(
+    # min_size=0, unlike `delivery`: the no-live-merges history is the
+    # case that pins restore()'s guard-open branch (backfill-only state
+    # restores with high_water == -1 and backfill still allowed)
+    ids=st.lists(st.integers(0, 6), min_size=0, max_size=12).map(sorted),
+    shuffle=st.randoms(),
+    pre_backfill=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_restore_carries_fence_and_backfill_guard(ids, shuffle, pre_backfill):
+    """Restart at the STORE level (r11 verdict item 6): for ANY history —
+    optional pre-live backfill, then any delivery-with-replays — a store
+    restored from persisted (snapshot, high_water) state must
+
+    1. hold identical totals,
+    2. fence every already-applied batch_id as a no-op (exactly-once
+       survives the restart under at-least-once redelivery),
+    3. refuse an unforced backfill iff the persisted history includes
+       live merges (restarting must not reopen the ordering guard;
+       force=True still applies),
+    4. apply the next UNSEEN batch exactly as the original would —
+       original-kept-running and restored-then-resumed end bit-identical.
+    """
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    def deltas_for(b):
+        return _FakeDeltas([
+            {"counter": "c", "member": f"m{b % 3}", "delta": b + 1},
+            {"counter": "totals", "member": "n", "delta": 1},
+        ])
+
+    original = KVCounterStore()
+    if pre_backfill:
+        original.backfill(
+            _FakeDeltas([{"counter": "c", "member": "m0", "delta": 100}])
+        )
+    replayed = list(ids)
+    for i in range(1, len(replayed)):
+        if shuffle.random() < 0.3:
+            replayed.insert(i, shuffle.choice(replayed[:i]))
+    for b in replayed:
+        original.merge(deltas_for(b), b)
+
+    persisted = (original.snapshot(), original.high_water_batch_id)
+    restored = KVCounterStore.restore(*persisted)
+
+    # 1. identical totals and fence position
+    assert restored.snapshot() == persisted[0]
+    assert restored.high_water_batch_id == persisted[1]
+
+    # 2. every already-applied id is fenced in the restored store
+    for b in set(replayed):
+        restored.merge(deltas_for(b), b)
+    assert restored.snapshot() == persisted[0]
+
+    # 3. unforced backfill refuses iff live merges happened pre-restart;
+    #    force applies either way
+    bf = _FakeDeltas([{"counter": "bf", "member": "x", "delta": 1}])
+    if replayed:
+        with pytest.raises(RuntimeError, match="BEFORE attaching"):
+            restored.backfill(bf)
+        assert restored.snapshot() == persisted[0]
+    else:
+        # backfill-only (or empty) history restores with the guard open
+        restored.backfill(bf)
+        assert restored.snapshot().get(("bf", "x")) == 1
+    restored.backfill(bf, force=True)
+
+    # 4. the next unseen batch applies identically in both stores
+    nxt = (max(replayed) if replayed else -1) + 1
+    original.backfill(bf, force=True)
+    if not replayed:  # mirror the unforced branch applied to restored
+        original.backfill(bf)
+    original.merge(deltas_for(nxt), nxt)
+    restored.merge(deltas_for(nxt), nxt)
+    assert restored.snapshot() == original.snapshot()
+    assert restored.high_water_batch_id == original.high_water_batch_id == nxt
+
+
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
