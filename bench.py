@@ -353,19 +353,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
-    def _min_total(first: dict[str, float], names: list[str]) -> float:
-        # per-query min over BOTH in-JVM passes (each itself min-of-2):
-        # the STABLE numerator for every set (r8 verdict item 2 — the
-        # non-core sets published only pass-1/pass-2 totals, so ambient
-        # pass-1 drift needed manual per-query disposition each round)
-        sel = set(names)
-        return round(
-            sum(
-                min(v, pass2.get(k, v))
-                for k, v in first.items()
-                if k in sel
-            ), 4
-        )
+    # per-query min over BOTH in-JVM passes (each itself min-of-2): the
+    # STABLE numerator for every set (r8 verdict item 2) AND the sidecar's
+    # queries_min map — ONE derivation, so the printed min_totals and the
+    # published per-query map cannot diverge (review finding)
+    qmin = {
+        k: round(min(v, pass2.get(k, v)), 4)
+        for k, v in {**timings, **timings_new, **timings_r4}.items()
+    } if pass2 else None
+
+    def _min_total(names: list[str]) -> float:
+        return round(sum(qmin[k] for k in names if k in qmin), 4)
     # Per-query pass-2 detail goes to a sidecar file, NOT the printed
     # line: the driver keeps only the tail of stdout (~2000 chars) and
     # r4's inlined pass2 pushed the JSON line past that window, so
@@ -378,10 +376,6 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_DETAIL.json"), "w"
     ) as f:
-        qmin = {
-            k: round(min(v, pass2.get(k, v)), 4)
-            for k, v in {**timings, **timings_new, **timings_r4}.items()
-        } if pass2 else None
         json.dump(
             {"queries_pass2": pass2 or None,
              # per-query min over both in-JVM passes — THE tracked
@@ -440,12 +434,12 @@ def main() -> None:
             # r8's core_min_total under a compact nested key so all six
             # sets fit the driver's tail window.
             "min_totals": {
-                "core": _min_total(timings, CORE),
-                "new": _min_total(timings_new, NEW),
-                "r4": _min_total(timings_r4, R4),
-                "r5": _min_total(timings_r4, R5),
-                "r6": _min_total(timings_r4, R6),
-                "r7": _min_total(timings_r4, R7),
+                "core": _min_total(CORE),
+                "new": _min_total(NEW),
+                "r4": _min_total(R4),
+                "r5": _min_total(R5),
+                "r6": _min_total(R6),
+                "r7": _min_total(R7),
             } if pass2 else None,
         },
         separators=(",", ":"),

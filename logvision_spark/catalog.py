@@ -5102,8 +5102,9 @@ _EDITED_ROUND: dict[str, int] = {
     # round-12: zrevrange's within-counter full sort became a
     # threshold heap-select (value-only k-th pass + candidate filter
     # under the lock, tie-break sort of candidates outside) — 1 M-
-    # member top-10 read ~750 ms (r10) → ~58 ms (r11 verdict item 2;
-    # experiments/measure_board_read_scale.py). Public contract
+    # member top-10 read 791 ms (r11 full sort) → 58 ms (r11 verdict
+    # item 2; experiments/measure_board_read_scale.py) — and the store
+    # gained the restore()/persist_state() restart pair. Public contract
     # (snapshot/zscore/zrevrange/to_df, merge/backfill fencing) is
     # unchanged — the Hypothesis property tests run unmodified — but
     # multiplex.py is hashed into all three KV entries' fingerprints,

@@ -290,6 +290,7 @@ class KVCounterStore:
         cls,
         state: dict[tuple[str, str | None], int],
         high_water: int,
+        live_begun: bool | None = None,
     ) -> "KVCounterStore":
         """Re-instantiate from persisted ``(snapshot(), high_water_batch_id)``
         state — the restart story pinned at the STORE level, not only
@@ -304,20 +305,59 @@ class KVCounterStore:
           at-least-once redelivery still applies each distinct batch
           exactly once (property-tested in
           tests/test_multiplex_properties.py);
-        - a non-empty merge history (``high_water >= 0``) counts as
-          live-begun, so an unforced ``backfill`` REFUSES: the persisted
-          totals came from a live stream, and a post-restart backfill
-          over files that stream also read would double-count them —
-          restarting must not reopen the ordering guard. ``force=True``
-          stays the explicit provably-disjoint override. A store whose
-          persisted state came only from backfills (``high_water == -1``)
-          restores with the guard open, matching the original."""
+        - the backfill ordering guard carries over: live-begun state
+          refuses an unforced ``backfill`` — the persisted totals came
+          from a live stream, and a post-restart backfill over files
+          that stream also read would double-count them; restarting
+          must not reopen the guard. ``force=True`` stays the explicit
+          provably-disjoint override. A store whose persisted state
+          came only from backfills restores with the guard open,
+          matching the original.
+
+        Pass ``persist_state()``'s triple verbatim
+        (``KVCounterStore.restore(*store.persist_state())``) — it reads
+        all three fields under ONE lock acquisition, so the pair cannot
+        tear against a racing merge. When only ``(snapshot(),
+        high_water_batch_id)`` was persisted (the minimal production
+        pair, read through two separate lock acquisitions),
+        ``live_begun`` defaults to ``high_water >= 0`` — the best
+        derivation available, with two caveats the atomic triple does
+        not have: the pair itself can tear (a merge landing between the
+        two reads yields totals without the fence move, or vice versa),
+        and state captured while the FIRST batch's collect was in
+        flight (high_water still -1, guard already raised) restores
+        with the guard open (review findings)."""
         store = cls()
         for (c, m), v in state.items():
             store._counters.setdefault(c, {})[m] = int(v)
         store._high_water = high_water
-        store._live_begun = high_water >= 0
+        store._live_begun = (
+            high_water >= 0 if live_begun is None else live_begun
+        )
         return store
+
+    def persist_state(
+        self,
+    ) -> tuple[dict[tuple[str, str | None], int], int, bool]:
+        """The transactional read side of ``restore``: (flat totals,
+        high-water mark, live-begun flag) captured under ONE lock
+        acquisition, so a racing merge() can never tear the totals from
+        the fence position — reading ``snapshot()`` then
+        ``high_water_batch_id`` as two calls can interleave a merge and
+        restore a store that silently drops (or double-counts) that
+        batch. Same lock discipline as snapshot(): only the C-level
+        inner-dict copies happen under the lock, the Python-level
+        flatten runs outside it."""
+        with self._lock:
+            copied = {c: dict(ms) for c, ms in self._counters.items()}
+            high_water = self._high_water
+            live_begun = self._live_begun
+        flat = {
+            (c, m): v
+            for c, members in copied.items()
+            for m, v in members.items()
+        }
+        return flat, high_water, live_begun
 
     @property
     def high_water_batch_id(self) -> int:
@@ -368,10 +408,11 @@ class KVCounterStore:
         counters; this removes the last stand-in cost, the
         within-counter O(n log n) sort — measured in
         experiments/measure_board_read_scale.py, the 1 M-member top-10
-        read dropped ~750 ms (r10 flat layout) → ~230 ms (plain
-        heap-select with the tuple key) → ~55 ms. The select runs
+        read dropped 791 ms (r11 per-counter full sort; the r10 flat
+        layout paid ~858 ms) → ~230 ms (plain heap-select with the
+        tuple key) → 58 ms. The select runs
         under the lock (it iterates the live dict twice — copying
-        first, the pre-r12 shape, held the lock LONGER: list() of 1 M
+        first, the pre-r12 shape, held the lock longer: list() of 1 M
         items is ~140 ms against ~50 ms for this pass); only the
         candidate sort runs outside. Worst case is an all-tied counter
         (every member passes the threshold): the candidate copy still

@@ -454,8 +454,17 @@ def test_restore_carries_fence_and_backfill_guard(ids, shuffle, pre_backfill):
     for b in replayed:
         original.merge(deltas_for(b), b)
 
-    persisted = (original.snapshot(), original.high_water_batch_id)
-    restored = KVCounterStore.restore(*persisted)
+    # the atomic triple (one lock acquisition) and the minimal
+    # two-accessor pair must agree whenever no merge is in flight at
+    # persistence time — the pair's torn-read caveat needs a mid-collect
+    # race, pinned deterministically in
+    # test_persist_state_is_atomic_where_the_accessor_pair_tears
+    state, hw, live = original.persist_state()
+    assert (state, hw) == (original.snapshot(), original.high_water_batch_id)
+    assert live == (len(replayed) > 0)
+    persisted = (state, hw)
+    restored = KVCounterStore.restore(state, hw, live)
+    assert restored.snapshot() == KVCounterStore.restore(*persisted).snapshot()
 
     # 1. identical totals and fence position
     assert restored.snapshot() == persisted[0]
@@ -488,6 +497,59 @@ def test_restore_carries_fence_and_backfill_guard(ids, shuffle, pre_backfill):
     restored.merge(deltas_for(nxt), nxt)
     assert restored.snapshot() == original.snapshot()
     assert restored.high_water_batch_id == original.high_water_batch_id == nxt
+
+
+def test_persist_state_is_atomic_where_the_accessor_pair_tears():
+    """Why restore() wants persist_state()'s triple, not the two public
+    accessors read back-to-back: a merge landing between snapshot() and
+    high_water_batch_id yields totals WITHOUT the fence move — restored,
+    the redelivered batch is fenced as already-applied and its counts
+    are silently lost. Reproduced deterministically by persisting from
+    inside the first merge's collect() (fence passed, totals not yet
+    applied, high_water still -1): persist_state() captures a coherent
+    pre-batch state WITH the live-begun guard raised, so the restored
+    store refuses an unforced backfill and replays batch 0 correctly,
+    while the naive pair (completed AFTER the merge: stale snapshot,
+    fresh high_water) restores a store that loses batch 0 forever
+    (review finding)."""
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    captured = {}
+
+    class _CollectPersists:
+        def collect(self):
+            # batch 0 mid-flight: live_begun raised, nothing applied yet
+            captured["triple"] = store.persist_state()
+            captured["stale_snapshot"] = store.snapshot()
+            return [{"counter": "c", "member": "m", "delta": 7}]
+
+    store.merge(_CollectPersists(), 0)
+
+    # the triple is coherent: empty totals, fence untouched, guard UP
+    state, hw, live = captured["triple"]
+    assert (state, hw, live) == ({}, -1, True)
+    restored = KVCounterStore.restore(state, hw, live)
+    with pytest.raises(RuntimeError, match="BEFORE attaching"):
+        restored.backfill(
+            _FakeDeltas([{"counter": "c", "member": "dup", "delta": 1}])
+        )
+    restored.merge(
+        _FakeDeltas([{"counter": "c", "member": "m", "delta": 7}]), 0
+    )
+    assert restored.snapshot() == store.snapshot() == {("c", "m"): 7}
+    assert restored.high_water_batch_id == 0
+
+    # the torn pair: snapshot from inside the collect + high_water read
+    # after the merge completed — restoring it fences the redelivered
+    # batch 0 as a no-op and its counts never arrive
+    torn = KVCounterStore.restore(
+        captured["stale_snapshot"], store.high_water_batch_id
+    )
+    torn.merge(
+        _FakeDeltas([{"counter": "c", "member": "m", "delta": 7}]), 0
+    )
+    assert torn.snapshot() == {}  # batch 0 lost — the failure mode pinned
 
 
 if __name__ == "__main__":  # pragma: no cover
