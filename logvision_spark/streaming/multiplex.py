@@ -376,7 +376,8 @@ class KVCounterStore:
         O(n) C-level copy, not the several-times-longer per-entry tuple
         build (review finding — frequent snapshot polling on a 1 M+ entry
         store still costs the writer tens of ms per poll; poll boards via
-        zrevrange, which copies one counter, not the store)."""
+        zrevrange or snapshot_counter, which copy one counter, not the
+        store)."""
         with self._lock:
             copied = {c: dict(ms) for c, ms in self._counters.items()}
         return {
@@ -390,6 +391,28 @@ class KVCounterStore:
         with self._lock:
             members = self._counters.get(counter)
             return members.get(member, 0) if members else 0
+
+    def snapshot_counter(self, counter: str) -> dict[str | None, int]:
+        """One counter's member → total map — the reference's unordered
+        full-board read (`zrange key 0 10000000 withscores` → dict,
+        flask/app.py:264,425-426) and the cheap polling path the
+        snapshot() docstring steers large-store callers toward (r11
+        ADVICE): a single C-level inner-dict copy under the lock, sized
+        by THIS counter's members — the 1 M-member-sibling tax that
+        snapshot() pays never applies — with no flatten and no sort.
+        Unknown counter → {} (Redis zrange on a missing key returns
+        empty, not an error). For ordered top-k use zrevrange."""
+        with self._lock:
+            members = self._counters.get(counter)
+            return dict(members) if members else {}
+
+    def zcard(self, counter: str) -> int:
+        """Member count of one counter — app.py's `zcard` reads behind
+        the visitor/resource tiles (flask/app.py:100-103). O(1): len()
+        of the live inner dict under the lock, no copy."""
+        with self._lock:
+            members = self._counters.get(counter)
+            return len(members) if members else 0
 
     def zrevrange(
         self, counter: str, k: int

@@ -348,6 +348,9 @@ def test_reads_race_merges_without_tearing():
                 assert a == b, "torn snapshot: paired counters diverged"
                 store.zrevrange("a", 3)
                 store.zscore("b", "m0")
+                # two lock takes — a merge may land between them, so the
+                # only racing invariant is growth (members never removed)
+                assert store.zcard("a") <= len(store.snapshot_counter("a"))
                 store.high_water_batch_id
         except BaseException as exc:  # surfaced to the main thread
             errors.append(exc)
@@ -409,6 +412,45 @@ def test_zrevrange_is_the_deterministic_topk(rows, k):
             totals.items(), key=lambda r: (-r[1], r[0] is None, r[0] or "")
         )[:k]
         assert store.zrevrange(counter, k) == model
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["c1", "c2"]),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", ""])),
+            st.integers(1, 9),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_snapshot_counter_and_zcard_match_the_flat_snapshot(rows):
+    """The per-counter polling reads (flask/app.py:264,425-426 zrange →
+    dict; :100-103 zcard): for ANY accumulated state, snapshot_counter(c)
+    must equal the c-slice of the flat snapshot() contract and zcard(c)
+    its cardinality; an unknown counter reads {} / 0 (Redis missing-key
+    semantics, not an error); and the returned dict is a COPY — mutating
+    it must not write through to the live store."""
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    if rows:
+        store.merge(
+            _FakeDeltas(
+                [{"counter": c, "member": m, "delta": d} for c, m, d in rows]
+            ),
+            0,
+        )
+    flat = store.snapshot()
+    for counter in ("c1", "c2", "missing"):
+        sliced = {m: v for (c, m), v in flat.items() if c == counter}
+        board = store.snapshot_counter(counter)
+        assert board == sliced
+        assert store.zcard(counter) == len(sliced)
+        board["__poisoned__"] = 10**9
+        assert store.snapshot_counter(counter) == sliced  # copy, not view
 
 
 @given(
