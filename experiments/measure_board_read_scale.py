@@ -4,8 +4,10 @@ dict per read — fine for tests and demos, but the serving docs say
 "production = a real ZSET (Redis sorted set: O(log n) insert, O(log n +
 k) zrevrange)" and that pointer deserves a measured point, not a vibe.
 
-What this measures: median wall latency of `zrevrange(counter, 10)` and
-`zscore` over stores of 10 k / 100 k / 1 M members in the hot counter,
+What this measures: median wall latency of `zrevrange(counter, 10)`,
+`zscore`, and the r12 per-counter polling reads (`snapshot_counter` —
+one inner-dict copy; `zcard` — O(1) len) over stores of
+10 k / 100 k / 1 M members in the hot counter,
 PLUS a second counter of equal size. Under the r10 flat
 (counter, member)-keyed dict, every read scanned and filtered BOTH
 counters (858 ms per zrevrange(10) at 1 M members); the r11 per-counter
@@ -84,7 +86,7 @@ def _timeit(fn) -> float:
 def main() -> None:
     print(
         f"{'members/counter':>16} {'zrevrange(10)':>14} {'zscore':>12}"
-        f" {'150-mem board':>14}"
+        f" {'150-mem board':>14} {'snap_counter':>14} {'zcard':>10}"
     )
     for n in (10_000, 100_000, 1_000_000):
         store = _build(n)
@@ -92,21 +94,28 @@ def main() -> None:
         # under the catalog tie-break (independent oracle — zrevrange
         # itself is heap-select since r12, so the gate must not share
         # its algorithm), for the hot counter AND the small board
-        # (one snapshot, hoisted — it flattens the whole store)
+        # (one snapshot, hoisted — it flattens the whole store); the
+        # per-counter reads must equal that snapshot's counter slice
         snap = store.snapshot()
         for counter in ("user", "small_board"):
             got = store.zrevrange(counter, 10)
+            slice_ = {m: v for (c, m), v in snap.items() if c == counter}
             want = sorted(
-                ((m, v) for (c, m), v in snap.items() if c == counter),
+                slice_.items(),
                 key=lambda r: (-r[1], r[0] is None, r[0] or ""),
             )[:10]
             assert got == want, (counter, got[:3], want[:3])
+            assert store.snapshot_counter(counter) == slice_
+            assert store.zcard(counter) == len(slice_)
         t_board = _timeit(lambda: store.zrevrange("user", 10))
         t_score = _timeit(lambda: store.zscore("user", "m0000042"))
         t_small = _timeit(lambda: store.zrevrange("small_board", 10))
+        t_snapc = _timeit(lambda: store.snapshot_counter("user"))
+        t_card = _timeit(lambda: store.zcard("user"))
         print(
             f"{n:>16,} {t_board * 1e3:>11.1f} ms {t_score * 1e6:>9.2f} µs"
-            f" {t_small * 1e6:>11.2f} µs"
+            f" {t_small * 1e6:>11.2f} µs {t_snapc * 1e3:>11.2f} ms"
+            f" {t_card * 1e6:>7.2f} µs"
         )
 
 
