@@ -120,6 +120,23 @@ R7 = [
 ]
 
 
+def _calibrate(iters: int = 10_000_000) -> float:
+    """Fixed-work single-threaded pure-Python spin (~1 s on the r13
+    builder box), timed at child start. The ratio of two rounds'
+    calib_sec is the box-speed drift between them, so a judge can
+    normalize cross-round query times arithmetically instead of
+    forensically (r12 verdict item 2: both parse JVMs read −20% on
+    byte-identical parser.py and it took three independent signals to
+    call it machine drift). Fixed ITERATION COUNT, not fixed duration —
+    the wall time IS the measurement."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(iters):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    _ = acc
+    return round(time.perf_counter() - t0, 4)
+
+
 def _get_spark():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from logvision_spark import get_spark
@@ -228,6 +245,9 @@ def _run_child(which: str, sf_dir: str) -> None:
     """Run one measurement set in this (fresh) JVM; print partial JSON."""
     if which not in ("parse", "core", "new", "r4"):
         raise SystemExit(f"unknown bench set: {which!r}")
+    # calibration runs BEFORE SparkSession init: it measures the box,
+    # not this process's JVM/GC state
+    calib = _calibrate()
     spark = _get_spark()
     if which == "parse":
         result = {
@@ -235,6 +255,7 @@ def _run_child(which: str, sf_dir: str) -> None:
             "parse_rows_per_sec_4m": _bench_parse_throughput(
                 spark, n_rows=4_000_000
             ),
+            "calib_sec": calib,
         }
     else:
         cache_sec = _warm_up(spark, sf_dir)
@@ -248,6 +269,7 @@ def _run_child(which: str, sf_dir: str) -> None:
             "queries": _time_set(spark, sf_dir, names),
             "queries_pass2": _time_set(spark, sf_dir, names),
             "shingle_cache_build_sec": cache_sec,
+            "calib_sec": calib,
         }
     print(json.dumps(result))
     spark.stop()
@@ -298,15 +320,23 @@ def main() -> None:
         # co-occurred in a single run (r11 ADVICE); the loser JVM's raw
         # figures stay in the sidecar
         parse = max(
-            (p for p in parse_passes if p.get("parse_rows_per_sec")),
+            # `is not None`, not truthiness: a pass legitimately
+            # reporting 0 rows/s is present, not missing (r12 ADVICE)
+            (p for p in parse_passes
+             if p.get("parse_rows_per_sec") is not None),
             key=lambda p: p["parse_rows_per_sec"],
             default={},
         )
-        # fail loud, not KeyError-at-a-distance, if both parse children
-        # came back without the primary metric (r11 ADVICE)
-        assert "parse_rows_per_sec" in parse, (
-            f"no parse JVM returned parse_rows_per_sec: {parse_passes}"
-        )
+        if "parse_rows_per_sec" not in parse:
+            # fail loud, not KeyError-at-a-distance, if both parse
+            # children came back without the primary metric (r11
+            # ADVICE). RuntimeError, not assert: it survives -O and is
+            # in the except tuple below, so this routes into the
+            # documented single-JVM fallback instead of aborting the
+            # whole benchmark (r12 ADVICE)
+            raise RuntimeError(
+                f"no parse JVM returned parse_rows_per_sec: {parse_passes}"
+            )
         core = _spawn("core", sf_dir)
         new = _spawn("new", sf_dir)
         r4 = _spawn("r4", sf_dir)
@@ -331,6 +361,16 @@ def main() -> None:
         }
         known = [v for v in cache_secs.values() if v is not None]
         cache_sec = round(sum(known), 4) if known else None
+        # fixed-work box-speed probe, one per child JVM (r12 verdict
+        # item 2). The line carries the CORE child's figure (the set
+        # the 2x-baseline bar is judged on); the sidecar carries all
+        # four query/parse children (parse JVMs embed theirs in
+        # parse_jvm_passes — r12 verdict item 6).
+        calib_secs = {
+            k: c.get("calib_sec")
+            for k, c in (("core", core), ("new", new), ("r4", r4))
+        }
+        calib_sec = calib_secs.get("core")
         isolated = True
     except (RuntimeError, OSError, subprocess.TimeoutExpired) as exc:
         # fallback: single-JVM in-process run (the r1/r2 behavior) so the
@@ -338,6 +378,8 @@ def main() -> None:
         # is visible in the JSON
         print(f"bench: subprocess isolation failed ({exc}); "
               "falling back to single-JVM", file=sys.stderr)
+        calib_sec = _calibrate()
+        calib_secs = {"single_jvm": calib_sec}
         spark = _get_spark()
         parse_rows = _bench_parse_throughput(spark)
         parse_rows_4m = None
@@ -391,6 +433,9 @@ def main() -> None:
              "isolated_jvms": isolated,
              "shingle_cache_build_sec": cache_sec,
              "shingle_cache_build_sec_per_child": cache_secs,
+             # box-speed probe per query child; the parse JVMs' own
+             # figures ride inside parse_jvm_passes below
+             "calib_secs": calib_secs,
              # raw per-JVM parse figures behind the headline (both
              # published figures come from the winner JVM — the one
              # with the higher primary metric; the other JVM's pair
@@ -425,6 +470,12 @@ def main() -> None:
             "parse_rows_per_sec": parse_rows,
             "parse_rows_per_sec_4m": parse_rows_4m,
             "isolated_jvms": isolated,
+            # fixed-work box-speed probe from the CORE child's JVM
+            # (10 M-iteration pure-Python spin, ~1 s on the r13
+            # builder box): the ratio of two rounds' calib_sec
+            # separates machine drift from plan regression
+            # arithmetically (r12 verdict item 2)
+            "calib_sec": calib_sec,
             # per-query min-of-passes map is in BENCH_DETAIL.json
             "qmin_sidecar": bool(pass2),
             # EVERY set's stable numerator vs the 2x-baseline bar (the

@@ -594,5 +594,82 @@ def test_persist_state_is_atomic_where_the_accessor_pair_tears():
     assert torn.snapshot() == {}  # batch 0 lost — the failure mode pinned
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["totals", "hosts", "ünïcode-board"]),
+            st.one_of(
+                st.none(),
+                st.text(min_size=0, max_size=8),  # includes "" and non-ASCII
+            ),
+            st.integers(-(10**12), 10**12),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    n_batches=st.integers(0, 3),
+)
+@settings(max_examples=200, deadline=None)
+def test_persist_state_round_trips_through_json_bytes(rows, n_batches):
+    """The in-memory restore property feeds persist_state()'s triple
+    straight back to restore(); a real deployment writes it to DISK,
+    and the triple's flat dict has TUPLE keys — which json.dumps
+    rejects outright — so the on-disk shape needs an explicit codec
+    (r12 verdict item 5). Pin the obvious one: the flat dict as a list
+    of [counter, member, value] records (member may be null; JSON
+    list→tuple on decode), high_water and live_begun verbatim. A store
+    restored from the PARSED bytes must be indistinguishable from one
+    restored from the live triple — totals, fence, and backfill guard.
+    """
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    import json as _json
+
+    original = KVCounterStore()
+    for b in range(n_batches):
+        original.merge(
+            _FakeDeltas(
+                [{"counter": c, "member": m, "delta": d} for c, m, d in rows]
+            ),
+            b,
+        )
+
+    state, hw, live = original.persist_state()
+    # tuple keys are exactly why the codec exists: raw dumps must fail
+    with pytest.raises(TypeError):
+        _json.dumps(state if state else {("a", "b"): 1})
+    payload = _json.dumps(
+        {
+            "totals": [[c, m, v] for (c, m), v in state.items()],
+            "high_water": hw,
+            "live_begun": live,
+        },
+        ensure_ascii=False,
+    ).encode("utf-8")
+
+    decoded = _json.loads(payload.decode("utf-8"))
+    restored = KVCounterStore.restore(
+        {(c, m): v for c, m, v in decoded["totals"]},
+        decoded["high_water"],
+        decoded["live_begun"],
+    )
+
+    assert restored.snapshot() == original.snapshot()
+    assert restored.high_water_batch_id == original.high_water_batch_id
+    # guard parity: an unforced backfill is accepted/refused identically
+    bf_rows = [{"counter": "bf", "member": "x", "delta": 1}]
+    if n_batches:
+        for s in (original, restored):
+            with pytest.raises(RuntimeError, match="BEFORE attaching"):
+                s.backfill(_FakeDeltas(bf_rows))
+    else:
+        original.backfill(_FakeDeltas(bf_rows))
+        restored.backfill(_FakeDeltas(bf_rows))
+    # next unseen batch applies identically post-round-trip
+    original.merge(_FakeDeltas(bf_rows), n_batches)
+    restored.merge(_FakeDeltas(bf_rows), n_batches)
+    assert restored.snapshot() == original.snapshot()
+
+
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
