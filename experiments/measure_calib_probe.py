@@ -10,13 +10,14 @@ degrades, by imposing controlled CPU contention (K background spinner
 processes) and timing both the probe and two fixed catalog queries at
 each level.
 
-MEASURED FINDING (this box, r13): the relationship is one-sided. At 2x
-core oversubscription (32 spinners beside the 32-thread session) the
-queries inflate 1.27x/1.51x while the single-threaded probe reads
-1.00x flat — one extra runnable thread on a 32-core box still gets
-most of a core, so co-tenant CORE STEALING is nearly invisible to the
-probe. When the spinners die, query times return to (slightly under)
-baseline, confirming the inflation was contention, not ordering drift.
+MEASURED FINDING (this box, r13; range over two runs): the
+relationship is one-sided. At 2x core oversubscription (32 spinners
+beside the 32-thread session) the queries inflate 1.27-1.56x while the
+single-threaded probe reads only 1.00-1.14x — one extra runnable
+thread on a 32-core box still gets most of a core, so co-tenant CORE
+STEALING is mostly invisible to the probe. When the spinners die,
+query times return to (about) baseline, confirming the inflation was
+contention, not ordering drift.
 What the probe does track is whole-box single-thread speed (frequency/
 thermal/page-cache class drift) — exactly the r12 failure mode, where
 the single-JVM parse figures dropped 20% on byte-identical code. The
@@ -81,15 +82,20 @@ def main() -> None:
     baseline_sums: dict[str, int] = {}
     results: list[tuple[int, float, dict[str, float]]] = []
     for k in CONTENTION:
-        spinners = [
-            subprocess.Popen(
-                [sys.executable, "-c", _SPIN_SRC],
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
-            for _ in range(k)
-        ]
+        # spinners start INSIDE the try, one at a time: if Popen #n
+        # fails partway, the finally still reaps the n-1 already
+        # running — an orphaned `while True` process would silently
+        # corrupt every later measurement on the box (review finding)
+        spinners: list[subprocess.Popen] = []
         try:
+            for _ in range(k):
+                spinners.append(
+                    subprocess.Popen(
+                        [sys.executable, "-c", _SPIN_SRC],
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                    )
+                )
             time.sleep(1.0)  # let the spinners actually land on cores
             calib = min(_calibrate() for _ in range(REPS))
             qsecs: dict[str, float] = {}
@@ -129,14 +135,19 @@ def main() -> None:
     # gates: (a) at full oversubscription neither the probe nor any
     # query runs FASTER than baseline (direction); (b) after the
     # spinners die, query times return to within 15% of baseline —
-    # the mid-level inflation was contention, not JIT/ordering drift
-    _, loaded_calib, loaded_q = results[1]
+    # the mid-level inflation was contention, not JIT/ordering drift.
+    # Derived from the knob, not hardcoded indices: "loaded" is the
+    # heaviest level, "recovered" is the trailing zero the sweep must
+    # end on (review finding — a [0, 8, 16, 32, 0] rerun would have
+    # asserted against the wrong levels)
+    assert CONTENTION[0] == 0 and CONTENTION[-1] == 0 and max(CONTENTION) > 0
+    _, loaded_calib, loaded_q = results[CONTENTION.index(max(CONTENTION))]
     assert loaded_calib >= base_calib * 0.98, (
         f"probe sped up under load: {loaded_calib} vs {base_calib}"
     )
     for q in QUERIES:
         assert loaded_q[q] >= base_q[q], f"{q} sped up under load"
-    _, _, recovered_q = results[2]
+    _, _, recovered_q = results[-1]
     for q in QUERIES:
         assert recovered_q[q] <= base_q[q] * 1.15, (
             f"{q} did not recover: {recovered_q[q]} vs base {base_q[q]}"
