@@ -1,0 +1,173 @@
+"""Wiring tests for bench.main()'s two assembly paths.
+
+main() is the one code path the suite never executed end-to-end (it
+spawns five JVMs), and it has produced three ADVICE/review findings
+across rounds — the stitched per-metric parse max (r11), the
+truthiness winner filter that treated 0 rows/s as missing (r12), and
+the assert that would abort instead of falling back (r12). Every heavy
+piece is stubbable, so these tests pin the wiring itself: which child's
+figures land on which line key, how the fallback engages, and what the
+sidecar records. The sidecar write is redirected to tmp_path — the repo
+root's committed BENCH_DETAIL.json is round evidence and must not be
+overwritten by a unit test.
+"""
+
+import json
+import sys
+
+import pytest
+
+import bench
+
+
+class _FakeSpark:
+    def stop(self):
+        pass
+
+
+def _stub_engine(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path / "sf0.1"))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.setattr(bench, "_get_spark", lambda: _FakeSpark())
+    monkeypatch.setattr(bench, "_warm_up", lambda spark, sf_dir: 0.1)
+    monkeypatch.setattr(
+        bench, "_time_set",
+        lambda spark, sf_dir, names: {n: 0.5 for n in names},
+    )
+    monkeypatch.setattr(
+        bench, "_bench_parse_throughput",
+        lambda spark, n_rows=400_000: 0,  # 0 rows/s: legitimate, not missing
+    )
+    monkeypatch.setattr(bench, "_calibrate", lambda iters=10_000_000: 0.9)
+    # the sidecar path is dirname(abspath(bench.__file__)); redirect it
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+
+
+def _last_json_line(capsys):
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads([l for l in out if l.startswith("{")][-1])
+
+
+def test_no_parse_metric_routes_into_single_jvm_fallback(
+    monkeypatch, tmp_path, capsys
+):
+    """Both parse children returning without the primary metric must
+    raise RuntimeError (not assert — stripped under -O) and land in the
+    except tuple, producing the single-JVM fallback line, never an
+    abort (r12 ADVICE)."""
+    _stub_engine(monkeypatch, tmp_path)
+    monkeypatch.setattr(bench, "_spawn", lambda which, sf_dir: {})
+
+    bench.main()
+    line = _last_json_line(capsys)
+    assert line["isolated_jvms"] is False
+    assert line["qmin_sidecar"] is False
+    assert line["min_totals"] is None
+    # the fallback measures its own calib and treats 0 rows/s as a value
+    assert line["calib_sec"] == 0.9
+    assert line["parse_rows_per_sec"] == 0
+    assert line["value"] == round(0.5 * len(bench.CORE), 4)
+
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["calib_secs"] == {"single_jvm": 0.9}
+    assert detail["queries_min"] is None
+    assert detail["parse_jvm_passes"] is None
+
+
+def test_isolated_path_wires_each_child_to_its_line_keys(
+    monkeypatch, tmp_path, capsys
+):
+    """The success path: winner-JVM parse pair is coherent (both
+    figures from the JVM with the higher primary — including a 0-value
+    primary being PRESENT, r12 ADVICE), the line's calib_sec is the
+    CORE child's, qmin is the per-query min over both in-JVM passes,
+    and the sidecar records every child's calib."""
+    _stub_engine(monkeypatch, tmp_path)
+
+    def fake_spawn(which, sf_dir):
+        if which == "parse":
+            # first call wins on the primary; second is the 0-valued
+            # pass that the truthiness filter used to drop
+            fake_spawn.parse_calls += 1
+            if fake_spawn.parse_calls == 1:
+                return {
+                    "parse_rows_per_sec": 100,
+                    "parse_rows_per_sec_4m": 7,
+                    "calib_sec": 1.1,
+                }
+            return {
+                "parse_rows_per_sec": 0,
+                "parse_rows_per_sec_4m": 999,  # must NOT be stitched in
+                "calib_sec": 1.2,
+            }
+        names = {
+            "core": bench.CORE,
+            "new": bench.NEW,
+            "r4": bench.R4 + bench.R5 + bench.R6 + bench.R7,
+        }[which]
+        base = {"core": 0.4, "new": 0.6, "r4": 0.8}[which]
+        return {
+            "queries": {n: base for n in names},
+            "queries_pass2": {n: base / 2 for n in names},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": {"core": 0.91, "new": 0.92, "r4": 0.93}[which],
+        }
+
+    fake_spawn.parse_calls = 0
+    monkeypatch.setattr(bench, "_spawn", fake_spawn)
+
+    bench.main()
+    line = _last_json_line(capsys)
+    assert line["isolated_jvms"] is True
+    # coherent winner pair: both metrics from JVM 1, no per-metric max
+    assert line["parse_rows_per_sec"] == 100
+    assert line["parse_rows_per_sec_4m"] == 7
+    # the line's calib is the CORE child's, not parse/new/r4's
+    assert line["calib_sec"] == 0.91
+    assert line["qmin_sidecar"] is True
+    # min over both in-JVM passes: pass2 is half of pass1 here
+    assert line["min_totals"]["core"] == round(0.2 * len(bench.CORE), 4)
+    assert line["value"] == round(0.4 * len(bench.CORE), 4)
+
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["calib_secs"] == {"core": 0.91, "new": 0.92, "r4": 0.93}
+    assert [p["calib_sec"] for p in detail["parse_jvm_passes"]] == [1.1, 1.2]
+    assert detail["queries_min"]["q1_pricing_summary"] == 0.2
+
+
+def test_zero_rows_per_sec_parse_pass_is_not_missing(
+    monkeypatch, tmp_path, capsys
+):
+    """Both parse JVMs legitimately reporting 0 rows/s must publish 0,
+    not trip the no-metric guard into the fallback (the exact r12
+    ADVICE distinction: absent vs zero)."""
+    _stub_engine(monkeypatch, tmp_path)
+
+    def fake_spawn(which, sf_dir):
+        if which == "parse":
+            return {
+                "parse_rows_per_sec": 0,
+                "parse_rows_per_sec_4m": 0,
+                "calib_sec": 1.0,
+            }
+        names = {
+            "core": bench.CORE,
+            "new": bench.NEW,
+            "r4": bench.R4 + bench.R5 + bench.R6 + bench.R7,
+        }[which]
+        return {
+            "queries": {n: 0.5 for n in names},
+            "queries_pass2": {n: 0.5 for n in names},
+            "shingle_cache_build_sec": None,
+            "calib_sec": 0.9,
+        }
+
+    monkeypatch.setattr(bench, "_spawn", fake_spawn)
+    bench.main()
+    line = _last_json_line(capsys)
+    assert line["isolated_jvms"] is True  # no fallback engaged
+    assert line["parse_rows_per_sec"] == 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    pytest.main([__file__, "-q"])
