@@ -120,6 +120,28 @@ R7 = [
 ]
 
 
+# A query child whose calib_sec exceeds the round's fastest child calib
+# by more than this ratio ran inside a measurably slower box window and
+# gets ONE respawn (r13 verdict item 2). 1.15 sits between the probe's
+# measured same-box noise (~1.00-1.05x between children in a healthy
+# round; r13's core/new read 0.946/1.041 = 1.10x during an actual drift
+# window) and the drift magnitude worth a JVM (r13's r4 child read 1.28
+# = 1.35x the floor, and min-of-two-passes-in-one-JVM could not defend
+# against it — both passes sat inside the slow window).
+_CALIB_RETRY_RATIO = 1.15
+
+
+def _sidecar_path() -> str:
+    """BENCH_DETAIL.json beside this file. Module-level helper so tests
+    redirect the sidecar by patching THIS symbol instead of
+    os.path.dirname process-wide (r13 ADVICE: the shared-os patch only
+    worked because every heavy piece was stubbed; any future
+    os.path.dirname call inside main() would silently get tmp_path)."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+
+
 def _calibrate(iters: int = 10_000_000) -> float:
     """Fixed-work single-threaded pure-Python spin (~1 s on the r13
     builder box), timed at child start. The ratio of two rounds'
@@ -371,6 +393,49 @@ def main() -> None:
             for k, c in (("core", core), ("new", new), ("r4", r4))
         }
         calib_sec = calib_secs.get("core")
+        # One-shot calib-gated child retry (r13 verdict item 2): the
+        # min-of-two-passes-in-one-JVM comparator cannot defend against
+        # a box-slowdown window that spans the WHOLE child — r13's r4
+        # child ran with calib 1.28 vs the core child's 0.946, so both
+        # of its passes sat inside a ~35%-slow window. If exactly the
+        # worst child's calib exceeds 1.15x the round's fastest child,
+        # respawn THAT child once and fold its per-query figures into
+        # the min merge below. Bounded +1 JVM per round; the original
+        # pass-1 maps stay on the line (round-over-round comparability),
+        # and the whole retry — trigger calibs, respawned figures, or
+        # the spawn failure — is recorded in the sidecar. A retry
+        # failure keeps the original figures and must NOT route into
+        # the single-JVM fallback (a full result already exists), hence
+        # the inner except.
+        retry_detail = None
+        retry_passes: dict[str, float] = {}
+        known_calib = {k: v for k, v in calib_secs.items() if v is not None}
+        if len(known_calib) >= 2:
+            floor = min(known_calib.values())
+            worst = max(known_calib, key=known_calib.get)
+            if known_calib[worst] > floor * _CALIB_RETRY_RATIO:
+                retry_detail = {
+                    "child": worst,
+                    "calib_sec_first": known_calib[worst],
+                    "calib_floor": floor,
+                }
+                try:
+                    redo = _spawn(worst, sf_dir)
+                except (RuntimeError, OSError,
+                        subprocess.TimeoutExpired) as exc:
+                    retry_detail["error"] = str(exc)[:500]
+                else:
+                    retry_detail["calib_sec_retry"] = redo.get("calib_sec")
+                    retry_detail["queries"] = redo.get("queries")
+                    retry_detail["queries_pass2"] = redo.get(
+                        "queries_pass2"
+                    )
+                    for m in (redo.get("queries") or {},
+                              redo.get("queries_pass2") or {}):
+                        for q, v in m.items():
+                            retry_passes[q] = min(
+                                retry_passes.get(q, v), v
+                            )
         isolated = True
     except (RuntimeError, OSError, subprocess.TimeoutExpired) as exc:
         # fallback: single-JVM in-process run (the r1/r2 behavior) so the
@@ -390,17 +455,20 @@ def main() -> None:
         timings_new = _time_set(spark, sf_dir, NEW)
         timings_r4 = _time_set(spark, sf_dir, R4 + R5 + R6 + R7)
         pass2 = {}
+        retry_detail = None
+        retry_passes = {}
         spark.stop()
         isolated = False
 
     total = round(sum(timings.values()), 4)
 
-    # per-query min over BOTH in-JVM passes (each itself min-of-2): the
+    # per-query min over BOTH in-JVM passes (each itself min-of-2) and,
+    # when the calib gate fired, over the retried child's passes too: the
     # STABLE numerator for every set (r8 verdict item 2) AND the sidecar's
     # queries_min map — ONE derivation, so the printed min_totals and the
     # published per-query map cannot diverge (review finding)
     qmin = {
-        k: round(min(v, pass2.get(k, v)), 4)
+        k: round(min(v, pass2.get(k, v), retry_passes.get(k, v)), 4)
         for k, v in {**timings, **timings_new, **timings_r4}.items()
     } if pass2 else None
 
@@ -414,10 +482,7 @@ def main() -> None:
     # written unconditionally: the single-JVM fallback has no pass-2
     # data, and leaving the previous round's sidecar on disk would pass
     # stale detail off as current evidence
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_DETAIL.json"), "w"
-    ) as f:
+    with open(_sidecar_path(), "w") as f:
         json.dump(
             {"queries_pass2": pass2 or None,
              # per-query min over both in-JVM passes — THE tracked
@@ -436,6 +501,18 @@ def main() -> None:
              # box-speed probe per query child; the parse JVMs' own
              # figures ride inside parse_jvm_passes below
              "calib_secs": calib_secs,
+             # calib-gated one-shot child respawn (r13 verdict item 2):
+             # null when no child's calib exceeded 1.15x the round's
+             # fastest; else the trigger calibs plus the respawned
+             # child's full figures (already folded into queries_min)
+             # or the spawn error
+             "calib_retry": retry_detail,
+             # interpreter identity beside the probe (r13 ADVICE): the
+             # calib ratio conflates interpreter changes with box-speed
+             # drift — a CPython upgrade between rounds would read as
+             # machine drift — so a judge rules that out here before
+             # applying the ratio
+             "python": sys.version,
              # raw per-JVM parse figures behind the headline (both
              # published figures come from the winner JVM — the one
              # with the higher primary metric; the other JVM's pair

@@ -142,7 +142,14 @@ def main() -> None:
     # asserted against the wrong levels)
     assert CONTENTION[0] == 0 and CONTENTION[-1] == 0 and max(CONTENTION) > 0
     _, loaded_calib, loaded_q = results[CONTENTION.index(max(CONTENTION))]
-    assert loaded_calib >= base_calib * 0.98, (
+    # 0.95, not 0.98: the probe's measured lower bound under 32 spinners
+    # is 1.00x on this box, so 0.98 sat at the edge of its own behavior
+    # and an ordinary noise excursion could fail the experiment
+    # spuriously (r13 ADVICE). The finding being validated is the
+    # MAGNITUDE gap (probe ~1.0x vs queries 1.3-1.6x), not a strict
+    # >=1.00 direction — the gate only needs to catch the probe reading
+    # materially FASTER under load, which would invalidate the rule.
+    assert loaded_calib >= base_calib * 0.95, (
         f"probe sped up under load: {loaded_calib} vs {base_calib}"
     )
     for q in QUERIES:

@@ -5111,9 +5111,18 @@ _EDITED_ROUND: dict[str, int] = {
     # so all three re-green together (coupling pinned mechanically by
     # tests/test_export_order.py::test_multiplex_edit_trips_all_kv_entries).
     # (Previous bump: r11 per-counter store layout.)
-    "stream_counter_multiplex": 12,
-    "stream_board_top_users": 12,
-    "stream_backfill_cutover": 12,
+    # round-14: the store gained the persist_state_to/restore_from
+    # FILE pair (the property-pinned byte codec, previously test-only,
+    # now ships; r13 verdict optional 5). The live merge/fence/read
+    # contract is untouched — every pre-existing property test runs
+    # unmodified — but multiplex.py is hashed into all three KV
+    # entries' fingerprints, so they re-green together as usual
+    # (coupling pinned by test_export_order::
+    # test_multiplex_edit_trips_all_kv_entries).
+    # (Previous bumps: r12 zrevrange heap-select, r11 store layout.)
+    "stream_counter_multiplex": 14,
+    "stream_board_top_users": 14,
+    "stream_backfill_cutover": 14,
 }
 
 

@@ -44,6 +44,8 @@ merged KV state ≡ one batch aggregation over the concatenated input.
 from __future__ import annotations
 
 import heapq
+import json
+import os
 import threading
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
@@ -358,6 +360,51 @@ class KVCounterStore:
             for m, v in members.items()
         }
         return flat, high_water, live_begun
+
+    def persist_state_to(self, path: str) -> None:
+        """Write ``persist_state()``'s atomic triple to ``path`` as
+        UTF-8 JSON — the file side of the restart story, so callers get
+        the tear-free triple by default instead of hand-rolling the
+        minimal ``(snapshot(), high_water)`` pair and inheriting its
+        two documented caveats (see ``restore``). The on-disk shape is
+        the codec the round-trip property pinned
+        (tests/test_multiplex_properties.py): the flat totals — whose
+        TUPLE keys raw ``json.dumps`` rejects outright — as a list of
+        ``[counter, member, value]`` records (member may be null),
+        ``high_water`` and ``live_begun`` verbatim. Write-then-
+        ``os.replace`` so a crash mid-write leaves the previous intact
+        file, never a torn one: the rename is atomic on POSIX, which is
+        exactly the property a restart loader needs from its state
+        file."""
+        state, high_water, live_begun = self.persist_state()
+        payload = json.dumps(
+            {
+                "totals": [[c, m, v] for (c, m), v in state.items()],
+                "high_water": high_water,
+                "live_begun": live_begun,
+            },
+            ensure_ascii=False,
+        )
+        tmp = f"{path}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+    @classmethod
+    def restore_from(cls, path: str) -> "KVCounterStore":
+        """Load a store from a ``persist_state_to`` file. Decodes the
+        record list back to the tuple-keyed totals and hands
+        ``restore`` the full atomic triple, so the restored store
+        carries both the replay fence AND the backfill guard exactly as
+        persisted — no ``live_begun`` derivation, none of the pair-only
+        caveats."""
+        with open(path, encoding="utf-8") as f:
+            doc = json.load(f)
+        return cls.restore(
+            {(c, m): v for c, m, v in doc["totals"]},
+            doc["high_water"],
+            doc["live_begun"],
+        )
 
     @property
     def high_water_batch_id(self) -> int:

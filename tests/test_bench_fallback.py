@@ -39,8 +39,13 @@ def _stub_engine(monkeypatch, tmp_path):
         lambda spark, n_rows=400_000: 0,  # 0 rows/s: legitimate, not missing
     )
     monkeypatch.setattr(bench, "_calibrate", lambda iters=10_000_000: 0.9)
-    # the sidecar path is dirname(abspath(bench.__file__)); redirect it
-    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    # redirect the sidecar via bench's own helper, not os.path.dirname
+    # process-wide (r13 ADVICE: patching the shared os module only
+    # worked because every heavy piece was stubbed)
+    monkeypatch.setattr(
+        bench, "_sidecar_path",
+        lambda: str(tmp_path / "BENCH_DETAIL.json"),
+    )
 
 
 def _last_json_line(capsys):
@@ -72,6 +77,8 @@ def test_no_parse_metric_routes_into_single_jvm_fallback(
     assert detail["calib_secs"] == {"single_jvm": 0.9}
     assert detail["queries_min"] is None
     assert detail["parse_jvm_passes"] is None
+    assert detail["calib_retry"] is None  # no retry path in the fallback
+    assert detail["python"] == sys.version  # interpreter-drift audit key
 
 
 def test_isolated_path_wires_each_child_to_its_line_keys(
@@ -133,6 +140,8 @@ def test_isolated_path_wires_each_child_to_its_line_keys(
     assert detail["calib_secs"] == {"core": 0.91, "new": 0.92, "r4": 0.93}
     assert [p["calib_sec"] for p in detail["parse_jvm_passes"]] == [1.1, 1.2]
     assert detail["queries_min"]["q1_pricing_summary"] == 0.2
+    # calibs within 1.15x of the floor: the retry gate must NOT fire
+    assert detail["calib_retry"] is None
 
 
 def test_zero_rows_per_sec_parse_pass_is_not_missing(
@@ -167,6 +176,142 @@ def test_zero_rows_per_sec_parse_pass_is_not_missing(
     line = _last_json_line(capsys)
     assert line["isolated_jvms"] is True  # no fallback engaged
     assert line["parse_rows_per_sec"] == 0
+
+
+def _retry_spawn(monkeypatch, calibs, retry_result):
+    """fake _spawn: parse children are flat; each query child reports
+    the given calib with pass1=1.0 / pass2=0.9 per query; a SECOND
+    spawn of the same child returns ``retry_result`` (or raises it).
+    Records every (which) call for spawn-count assertions."""
+    names_of = {
+        "core": bench.CORE,
+        "new": bench.NEW,
+        "r4": bench.R4 + bench.R5 + bench.R6 + bench.R7,
+    }
+
+    calls = []
+
+    def fake_spawn(which, sf_dir):
+        calls.append(which)
+        if which == "parse":
+            return {"parse_rows_per_sec": 100,
+                    "parse_rows_per_sec_4m": 7, "calib_sec": 1.0}
+        if calls.count(which) > 1:  # the respawn
+            if isinstance(retry_result, Exception):
+                raise retry_result
+            return retry_result(which)
+        return {
+            "queries": {n: 1.0 for n in names_of[which]},
+            "queries_pass2": {n: 0.9 for n in names_of[which]},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": calibs[which],
+        }
+
+    monkeypatch.setattr(bench, "_spawn", fake_spawn)
+    return calls
+
+
+def test_inflated_calib_respawns_worst_child_once_and_merges_mins(
+    monkeypatch, tmp_path, capsys
+):
+    """A child whose calib exceeds 1.15x the round's fastest child ran
+    in a slower box window that min-of-two-passes-in-one-JVM cannot
+    defend against (r13: the r4 child read 1.28 vs the core child's
+    0.946 and both its passes sat inside the window). The gate must
+    respawn exactly that child once, fold the respawn's per-query mins
+    into queries_min/min_totals, keep the ORIGINAL pass-1 map on the
+    line (round-over-round comparability), and record the whole retry
+    in the sidecar (r13 verdict item 2)."""
+    _stub_engine(monkeypatch, tmp_path)
+
+    def retry_result(which):
+        names = bench.R4 + bench.R5 + bench.R6 + bench.R7
+        return {
+            "queries": {n: 0.5 for n in names},
+            "queries_pass2": {n: 0.6 for n in names},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": 0.91,
+        }
+
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 0.90, "new": 0.92, "r4": 1.30},  # 1.30/0.90 = 1.44 > 1.15
+        retry_result,
+    )
+
+    bench.main()
+    line = _last_json_line(capsys)
+    assert line["isolated_jvms"] is True
+    # exactly one extra JVM, and it is the worst child
+    assert calls.count("r4") == 2
+    assert calls.count("core") == 1 and calls.count("new") == 1
+    # line pass-1 figures stay the ORIGINAL child's (comparability)...
+    assert line["queries"]["mm_decode_real"] == 1.0
+    assert line["r4_total"] == round(1.0 * len(bench.R4), 4)
+    # ...while the stable min comparator absorbs the respawn's mins
+    assert line["min_totals"]["r4"] == round(0.5 * len(bench.R4), 4)
+    assert line["min_totals"]["core"] == round(0.9 * len(bench.CORE), 4)
+
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["queries_min"]["mm_decode_real"] == 0.5
+    assert detail["queries_min"]["q1_pricing_summary"] == 0.9
+    retry = detail["calib_retry"]
+    assert retry["child"] == "r4"
+    assert retry["calib_sec_first"] == 1.30
+    assert retry["calib_floor"] == 0.90
+    assert retry["calib_sec_retry"] == 0.91
+    assert retry["queries"]["mm_decode_real"] == 0.5
+
+
+def test_retry_targets_only_the_single_worst_child(
+    monkeypatch, tmp_path, capsys
+):
+    """Two children over the gate: still at most ONE respawn — the
+    worst offender — so the bound stays +1 JVM per round."""
+    _stub_engine(monkeypatch, tmp_path)
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 1.50, "new": 1.40, "r4": 0.90},
+        lambda which: {
+            "queries": {n: 0.5 for n in bench.CORE},
+            "queries_pass2": {n: 0.5 for n in bench.CORE},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": 0.91,
+        },
+    )
+    bench.main()
+    line = _last_json_line(capsys)
+    assert calls.count("core") == 2  # the worst
+    assert calls.count("new") == 1  # over the gate but not the worst
+    assert calls.count("r4") == 1
+    assert line["min_totals"]["core"] == round(0.5 * len(bench.CORE), 4)
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["calib_retry"]["child"] == "core"
+
+
+def test_retry_spawn_failure_keeps_original_figures(
+    monkeypatch, tmp_path, capsys
+):
+    """The respawn dying must NOT route into the single-JVM fallback —
+    a full result already exists. Original figures publish; the sidecar
+    records the trigger calibs plus the error."""
+    _stub_engine(monkeypatch, tmp_path)
+    _retry_spawn(
+        monkeypatch,
+        {"core": 0.90, "new": 0.92, "r4": 1.30},
+        RuntimeError("respawn died"),
+    )
+    bench.main()
+    line = _last_json_line(capsys)
+    assert line["isolated_jvms"] is True  # no fallback
+    assert line["min_totals"]["r4"] == round(
+        0.9 * len(bench.R4), 4
+    )  # original passes' min
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    retry = detail["calib_retry"]
+    assert retry["child"] == "r4"
+    assert "respawn died" in retry["error"]
+    assert "calib_sec_retry" not in retry
 
 
 if __name__ == "__main__":  # pragma: no cover

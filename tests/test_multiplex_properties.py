@@ -615,7 +615,10 @@ def test_persist_state_round_trips_through_json_bytes(rows, n_batches):
     straight back to restore(); a real deployment writes it to DISK,
     and the triple's flat dict has TUPLE keys — which json.dumps
     rejects outright — so the on-disk shape needs an explicit codec
-    (r12 verdict item 5). Pin the obvious one: the flat dict as a list
+    (r12 verdict item 5). Pin the shape itself, spelled out inline and
+    independent of the store's own persist_state_to/restore_from pair
+    (which ships this codec; the sibling property below runs THROUGH
+    that pair and a real file): the flat dict as a list
     of [counter, member, value] records (member may be null; JSON
     list→tuple on decode), high_water and live_begun verbatim. A store
     restored from the PARSED bytes must be indistinguishable from one
@@ -669,6 +672,75 @@ def test_persist_state_round_trips_through_json_bytes(rows, n_batches):
     original.merge(_FakeDeltas(bf_rows), n_batches)
     restored.merge(_FakeDeltas(bf_rows), n_batches)
     assert restored.snapshot() == original.snapshot()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["totals", "hosts", "ünïcode-board"]),
+            st.one_of(
+                st.none(),
+                st.text(min_size=0, max_size=8),
+            ),
+            st.integers(-(10**12), 10**12),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    n_batches=st.integers(0, 3),
+)
+@settings(max_examples=50, deadline=None)
+def test_persist_state_to_round_trips_through_a_real_file(rows, n_batches):
+    """``persist_state_to``/``restore_from``: the byte codec the sibling
+    property pins, actually WRITTEN to and read back from disk (r13
+    verdict optional 5 — closing the gap between "codec tested" and
+    "file actually written"). Totals, fence, and backfill guard survive
+    the file; the write leaves no ``.tmp`` residue (the os.replace
+    crash-safety mechanic); and re-persisting after more merges
+    replaces the file so a second restore sees the newer state, not the
+    first write."""
+    import os as _os
+    import tempfile
+
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    original = KVCounterStore()
+    for b in range(n_batches):
+        original.merge(
+            _FakeDeltas(
+                [{"counter": c, "member": m, "delta": d} for c, m, d in rows]
+            ),
+            b,
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "kv_state.json")
+        original.persist_state_to(path)
+        assert not _os.path.exists(path + ".tmp")
+        restored = KVCounterStore.restore_from(path)
+
+        assert restored.snapshot() == original.snapshot()
+        assert restored.high_water_batch_id == original.high_water_batch_id
+        # guard parity: an unforced backfill is accepted/refused alike
+        bf_rows = [{"counter": "bf", "member": "x", "delta": 1}]
+        if n_batches:
+            for s in (original, restored):
+                with pytest.raises(RuntimeError, match="BEFORE attaching"):
+                    s.backfill(_FakeDeltas(bf_rows))
+        else:
+            original.backfill(_FakeDeltas(bf_rows))
+            restored.backfill(_FakeDeltas(bf_rows))
+        # fence parity: next unseen batch applies identically
+        original.merge(_FakeDeltas(bf_rows), n_batches)
+        restored.merge(_FakeDeltas(bf_rows), n_batches)
+        assert restored.snapshot() == original.snapshot()
+
+        # overwrite path: persisting the advanced state replaces the
+        # file atomically and a fresh restore reflects it
+        original.persist_state_to(path)
+        again = KVCounterStore.restore_from(path)
+        assert again.snapshot() == original.snapshot()
+        assert again.high_water_batch_id == original.high_water_batch_id
 
 
 if __name__ == "__main__":  # pragma: no cover
