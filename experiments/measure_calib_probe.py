@@ -10,14 +10,22 @@ degrades, by imposing controlled CPU contention (K background spinner
 processes) and timing both the probe and two fixed catalog queries at
 each level.
 
-MEASURED FINDING (this box, r13; range over two runs): the
-relationship is one-sided. At 2x core oversubscription (32 spinners
-beside the 32-thread session) the queries inflate 1.27-1.56x while the
-single-threaded probe reads only 1.00-1.14x — one extra runnable
-thread on a 32-core box still gets most of a core, so co-tenant CORE
-STEALING is mostly invisible to the probe. When the spinners die,
-query times return to (about) baseline, confirming the inflation was
-contention, not ordering drift.
+MEASURED FINDING (this box; range over three runs, two r13 + one
+r14): the relationship is one-sided, with a host-state-dependent
+magnitude. At 2x core oversubscription (32 spinners beside the
+32-thread session) the queries inflate 1.27-1.83x while the
+single-threaded probe reads 1.00-1.47x — and in EVERY run the probe
+under-reads the query inflation (r13: probe ~1.0-1.14x vs queries
+1.27-1.56x; r14, on a day the host itself probed ~15% slow at idle:
+probe 1.47x vs queries 1.69-1.83x). One extra runnable thread on a
+32-core box usually still gets most of a core, so co-tenant CORE
+STEALING is at best partially visible to the probe; how much of it
+leaks through depends on host state. The invariant that matters is
+the direction: the probe is a LOWER bound on the box slowdown, so
+normalizing query times by the calib ratio UNDER-corrects — it can
+never manufacture a fake improvement, only leave residual inflation.
+When the spinners die, query times return to (about) baseline,
+confirming the inflation was contention, not ordering drift.
 What the probe does track is whole-box single-thread speed (frequency/
 thermal/page-cache class drift) — exactly the r12 failure mode, where
 the single-JVM parse figures dropped 20% on byte-identical code. The
