@@ -371,11 +371,13 @@ class KVCounterStore:
         (tests/test_multiplex_properties.py): the flat totals — whose
         TUPLE keys raw ``json.dumps`` rejects outright — as a list of
         ``[counter, member, value]`` records (member may be null),
-        ``high_water`` and ``live_begun`` verbatim. Write-then-
-        ``os.replace`` so a crash mid-write leaves the previous intact
-        file, never a torn one: the rename is atomic on POSIX, which is
-        exactly the property a restart loader needs from its state
-        file."""
+        ``high_water`` and ``live_begun`` verbatim. Write + flush +
+        ``os.fsync`` + ``os.replace``: the fsync makes the new bytes
+        durable BEFORE the atomic rename points the name at them, so
+        neither a process crash mid-write nor a power loss right after
+        the rename can leave a torn or empty state file — the loader
+        sees either the previous intact file or the complete new one,
+        which is exactly the property a restart loader needs."""
         state, high_water, live_begun = self.persist_state()
         payload = json.dumps(
             {
@@ -388,6 +390,8 @@ class KVCounterStore:
         tmp = f"{path}.tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
 
     @classmethod
