@@ -118,6 +118,31 @@ def main() -> None:
             f" {t_card * 1e6:>7.2f} µs"
         )
 
+    # ---- the ALL-TIED degenerate board (r14 verdict optional 6) ----
+    # every member at the same total: the threshold pass keeps all n
+    # candidates, so before r15 the outside tail comparator-sorted 1 M
+    # tuples per read; the bounded name-key heap replaces that. The
+    # under-lock copy is unchanged by design (a counting pass to bound
+    # it would tax every healthy read — see the zrevrange docstring).
+    tied = KVCounterStore()
+    tied.merge(
+        _FakeDeltas(
+            [
+                {"counter": "tied", "member": f"m{i:07d}", "delta": 7}
+                for i in range(1_000_000)
+            ]
+        ),
+        0,
+    )
+    got = tied.zrevrange("tied", 10)
+    want = sorted(
+        ((m, v) for (c, m), v in tied.snapshot().items()),
+        key=lambda r: (-r[1], r[0] is None, r[0] or ""),
+    )[:10]
+    assert got == want, (got[:3], want[:3])
+    t_tied = _timeit(lambda: tied.zrevrange("tied", 10))
+    print(f"\nall-tied 1M-member zrevrange(10): {t_tied * 1e3:.1f} ms")
+
 
 if __name__ == "__main__":
     main()

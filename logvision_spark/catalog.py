@@ -5119,10 +5119,21 @@ _EDITED_ROUND: dict[str, int] = {
     # entries' fingerprints, so they re-green together as usual
     # (coupling pinned by test_export_order::
     # test_multiplex_edit_trips_all_kv_entries).
-    # (Previous bumps: r12 zrevrange heap-select, r11 store layout.)
-    "stream_counter_multiplex": 14,
-    "stream_board_top_users": 14,
-    "stream_backfill_cutover": 14,
+    # round-15: persist_state_to's tmp file became a unique mkstemp
+    # sibling (two concurrent persists can no longer interleave a
+    # half-written publish; a failed persist unlinks its tmp instead
+    # of leaving residue) and the publish now fsyncs the PARENT
+    # DIRECTORY after os.replace so the rename itself is durable
+    # across power loss (both r14 ADVICE lows). The live
+    # merge/fence/read contract is byte-identical — every pre-existing
+    # property test runs unmodified — but multiplex.py is hashed into
+    # all three KV entries' fingerprints, so they re-green together
+    # as usual.
+    # (Previous bumps: r14 file pair shipped, r12 zrevrange
+    # heap-select, r11 store layout.)
+    "stream_counter_multiplex": 15,
+    "stream_board_top_users": 15,
+    "stream_backfill_cutover": 15,
 }
 
 

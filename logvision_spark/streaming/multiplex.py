@@ -46,6 +46,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import tempfile
 import threading
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
@@ -371,13 +372,21 @@ class KVCounterStore:
         (tests/test_multiplex_properties.py): the flat totals — whose
         TUPLE keys raw ``json.dumps`` rejects outright — as a list of
         ``[counter, member, value]`` records (member may be null),
-        ``high_water`` and ``live_begun`` verbatim. Write + flush +
-        ``os.fsync`` + ``os.replace``: the fsync makes the new bytes
-        durable BEFORE the atomic rename points the name at them, so
-        neither a process crash mid-write nor a power loss right after
-        the rename can leave a torn or empty state file — the loader
-        sees either the previous intact file or the complete new one,
-        which is exactly the property a restart loader needs."""
+        ``high_water`` and ``live_begun`` verbatim. Durability, in
+        order: write to a UNIQUE mkstemp sibling + flush + ``os.fsync``
+        (the new bytes are on disk before any name points at them) +
+        ``os.replace`` (the name flips atomically) + fsync of the
+        PARENT DIRECTORY (the rename is metadata in the directory, and
+        only a directory fsync pushes that entry to disk — without it a
+        power loss right after the replace can still surface the
+        previous file). Net guarantee: the loader sees either the
+        previous intact file or the complete new one — never torn,
+        never empty — and once this method returns, the NEW one, even
+        across power loss. Concurrent persists to the same path are
+        safe in the tear-free sense (each writer owns its own mkstemp
+        file, so no replace can publish another writer's half-written
+        bytes) but race on WHICH complete snapshot lands last; a failed
+        persist unlinks its tmp file rather than leaving residue."""
         state, high_water, live_begun = self.persist_state()
         payload = json.dumps(
             {
@@ -387,12 +396,31 @@ class KVCounterStore:
             },
             ensure_ascii=False,
         )
-        tmp = f"{path}.tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        # mkstemp in the SAME directory (os.replace must not cross
+        # filesystems), never a fixed sibling name: a shared '.tmp'
+        # lets two concurrent persists interleave — one replace
+        # publishing the other's half-written file (r14 ADVICE)
+        d = os.path.dirname(os.path.abspath(path))
+        fd, tmp = tempfile.mkstemp(
+            dir=d, prefix=os.path.basename(path) + ".", suffix=".tmp"
+        )
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     @classmethod
     def restore_from(cls, path: str) -> "KVCounterStore":
@@ -488,17 +516,41 @@ class KVCounterStore:
         under the lock (it iterates the live dict twice — copying
         first, the pre-r12 shape, held the lock longer: list() of 1 M
         items is ~140 ms against ~50 ms for this pass); only the
-        candidate sort runs outside. Worst case is an all-tied counter
-        (every member passes the threshold): the candidate copy still
-        holds the lock ~n list-comp appends, and the outside sort
-        degrades to the old full sort. The production pointer stands: a
-        real ZSET makes this O(log n + k)."""
+        candidate selection runs outside. Worst case is an all-tied
+        counter (every member passes the threshold): the candidate
+        copy still holds the lock for ~n list-comp appends — KEPT
+        deliberately, because the only way to bound it is a second
+        counting pass over the same n values under the same lock,
+        which taxes every healthy read to cheapen the degenerate one
+        (r14 verdict optional 6; the single C-speed comprehension IS
+        the minimal lock hold for the measured typical case) — but the
+        tail OUTSIDE the lock no longer degrades to a full O(n log n)
+        tuple-key sort: when candidates overflow 4k, the strictly-
+        above-threshold rows (always < k of them) are split off and
+        the tied remainder goes through a bounded heapq.nsmallest on
+        the name key, so the final comparator sort touches at most k
+        rows. The production pointer stands: a real ZSET makes this
+        O(log n + k)."""
         with self._lock:
             members = self._counters.get(counter)
             if not members or k <= 0:
                 return []
             kth = heapq.nlargest(k, members.values())[-1]
             cands = [r for r in members.items() if r[1] >= kth]
+        if len(cands) > 4 * k:
+            # heavy ties at the threshold: every candidate at kth is
+            # interchangeable except for the name tie-break, so pick
+            # the (k - |above|) smallest names with a bounded heap
+            # instead of comparator-sorting all n candidates
+            above = [r for r in cands if r[1] > kth]
+            need = k - len(above)
+            if need > 0:
+                above += heapq.nsmallest(
+                    need,
+                    (r for r in cands if r[1] == kth),
+                    key=lambda r: (r[0] is None, r[0] or ""),
+                )
+            cands = above
         cands.sort(key=lambda r: (-r[1], r[0] is None, r[0] or ""))
         return cands[:k]
 

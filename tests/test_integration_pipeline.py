@@ -174,11 +174,18 @@ def test_production_topology_survives_mid_replay_kill(spark, tmp_path):
     mid-replay AFTER the KV write for batch 1 but BEFORE the offset-log
     commit (the exact window where the reference's zincrby double-counts,
     streaming.scala:163), MORE files land while it is down, and a new
-    query restarts from the SAME checkpoint into the SAME store. The
-    engine must redeliver batch 1 (pinned), the fence must discard it,
-    the committed prefix must not be re-read, the new files must be
-    picked up — and the serving-loop boards pushed per trigger must end
-    exactly equal to one batch aggregation over everything replayed."""
+    query restarts from the SAME checkpoint into a store REBUILT FROM
+    THE STATE FILE: the dying "process" persists via
+    ``persist_state_to`` and the restart boots a brand-new
+    ``KVCounterStore.restore_from`` that file — the full process-
+    boundary restart story (r14 verdict item 4: the pair was property-
+    pinned on round-trips but no topology test crossed a real file).
+    The engine must redeliver batch 1 (pinned), the RESTORED fence must
+    discard it, the restored backfill guard must refuse an unforced
+    archive pass, the committed prefix must not be re-read, the new
+    files must be picked up — and the serving-loop boards pushed per
+    trigger must end exactly equal to one batch aggregation over
+    everything replayed."""
     lines = [
         f'10.0.0.{i % 4} - u{i % 5} [10/Oct/2020:13:55:{i % 60:02d} +0000] '
         f'"GET /p{i % 7} HTTP/1.1" 200 {100 + i}'
@@ -198,13 +205,17 @@ def test_production_topology_survives_mid_replay_kill(spark, tmp_path):
     )
 
     specs = log_counter_specs()
-    store = KVCounterStore()
+    # the "process" owns its store via this one-slot holder: the
+    # restart swaps in a store rebuilt from the persisted file, and
+    # serve() always writes to the current process's store
+    stores = [KVCounterStore()]
     board_frames: list[dict] = []
     delivered: list[int] = []
     crash_once = {"armed": True}
     ck = str(tmp_path / "kc_ckpt")
 
     def serve(deltas_df, batch_id):
+        store = stores[-1]
         delivered.append(batch_id)
         store.merge(deltas_df, batch_id)  # KV write lands...
         board_frames.append({
@@ -232,7 +243,12 @@ def test_production_topology_survives_mid_replay_kill(spark, tmp_path):
     q = _run()
     with pytest.raises(Exception, match="mid-replay crash"):
         q.awaitTermination(180)
-    assert store.high_water_batch_id == 1  # batch 1 WAS applied pre-crash
+    assert stores[-1].high_water_batch_id == 1  # batch 1 applied pre-crash
+
+    # the dying process's shutdown hook persists the store to DISK;
+    # the first store object is never touched again (process gone)
+    state_file = str(tmp_path / "kv_state.json")
+    stores[-1].persist_state_to(state_file)
 
     # the sink is down; the replayer keeps landing files
     LogReplayer(
@@ -240,7 +256,21 @@ def test_production_topology_survives_mid_replay_kill(spark, tmp_path):
         file_prefix="tail",
     ).start().drain()
 
-    q2 = _run()  # restart: same checkpoint, same store
+    # the restarted "process" boots a NEW store from the file: the
+    # replay fence and the backfill guard must both have crossed the
+    # process boundary
+    restored = KVCounterStore.restore_from(state_file)
+    assert restored.high_water_batch_id == 1
+
+    class _NoRows:
+        def collect(self):
+            return []
+
+    with pytest.raises(RuntimeError, match="BEFORE attaching"):
+        restored.backfill(_NoRows())  # guard survived the file
+    stores.append(restored)
+
+    q2 = _run()  # restart: same checkpoint, file-restored store
     try:
         assert q2.awaitTermination(180), "restarted sink did not drain"
     finally:
@@ -255,7 +285,8 @@ def test_production_topology_survives_mid_replay_kill(spark, tmp_path):
         (r["counter"], r["member"]): r["delta"]
         for r in melted_counter_deltas(batch, specs).collect()
     }
-    assert store.snapshot() == expect  # nothing lost, nothing doubled
+    # nothing lost, nothing doubled — across a real file boundary
+    assert stores[-1].snapshot() == expect
     # the final board push reflects the fully-recovered state
     assert board_frames[-1]["line_cnt"] == len(lines)
     batch_top_hosts = [

@@ -414,6 +414,52 @@ def test_zrevrange_is_the_deterministic_topk(rows, k):
         assert store.zrevrange(counter, k) == model
 
 
+def test_zrevrange_all_tied_heavy_path_matches_full_sort():
+    """The degenerate board read (r14 verdict optional 6): when ties at
+    the k-th value flood the candidate set past 4k, zrevrange switches
+    to a bounded name-key heap instead of comparator-sorting all n
+    candidates. The selection must stay EXACTLY the full-sort answer —
+    same members, same order, NULL last — across the shapes that stress
+    the split: all-tied, mixed above/tied, k larger than the board, and
+    a NULL member sitting at the threshold."""
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    # all-tied: 5,000 members at the same total, plus a NULL member
+    store = KVCounterStore()
+    rows = [
+        {"counter": "b", "member": f"m{i:05d}", "delta": 7}
+        for i in range(5000)
+    ] + [{"counter": "b", "member": None, "delta": 7}]
+    store.merge(_FakeDeltas(rows), 0)
+
+    def model(k):
+        totals = {r["member"]: r["delta"] for r in rows}
+        return sorted(
+            totals.items(), key=lambda r: (-r[1], r[0] is None, r[0] or "")
+        )[:k]
+
+    for k in (1, 10, 100, 6000):  # 6000 > board size: return everything
+        assert store.zrevrange("b", k) == model(k)
+
+    # mixed: a few strictly-above members over a huge tied plateau,
+    # where need = k - |above| lands mid-plateau
+    store2 = KVCounterStore()
+    rows2 = (
+        [{"counter": "b", "member": f"top{i}", "delta": 100 + i}
+         for i in range(3)]
+        + [{"counter": "b", "member": f"t{i:05d}", "delta": 50}
+           for i in range(4000)]
+        + [{"counter": "b", "member": None, "delta": 50}]
+    )
+    store2.merge(_FakeDeltas(rows2), 0)
+    totals2 = {r["member"]: r["delta"] for r in rows2}
+    for k in (3, 4, 10, 64):
+        expect = sorted(
+            totals2.items(), key=lambda r: (-r[1], r[0] is None, r[0] or "")
+        )[:k]
+        assert store2.zrevrange("b", k) == expect
+
+
 @given(
     rows=st.lists(
         st.tuples(
@@ -741,6 +787,60 @@ def test_persist_state_to_round_trips_through_a_real_file(rows, n_batches):
         again = KVCounterStore.restore_from(path)
         assert again.snapshot() == original.snapshot()
         assert again.high_water_batch_id == original.high_water_batch_id
+
+
+def test_failed_persist_leaves_previous_file_intact_and_no_residue(
+    monkeypatch,
+):
+    """A persist that dies between the tmp write and the publish (the
+    crash window ``os.replace`` exists to close) must leave (a) the
+    PREVIOUS state file byte-identical — a restart restores the old
+    state, never a torn one — and (b) zero tmp residue in the
+    directory: the unique-mkstemp rewrite (r14 ADVICE) unlinks its own
+    tmp file on failure instead of abandoning a fixed ``.tmp`` sibling
+    that a concurrent writer could have published half-written."""
+    import os as _os
+    import tempfile
+
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    store.merge(
+        _FakeDeltas([{"counter": "c", "member": "m", "delta": 7}]), 0
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "kv_state.json")
+        store.persist_state_to(path)
+        before = open(path, "rb").read()
+
+        store.merge(
+            _FakeDeltas([{"counter": "c", "member": "m", "delta": 5}]), 1
+        )
+        real_replace = _os.replace
+
+        def dying_replace(src, dst):
+            raise OSError("simulated crash before publish")
+
+        monkeypatch.setattr(_os, "replace", dying_replace)
+        with pytest.raises(OSError, match="simulated crash"):
+            store.persist_state_to(path)
+        monkeypatch.setattr(_os, "replace", real_replace)
+
+        # previous file untouched, restorable, and the directory holds
+        # ONLY it — the failed writer's mkstemp file was unlinked
+        assert open(path, "rb").read() == before
+        assert _os.listdir(d) == ["kv_state.json"]
+        old = KVCounterStore.restore_from(path)
+        assert old.snapshot() == {("c", "m"): 7}
+        assert old.high_water_batch_id == 0
+
+        # the store itself is unharmed: a clean persist now publishes
+        # the newer state
+        store.persist_state_to(path)
+        assert KVCounterStore.restore_from(path).snapshot() == {
+            ("c", "m"): 12
+        }
+        assert _os.listdir(d) == ["kv_state.json"]
 
 
 if __name__ == "__main__":  # pragma: no cover
