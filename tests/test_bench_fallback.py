@@ -289,6 +289,136 @@ def test_retry_targets_only_the_single_worst_child(
     assert detail["calib_retry"]["child"] == "core"
 
 
+def _write_prior_sidecar(tmp_path, python=None, **extra):
+    """Seed the redirected sidecar path with a 'previous round' file —
+    the cross-round anchor's input (r14 verdict item 1)."""
+    doc = {"python": python if python is not None else sys.version}
+    doc.update(extra)
+    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(doc))
+
+
+def test_box_wide_drift_triggers_prior_round_anchor(
+    monkeypatch, tmp_path, capsys
+):
+    """The r14 blind spot, stubbed exactly: every child uniformly
+    inflated (within-round worst/floor = 1.30/1.22 = 1.07, under the
+    1.15 gate) against a healthy prior-round floor of 0.90 (all three
+    read >1.35x of it). The old same-round-only gate let this pass and
+    two dedup queries published >2x their r1 figures; the cross-round
+    anchor must fire on the WORST child, record which anchor tripped,
+    and still bound the round to one respawn."""
+    _stub_engine(monkeypatch, tmp_path)
+    _write_prior_sidecar(
+        tmp_path, calib_secs={"core": 0.90, "new": 0.95, "r4": 0.93}
+    )
+
+    def retry_result(which):
+        return {
+            "queries": {n: 0.5 for n in bench.CORE},
+            "queries_pass2": {n: 0.5 for n in bench.CORE},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": 0.91,
+        }
+
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 1.30, "new": 1.25, "r4": 1.22},
+        retry_result,
+    )
+    bench.main()
+    assert calls.count("core") == 2  # the worst child, respawned once
+    assert calls.count("new") == 1 and calls.count("r4") == 1
+
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    retry = detail["calib_retry"]
+    assert retry["child"] == "core"
+    assert retry["calib_sec_first"] == 1.30
+    assert retry["calib_floor"] == 1.22  # same-round anchor: NOT tripped
+    assert retry["calib_anchor_floor"] == 0.90  # the anchor that did
+    assert retry["trigger"] == ["prior_round"]
+    # the respawn's mins folded in as usual
+    assert detail["queries_min"]["q1_pricing_summary"] == 0.5
+    # the rolling anchor carries the HEALTHY floor forward — this
+    # drifted round cannot poison the next round's anchor
+    assert detail["calib_anchor"]["floor"] == 0.90
+
+
+def test_interpreter_change_disables_prior_anchor(
+    monkeypatch, tmp_path, capsys
+):
+    """A CPython upgrade between rounds would read as machine drift;
+    the prior-round anchor must refuse a sidecar recorded under a
+    different sys.version (the reason `python` rides in the sidecar at
+    all, r13 ADVICE), leaving only the same-round gate — which this
+    uniform inflation does not trip."""
+    _stub_engine(monkeypatch, tmp_path)
+    _write_prior_sidecar(
+        tmp_path,
+        python="3.10.0 (other box)",
+        calib_secs={"core": 0.90, "new": 0.95, "r4": 0.93},
+    )
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 1.30, "new": 1.25, "r4": 1.22},
+        RuntimeError("must not be spawned"),
+    )
+    bench.main()
+    assert calls.count("core") == 1  # no respawn anywhere
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["calib_retry"] is None
+    # the anchor RESETS to this round's floor under the new interpreter
+    assert detail["calib_anchor"]["floor"] == 1.22
+
+
+def test_missing_child_calib_is_recorded_not_silently_ungated(
+    monkeypatch, tmp_path, capsys
+):
+    """A child that reports calib_sec=None escapes the ratio gate by
+    construction; the sidecar must say so (r14 ADVICE: a null probe
+    reading was invisible in the round's evidence)."""
+    _stub_engine(monkeypatch, tmp_path)
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 0.90, "new": 0.92, "r4": None},
+        RuntimeError("must not be spawned"),
+    )
+    bench.main()
+    assert calls.count("r4") == 1  # no retry — nothing to compare
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["calib_retry"] == {"skipped": "missing calib for r4"}
+    # known children still feed the rolling anchor
+    assert detail["calib_anchor"]["floor"] == 0.90
+
+
+def test_missing_calib_rides_alongside_a_fired_retry(
+    monkeypatch, tmp_path, capsys
+):
+    """When the gate DOES fire and another child's calib is missing,
+    both facts land in the same sidecar record."""
+    _stub_engine(monkeypatch, tmp_path)
+
+    def retry_result(which):
+        names = bench.R4 + bench.R5 + bench.R6 + bench.R7
+        return {
+            "queries": {n: 0.5 for n in names},
+            "queries_pass2": {n: 0.5 for n in names},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": 0.91,
+        }
+
+    _retry_spawn(
+        monkeypatch,
+        {"core": 0.90, "new": None, "r4": 1.30},
+        retry_result,
+    )
+    bench.main()
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    retry = detail["calib_retry"]
+    assert retry["child"] == "r4"
+    assert retry["trigger"] == ["same_round"]
+    assert retry["missing_calib"] == ["new"]
+
+
 def test_retry_spawn_failure_keeps_original_figures(
     monkeypatch, tmp_path, capsys
 ):
