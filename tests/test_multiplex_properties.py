@@ -843,5 +843,96 @@ def test_failed_persist_leaves_previous_file_intact_and_no_residue(
         assert _os.listdir(d) == ["kv_state.json"]
 
 
+def test_concurrent_persists_never_publish_a_torn_file():
+    """The interleaving the unique-mkstemp rewrite exists to kill (r14
+    ADVICE): with a FIXED sibling tmp name, two concurrent persists to
+    the same path share the tmp file — one writer's os.replace can
+    publish the other's half-written bytes. Here three writer threads
+    persist the same store to the same path in a tight loop while a
+    merger thread keeps advancing it, and a reader thread restores
+    from the file continuously. Every successful read must decode to a
+    COHERENT atomic triple: the store's invariant (one +1 delta per
+    batch on the probe member) forces probe_total == high_water + 1 in
+    every honestly-captured snapshot, so a torn or interleaved file
+    surfaces as either a JSON decode error or a broken equality. The
+    ~30k-member payload makes each write long enough that fixed-name
+    interleaving would actually be hit."""
+    import os as _os
+    import tempfile
+    import threading
+
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    # bulk payload at batch 0 so each persist writes ~1 MB (a wide
+    # interleave window), plus the probe member the invariant tracks
+    bulk = [
+        {"counter": "bulk", "member": f"m{i:05d}", "delta": i + 1}
+        for i in range(30_000)
+    ] + [{"counter": "probe", "member": "p", "delta": 1}]
+    store.merge(_FakeDeltas(bulk), 0)
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "kv_state.json")
+        store.persist_state_to(path)  # reader never sees ENOENT
+
+        def merger():
+            try:
+                b = 1
+                while not stop.is_set() and b < 400:
+                    store.merge(
+                        _FakeDeltas(
+                            [{"counter": "probe", "member": "p",
+                              "delta": 1}]
+                        ),
+                        b,
+                    )
+                    b += 1
+            except BaseException as exc:  # pragma: no cover
+                errors.append(exc)
+
+        def writer():
+            try:
+                for _ in range(12):
+                    store.persist_state_to(path)
+            except BaseException as exc:  # pragma: no cover
+                errors.append(exc)
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    got = KVCounterStore.restore_from(path)
+                    snap = got.snapshot()
+                    assert snap[("probe", "p")] == (
+                        got.high_water_batch_id + 1
+                    ), "torn state published"
+            except BaseException as exc:  # pragma: no cover
+                errors.append(exc)
+
+        workers = [threading.Thread(target=merger)] + [
+            threading.Thread(target=writer) for _ in range(3)
+        ]
+        watcher = threading.Thread(target=reader)
+        for t in workers + [watcher]:
+            t.start()
+        for t in workers:
+            t.join()
+        stop.set()
+        watcher.join()
+        assert not errors, errors[:3]
+
+        # quiesced: a final persist/restore round-trips exactly, and
+        # the directory holds ONLY the published file — every
+        # concurrent writer cleaned up its own tmp
+        store.persist_state_to(path)
+        final = KVCounterStore.restore_from(path)
+        assert final.snapshot() == store.snapshot()
+        assert final.high_water_batch_id == store.high_water_batch_id
+        assert _os.listdir(d) == ["kv_state.json"]
+
+
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
