@@ -161,16 +161,18 @@ def _prior_calib_floor() -> float | None:
         return None
     if prior.get("python") != sys.version:
         return None
-    vals = [
-        v
-        for v in (prior.get("calib_secs") or {}).values()
-        if isinstance(v, (int, float))
-    ]
+    # probes are positive durations; a zero/negative value in a
+    # corrupt or hand-edited sidecar must not become an anchor every
+    # future round trips over (the gate would then retry forever)
+    def _ok(v):
+        return isinstance(v, (int, float)) and v > 0
+
+    vals = [v for v in (prior.get("calib_secs") or {}).values() if _ok(v)]
     anchor = prior.get("calib_anchor") or {}
-    if isinstance(anchor.get("floor"), (int, float)):
+    if _ok(anchor.get("floor")):
         vals.append(anchor["floor"])
     retry = prior.get("calib_retry") or {}
-    if isinstance(retry.get("calib_sec_retry"), (int, float)):
+    if _ok(retry.get("calib_sec_retry")):
         vals.append(retry["calib_sec_retry"])
     return min(vals) if vals else None
 
