@@ -157,24 +157,39 @@ def _prior_calib_floor() -> float | None:
     try:
         with open(_sidecar_path(), encoding="utf-8") as f:
             prior = json.load(f)
-    except (OSError, ValueError):
+        if prior.get("python") != sys.version:
+            return None
+        vals = [
+            v
+            for v in (prior.get("calib_secs") or {}).values()
+            if _calib_ok(v)
+        ]
+        anchor = prior.get("calib_anchor") or {}
+        if _calib_ok(anchor.get("floor")):
+            vals.append(anchor["floor"])
+        retry = prior.get("calib_retry") or {}
+        if _calib_ok(retry.get("calib_sec_retry")):
+            vals.append(retry["calib_sec_retry"])
+    except (OSError, ValueError, AttributeError, TypeError):
+        # valid-JSON-wrong-shape (a list, a scalar, calib_secs not a
+        # dict...) must disable the anchor, not abort the whole
+        # benchmark before a single query runs — same contract as a
+        # missing or unparseable file
         return None
-    if prior.get("python") != sys.version:
-        return None
-    # probes are positive durations; a zero/negative value in a
-    # corrupt or hand-edited sidecar must not become an anchor every
-    # future round trips over (the gate would then retry forever)
-    def _ok(v):
-        return isinstance(v, (int, float)) and v > 0
-
-    vals = [v for v in (prior.get("calib_secs") or {}).values() if _ok(v)]
-    anchor = prior.get("calib_anchor") or {}
-    if _ok(anchor.get("floor")):
-        vals.append(anchor["floor"])
-    retry = prior.get("calib_retry") or {}
-    if _ok(retry.get("calib_sec_retry")):
-        vals.append(retry["calib_sec_retry"])
     return min(vals) if vals else None
+
+
+def _calib_ok(v) -> bool:
+    """A usable probe reading: positive real number. Excludes bools
+    (isinstance(True, int) is True — a mangled JSON true would anchor
+    at 1.0) and zero/negative values — a corrupt reading must neither
+    become a floor every future round trips over nor, on the write
+    side, destroy the rolling anchor by min-merging 0 into it."""
+    return (
+        isinstance(v, (int, float))
+        and not isinstance(v, bool)
+        and v > 0
+    )
 
 
 def _sidecar_path() -> str:
@@ -459,8 +474,16 @@ def main() -> None:
         # the inner except.
         retry_detail = None
         retry_passes: dict[str, float] = {}
-        known_calib = {k: v for k, v in calib_secs.items() if v is not None}
-        missing_calib = sorted(k for k, v in calib_secs.items() if v is None)
+        # _calib_ok, not just is-not-None: a corrupt probe of 0 would
+        # become a floor that makes EVERY healthy child look >1.15x
+        # over it (spurious retry each round); unusable readings count
+        # as missing and are surfaced in the sidecar below
+        known_calib = {
+            k: v for k, v in calib_secs.items() if _calib_ok(v)
+        }
+        missing_calib = sorted(
+            k for k in calib_secs if k not in known_calib
+        )
         # A child triggers when its calib exceeds the band over EITHER
         # anchor: the same-round fastest child (r13 gate — catches one
         # child in a slow window) OR the prior committed sidecar's
@@ -571,12 +594,8 @@ def main() -> None:
     # catch box-wide drift that inflates all of its children together
     # (r14 verdict item 1). Resets automatically when sys.version
     # changes: _prior_calib_floor refuses a cross-interpreter anchor.
-    anchor_vals = [
-        v for v in calib_secs.values() if isinstance(v, (int, float))
-    ]
-    if retry_detail and isinstance(
-        retry_detail.get("calib_sec_retry"), (int, float)
-    ):
+    anchor_vals = [v for v in calib_secs.values() if _calib_ok(v)]
+    if retry_detail and _calib_ok(retry_detail.get("calib_sec_retry")):
         anchor_vals.append(retry_detail["calib_sec_retry"])
     if prior_floor is not None:
         anchor_vals.append(prior_floor)

@@ -386,7 +386,10 @@ class KVCounterStore:
         safe in the tear-free sense (each writer owns its own mkstemp
         file, so no replace can publish another writer's half-written
         bytes) but race on WHICH complete snapshot lands last; a failed
-        persist unlinks its tmp file rather than leaving residue."""
+        persist unlinks its tmp file rather than leaving residue (the
+        exception path — an attempt killed HARD between mkstemp and
+        publish leaves one uniquely-named tmp per crash, which
+        ``sweep_stale_tmp`` removes at boot)."""
         state, high_water, live_begun = self.persist_state()
         payload = json.dumps(
             {
@@ -405,6 +408,14 @@ class KVCounterStore:
             dir=d, prefix=os.path.basename(path) + ".", suffix=".tmp"
         )
         try:
+            # mkstemp creates 0600; restore umask-governed permissions
+            # so the published file stays readable by the same
+            # users/groups the pre-mkstemp open() allowed (a dashboard
+            # or backup process running as another user must not get
+            # PermissionError because the tmp strategy changed)
+            umask = os.umask(0)
+            os.umask(umask)
+            os.fchmod(fd, 0o666 & ~umask)
             with os.fdopen(fd, "w", encoding="utf-8") as f:
                 f.write(payload)
                 f.flush()
@@ -416,7 +427,17 @@ class KVCounterStore:
             except OSError:
                 pass
             raise
-        dfd = os.open(d, os.O_RDONLY)
+        # fsync the parent directory so the RENAME is durable. If the
+        # platform cannot open a directory (Windows), the bytes are
+        # fsynced and the name is published — only the rename's
+        # power-loss durability falls below the POSIX bar. A fsync
+        # failure still raises: the caller must not assume durability
+        # it did not get (the file IS published; a retry re-publishes
+        # the same complete state and re-attempts the barrier).
+        try:
+            dfd = os.open(d, os.O_RDONLY)
+        except OSError:
+            return
         try:
             os.fsync(dfd)
         finally:
@@ -429,7 +450,12 @@ class KVCounterStore:
         ``restore`` the full atomic triple, so the restored store
         carries both the replay fence AND the backfill guard exactly as
         persisted — no ``live_begun`` derivation, none of the pair-only
-        caveats."""
+        caveats.
+
+        Read-only on purpose — safe to call continuously beside live
+        persists (the concurrency stress test does exactly that); the
+        hard-crash tmp sweep is the separate, explicitly-boot-time
+        ``sweep_stale_tmp``."""
         with open(path, encoding="utf-8") as f:
             doc = json.load(f)
         return cls.restore(
@@ -437,6 +463,34 @@ class KVCounterStore:
             doc["high_water"],
             doc["live_begun"],
         )
+
+    @staticmethod
+    def sweep_stale_tmp(path: str) -> int:
+        """Remove orphaned ``<path>.*.tmp`` siblings and return how
+        many were removed. A persist killed HARD (SIGKILL, power loss)
+        between mkstemp and publish cannot unlink its own tmp file,
+        and unlike the old fixed-name scheme the unique names would
+        otherwise accumulate one file per crashed attempt. Call this
+        at BOOT, before any writer starts — the one point in the
+        restart story where no live persist can own a tmp; it is NOT
+        folded into ``restore_from`` because that read path is legal
+        beside live persists, and a sweep there would unlink a
+        concurrent writer's in-flight file."""
+        prefix = os.path.basename(path) + "."
+        d = os.path.dirname(os.path.abspath(path))
+        removed = 0
+        try:
+            names = os.listdir(d)
+        except OSError:
+            return 0
+        for fn in names:
+            if fn.startswith(prefix) and fn.endswith(".tmp"):
+                try:
+                    os.unlink(os.path.join(d, fn))
+                    removed += 1
+                except OSError:
+                    pass
+        return removed
 
     @property
     def high_water_batch_id(self) -> int:

@@ -419,6 +419,72 @@ def test_missing_calib_rides_alongside_a_fired_retry(
     assert retry["missing_calib"] == ["new"]
 
 
+@pytest.mark.parametrize(
+    "doc",
+    [
+        "[]",  # valid JSON, wrong shape: a list
+        '"x"',  # a bare string
+        '{"python": null}',  # no interpreter match
+        None,  # placeholder: filled per-case below with sys.version
+    ],
+)
+def test_wrong_shape_prior_sidecar_disables_anchor_not_the_bench(
+    monkeypatch, tmp_path, capsys, doc
+):
+    """Valid JSON of the wrong SHAPE (a list, a scalar, calib_secs not
+    a dict, calib_anchor a number) must disable the cross-round anchor
+    — exactly like a missing or unparseable file — never raise
+    AttributeError out of main() before a single query runs (review
+    finding on the r15 anchor)."""
+    _stub_engine(monkeypatch, tmp_path)
+    if doc is None:
+        doc = json.dumps(
+            {
+                "python": sys.version,
+                "calib_secs": [1, 2],  # not a dict
+                "calib_anchor": 0.5,  # not a dict
+                "calib_retry": "yes",  # not a dict
+            }
+        )
+    (tmp_path / "BENCH_DETAIL.json").write_text(doc)
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 1.30, "new": 1.25, "r4": 1.22},  # uniform inflation
+        RuntimeError("must not be spawned"),
+    )
+    bench.main()  # must not raise
+    line = _last_json_line(capsys)
+    assert line["isolated_jvms"] is True
+    # anchor disabled -> only the same-round gate, which stays quiet
+    assert calls.count("core") == 1
+
+
+def test_non_positive_or_bool_calibs_never_poison_the_rolling_anchor(
+    monkeypatch, tmp_path, capsys
+):
+    """Write-side symmetry with _calib_ok (review finding): a corrupt
+    child calib of 0/negative/bool must not min-merge into
+    calib_anchor.floor — one bad reading would otherwise destroy the
+    carried healthy floor and blind the cross-round gate next round."""
+    _stub_engine(monkeypatch, tmp_path)
+    _write_prior_sidecar(
+        tmp_path, calib_secs={"core": 0.90, "new": 0.95, "r4": 0.93}
+    )
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 0.95, "new": 0.0, "r4": True},  # corrupt probe values
+        RuntimeError("must not be spawned"),
+    )
+    bench.main()
+    assert calls.count("core") == 1  # corrupt values trigger nothing
+    assert calls.count("new") == 1 and calls.count("r4") == 1
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    # floor = min(prior 0.90, core 0.95); 0.0 and True are excluded
+    assert detail["calib_anchor"]["floor"] == 0.90
+    # ...and the unusable probes are surfaced, not silently dropped
+    assert detail["calib_retry"] == {"skipped": "missing calib for new,r4"}
+
+
 def test_retry_spawn_failure_keeps_original_figures(
     monkeypatch, tmp_path, capsys
 ):

@@ -258,7 +258,9 @@ def test_production_topology_survives_mid_replay_kill(spark, tmp_path):
 
     # the restarted "process" boots a NEW store from the file: the
     # replay fence and the backfill guard must both have crossed the
-    # process boundary
+    # process boundary. Boot recipe: sweep hard-crash tmp residue
+    # FIRST (no writer is alive yet), then restore.
+    assert KVCounterStore.sweep_stale_tmp(state_file) == 0
     restored = KVCounterStore.restore_from(state_file)
     assert restored.high_water_batch_id == 1
 

@@ -843,6 +843,51 @@ def test_failed_persist_leaves_previous_file_intact_and_no_residue(
         assert _os.listdir(d) == ["kv_state.json"]
 
 
+def test_persisted_file_mode_follows_umask_and_hard_crash_residue_swept():
+    """Two review findings on the r15 mkstemp rewrite: (a) mkstemp
+    creates 0600, and os.replace preserves the tmp's mode — without the
+    fchmod the published state file silently tightened from
+    umask-governed (typically 0644) to owner-only, breaking any
+    deployment where a different user (dashboard, backup) reads it;
+    (b) an attempt killed HARD between mkstemp and publish cannot
+    unlink its own tmp, and unique names would accumulate one file per
+    crashed attempt — the explicit boot-time sweep_stale_tmp removes
+    them (NOT restore_from: that read path is legal beside live
+    persists, where a sweep would unlink a writer's in-flight file —
+    the concurrency stress test below pins that usage)."""
+    import os as _os
+    import stat
+    import tempfile
+
+    from logvision_spark.streaming.multiplex import KVCounterStore
+
+    store = KVCounterStore()
+    store.merge(
+        _FakeDeltas([{"counter": "c", "member": "m", "delta": 1}]), 0
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "kv_state.json")
+        umask = _os.umask(0o022)
+        try:
+            store.persist_state_to(path)
+        finally:
+            _os.umask(umask)
+        mode = stat.S_IMODE(_os.stat(path).st_mode)
+        assert mode == 0o644, oct(mode)
+
+        # hard-crash residue: orphaned mkstemp siblings (and nothing
+        # else) are removed by the explicit boot-time sweep
+        for leftover in ("kv_state.json.abc123.tmp",
+                         "kv_state.json.zzz999.tmp"):
+            open(_os.path.join(d, leftover), "w").write("half-written")
+        open(_os.path.join(d, "unrelated.txt"), "w").write("keep me")
+        assert KVCounterStore.sweep_stale_tmp(path) == 2
+        got = KVCounterStore.restore_from(path)
+        assert got.snapshot() == store.snapshot()
+        assert sorted(_os.listdir(d)) == ["kv_state.json", "unrelated.txt"]
+        assert KVCounterStore.sweep_stale_tmp(path) == 0  # idempotent
+
+
 def test_concurrent_persists_never_publish_a_torn_file():
     """The interleaving the unique-mkstemp rewrite exists to kill (r14
     ADVICE): with a FIXED sibling tmp name, two concurrent persists to
