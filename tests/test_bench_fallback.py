@@ -485,6 +485,56 @@ def test_non_positive_or_bool_calibs_never_poison_the_rolling_anchor(
     assert detail["calib_retry"] == {"skipped": "missing calib for new,r4"}
 
 
+def test_anchor_round_trips_across_two_bench_runs(
+    monkeypatch, tmp_path, capsys
+):
+    """The full cross-round loop in one test: run 1 (healthy box)
+    writes its floor into the sidecar's rolling anchor; run 2 (box-wide
+    drift, within-round ratios tight) reads THAT file — not a
+    hand-seeded one — and the retry fires off the carried floor. This
+    pins the two halves the other tests cover separately actually
+    compose through the real file."""
+    _stub_engine(monkeypatch, tmp_path)
+
+    # ---- run 1: healthy, uniform calibs; no prior sidecar ----
+    calls1 = _retry_spawn(
+        monkeypatch,
+        {"core": 0.90, "new": 0.92, "r4": 0.91},
+        RuntimeError("must not be spawned in run 1"),
+    )
+    bench.main()
+    assert calls1.count("core") == 1
+    detail1 = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail1["calib_retry"] is None
+    assert detail1["calib_anchor"]["floor"] == 0.90
+
+    # ---- run 2: every child drifted together; reads run 1's sidecar ----
+    capsys.readouterr()  # drop run 1's line
+
+    def retry_result(which):
+        return {
+            "queries": {n: 0.5 for n in bench.CORE},
+            "queries_pass2": {n: 0.5 for n in bench.CORE},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": 0.93,
+        }
+
+    calls2 = _retry_spawn(
+        monkeypatch,
+        {"core": 1.20, "new": 1.15, "r4": 1.12},  # worst/floor = 1.07
+        retry_result,
+    )
+    bench.main()
+    assert calls2.count("core") == 2  # fired off the CARRIED floor
+    detail2 = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    retry = detail2["calib_retry"]
+    assert retry["calib_anchor_floor"] == 0.90
+    assert retry["trigger"] == ["prior_round"]
+    # the respawn's healthy probe (0.93) min-merges with the carried
+    # 0.90 — still the best ever seen
+    assert detail2["calib_anchor"]["floor"] == 0.90
+
+
 def test_retry_spawn_failure_keeps_original_figures(
     monkeypatch, tmp_path, capsys
 ):
