@@ -5129,11 +5129,43 @@ _EDITED_ROUND: dict[str, int] = {
     # property test runs unmodified — but multiplex.py is hashed into
     # all three KV entries' fingerprints, so they re-green together
     # as usual.
-    # (Previous bumps: r14 file pair shipped, r12 zrevrange
-    # heap-select, r11 store layout.)
-    "stream_counter_multiplex": 15,
-    "stream_board_top_users": 15,
-    "stream_backfill_cutover": 15,
+    # round-16: the r15 ADVICE trio landed in persist_state_to — the
+    # umask probe became an import-time constant (the per-persist
+    # set/restore dance raced concurrent persists and could publish a
+    # world-writable file or strand the process at umask 0), fdopen now
+    # takes fd ownership BEFORE fchmod (a failing fchmod leaked the
+    # descriptor), and fchmod is hasattr-guarded (absent on Windows
+    # before 3.13). The live merge/fence/read contract is byte-identical
+    # — every pre-existing property test runs unmodified — but
+    # multiplex.py is hashed into all three KV entries' fingerprints,
+    # so they re-green together as usual.
+    # (Previous bumps: r15 mkstemp+dir-fsync, r14 file pair shipped,
+    # r12 zrevrange heap-select, r11 store layout.)
+    "stream_counter_multiplex": 16,
+    "stream_board_top_users": 16,
+    "stream_backfill_cutover": 16,
+    # round-16: operators/text.py's `tokens` docstring became a raw
+    # string (the repo's one SyntaxWarning — invalid escape '\s' in the
+    # normalization example; r15 verdict item 5). Behavior is
+    # byte-identical (docstring only), but the file content is hashed
+    # into every text-importing entry's fingerprint, so all eight
+    # re-green conservatively — same precedent as the r8 docstring-only
+    # pipeline.py bump. ROTATION ARITHMETIC, on the record: these 8 +
+    # the 3 KV entries = 11 re-edit slots, of which 3 (text_lang_id,
+    # text_bpe_token_count, corpus_split_counts) are r13-stale and
+    # sampled this round anyway, so the 50-slot sample covers 11 + 39
+    # of the 40 remaining r13-stale entries. Exactly ONE r13 green
+    # (mm_partition_packing, registration-last among r13s) waits one
+    # more round; it leads r17's rotation, where the floor then jumps
+    # r13 → r15 in one step.
+    "fp_rolling_hash": 16,
+    "text_lang_id": 16,
+    "text_redact_pii": 16,
+    "corpus_split_counts": 16,
+    "text_bpe_token_count": 16,
+    "corpus_quality_funnel": 16,
+    "pack_token_bins": 16,
+    "text_chunk_windows": 16,
 }
 
 

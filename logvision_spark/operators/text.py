@@ -28,7 +28,7 @@ BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def tokens(text: Column, sep: str = " ") -> Column:
-    """TOKEN CONTRACT: split on the literal single-space separator,
+    r"""TOKEN CONTRACT: split on the literal single-space separator,
     mirrored bit-for-bit by every DuckDB oracle (string_split(text, ' ')).
     Consequences both engines share: consecutive/leading/trailing
     whitespace yields empty-string tokens and tokens('') == ['']

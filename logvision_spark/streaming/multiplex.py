@@ -57,6 +57,20 @@ from pyspark.sql.streaming import StreamingQuery
 
 DELTA_SCHEMA = "counter string, member string, delta long"
 
+# Process umask, probed ONCE at import (imports run under the
+# interpreter's import lock, before the store spawns worker threads).
+# ``persist_state_to`` needs it to widen mkstemp's 0600 back to the
+# permissions a plain open() would have produced, and the only way to
+# READ a umask is the set-and-restore dance — which mutates
+# process-global state. Doing that dance per-persist raced concurrent
+# persists (r15 ADVICE medium): one thread could observe umask 0 and
+# publish a world-writable state file, and an unlucky restore ordering
+# left the whole process at umask 0 permanently. Deliberate tradeoff,
+# documented: a process that changes its umask AFTER importing this
+# module keeps publishing with the import-time mask.
+_IMPORT_UMASK = os.umask(0)
+os.umask(_IMPORT_UMASK)
+
 
 @dataclass(frozen=True)
 class CounterSpec:
@@ -407,21 +421,43 @@ class KVCounterStore:
         fd, tmp = tempfile.mkstemp(
             dir=d, prefix=os.path.basename(path) + ".", suffix=".tmp"
         )
+        f = None
         try:
+            # fdopen FIRST so the file object owns fd on every path
+            # after this line — chmod-ing the raw fd before fdopen
+            # leaked the descriptor when fchmod raised (r15 ADVICE low:
+            # the except path unlinked tmp but never closed fd).
+            f = os.fdopen(fd, "w", encoding="utf-8")
             # mkstemp creates 0600; restore umask-governed permissions
             # so the published file stays readable by the same
             # users/groups the pre-mkstemp open() allowed (a dashboard
             # or backup process running as another user must not get
-            # PermissionError because the tmp strategy changed)
-            umask = os.umask(0)
-            os.umask(umask)
-            os.fchmod(fd, 0o666 & ~umask)
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                f.write(payload)
-                f.flush()
-                os.fsync(f.fileno())
+            # PermissionError because the tmp strategy changed). The
+            # mask is the import-time constant — probing it here
+            # mutated process-global umask under concurrency (module
+            # header). fchmod is missing on Windows before 3.13; there
+            # mkstemp's mode is already umask-filtered by the CRT, so
+            # skipping the widen degrades to a more-restrictive file,
+            # never a broken persist.
+            if hasattr(os, "fchmod"):
+                os.fchmod(f.fileno(), 0o666 & ~_IMPORT_UMASK)
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+            f.close()
             os.replace(tmp, path)
         except BaseException:
+            if f is None:
+                # fdopen itself failed: the raw fd is still ours
+                try:
+                    os.close(fd)
+                except OSError:
+                    pass
+            else:
+                try:
+                    f.close()
+                except OSError:
+                    pass
             try:
                 os.unlink(tmp)
             except OSError:
