@@ -131,6 +131,101 @@ R7 = [
 _CALIB_RETRY_RATIO = 1.15
 
 
+def _read_prior_sidecar() -> dict | None:
+    """The PREVIOUS committed sidecar, read before this run overwrites
+    the file, or None when no usable one exists (missing, unparseable,
+    not a dict, or recorded under a different interpreter — ``python``
+    rides in the sidecar since r13 precisely so a CPython upgrade
+    between rounds cannot read as machine drift)."""
+    try:
+        with open(_sidecar_path(), encoding="utf-8") as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(prior, dict) or prior.get("python") != sys.version:
+        return None
+    return prior
+
+
+def _floor_from(
+    prior: dict, calibs_key: str, anchor_key: str, retry_key: str
+) -> float | None:
+    """Min usable probe reading across a prior sidecar's per-child
+    calibs, rolling anchor, and retry reading — shared by the 1-thread
+    and N-process anchors below."""
+    try:
+        vals = [
+            v
+            for v in (prior.get(calibs_key) or {}).values()
+            if _calib_ok(v)
+        ]
+        anchor = prior.get("calib_anchor") or {}
+        if _calib_ok(anchor.get(anchor_key)):
+            vals.append(anchor[anchor_key])
+        retry = prior.get("calib_retry") or {}
+        if _calib_ok(retry.get(retry_key)):
+            vals.append(retry[retry_key])
+    except (AttributeError, TypeError):
+        # valid-JSON-wrong-shape (calib_secs a list, calib_retry a
+        # scalar...) must disable the anchor, not abort the whole
+        # benchmark before a single query runs — same contract as a
+        # missing or unparseable file
+        return None
+    return min(vals) if vals else None
+
+
+def _git_sidecar_floors() -> tuple[float | None, float | None]:
+    """(1-thread, N-process) calib floors min-merged across EVERY
+    committed version of the sidecar, read-only via ``git show`` (r15
+    verdict item 7). The rolling anchor's weakness was bootstrap
+    pollution: the r14 drift round overwrote the sidecar before the
+    anchor existed, so the healthy historical floor (~0.946, r13) lived
+    only in git history and the on-disk anchor sat at 1.0842 — a box
+    drifting to ~1.23 still escaped the 1.15x gate by ~0.01. Folding
+    the verified history in makes the anchor immune to any single
+    drifted round without hand-editing evidence files. Same
+    ``python`` equality gate as the live sidecar (a CPython change
+    must read as a new box); every failure mode (no git, not a repo,
+    unparseable blob) skips that blob, never aborts the bench."""
+    st_floor: float | None = None
+    mt_floor: float | None = None
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
+            capture_output=True, text=True, cwd=root, timeout=60,
+        )
+        if log.returncode != 0:
+            return None, None
+        for sha in log.stdout.split():
+            blob = subprocess.run(
+                ["git", "show", f"{sha}:BENCH_DETAIL.json"],
+                capture_output=True, text=True, cwd=root, timeout=60,
+            )
+            if blob.returncode != 0:
+                continue
+            try:
+                prior = json.loads(blob.stdout)
+            except ValueError:
+                continue
+            if (not isinstance(prior, dict)
+                    or prior.get("python") != sys.version):
+                continue
+            st = _floor_from(
+                prior, "calib_secs", "floor", "calib_sec_retry"
+            )
+            mt = _floor_from(
+                prior, "calib_mt_secs", "floor_mt", "calib_sec_mt_retry"
+            )
+            if st is not None:
+                st_floor = st if st_floor is None else min(st_floor, st)
+            if mt is not None:
+                mt_floor = mt if mt_floor is None else min(mt_floor, mt)
+    except (OSError, subprocess.TimeoutExpired, ValueError):
+        return st_floor, mt_floor
+    return st_floor, mt_floor
+
+
 def _prior_calib_floor() -> float | None:
     """Cross-round anchor for the calib retry gate (r14 verdict item 1).
 
@@ -140,11 +235,8 @@ def _prior_calib_floor() -> float | None:
     the round before), the core child read 1.14x the same-round floor
     — 0.01 under the gate — and two dedup queries published >2x their
     r1 figures with no retry. The second anchor is the PREVIOUS
-    committed sidecar's calib floor, read here BEFORE this run
-    overwrites the file. ``python`` (sys.version, recorded since r13
-    precisely to license this) must match — a CPython upgrade between
-    rounds would otherwise read as machine drift. The floor includes
-    the prior round's rolling ``calib_anchor`` when present, so one
+    committed sidecar's calib floor. The floor includes the prior
+    round's rolling ``calib_anchor`` when present, so one
     drift-inflated round cannot poison the anchor for the next: the
     healthiest box speed ever probed (on this interpreter) carries
     forward. Deliberate tradeoff, documented: a box that becomes
@@ -152,31 +244,30 @@ def _prior_calib_floor() -> float | None:
     one bounded retry per round with the trigger recorded in the
     sidecar — that is the honest "weak pending re-measure" signal, and
     deleting the sidecar resets the anchor. Returns None when no
-    usable anchor exists (no sidecar, unparseable, interpreter
-    changed, or no numeric calibs in it)."""
-    try:
-        with open(_sidecar_path(), encoding="utf-8") as f:
-            prior = json.load(f)
-        if prior.get("python") != sys.version:
-            return None
-        vals = [
-            v
-            for v in (prior.get("calib_secs") or {}).values()
-            if _calib_ok(v)
-        ]
-        anchor = prior.get("calib_anchor") or {}
-        if _calib_ok(anchor.get("floor")):
-            vals.append(anchor["floor"])
-        retry = prior.get("calib_retry") or {}
-        if _calib_ok(retry.get("calib_sec_retry")):
-            vals.append(retry["calib_sec_retry"])
-    except (OSError, ValueError, AttributeError, TypeError):
-        # valid-JSON-wrong-shape (a list, a scalar, calib_secs not a
-        # dict...) must disable the anchor, not abort the whole
-        # benchmark before a single query runs — same contract as a
-        # missing or unparseable file
-        return None
-    return min(vals) if vals else None
+    usable anchor exists."""
+    prior = _read_prior_sidecar()
+    return (
+        _floor_from(prior, "calib_secs", "floor", "calib_sec_retry")
+        if prior is not None
+        else None
+    )
+
+
+def _prior_calib_floor_mt() -> float | None:
+    """Cross-round anchor for the N-process companion probe (r15
+    verdict item 2) — same rolling-min contract as
+    ``_prior_calib_floor``, over the contention-sensitive readings.
+    None until a round has recorded them (the gate then falls back to
+    the same-round mt floor alone, exactly like the 1-thread anchor's
+    first round)."""
+    prior = _read_prior_sidecar()
+    return (
+        _floor_from(
+            prior, "calib_mt_secs", "floor_mt", "calib_sec_mt_retry"
+        )
+        if prior is not None
+        else None
+    )
 
 
 def _calib_ok(v) -> bool:
@@ -203,6 +294,14 @@ def _sidecar_path() -> str:
     )
 
 
+def _spin(iters: int = 10_000_000) -> int:
+    """The fixed-work pure-Python spin both probes time."""
+    acc = 0
+    for i in range(iters):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    return acc
+
+
 def _calibrate(iters: int = 10_000_000) -> float:
     """Fixed-work single-threaded pure-Python spin (~1 s on the r13
     builder box), timed at child start. The ratio of two rounds'
@@ -213,11 +312,65 @@ def _calibrate(iters: int = 10_000_000) -> float:
     call it machine drift). Fixed ITERATION COUNT, not fixed duration —
     the wall time IS the measurement."""
     t0 = time.perf_counter()
-    acc = 0
-    for i in range(iters):
-        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
-    _ = acc
+    _ = _spin(iters)
     return round(time.perf_counter() - t0, 4)
+
+
+def _calibrate_mt(
+    iters: int = 10_000_000, workers: int | None = None
+) -> float | None:
+    """Fixed-work N-PROCESS companion probe (r15 verdict item 2): wall
+    seconds for ``workers`` concurrent copies of the same spin to ALL
+    finish. The 1-thread probe is demonstrably blind to multi-core
+    contention — in r15 the "new" child probed 1.166 (healthy, inside
+    both retry anchors) while its 32-thread queries published ~1.5-2.7x
+    their r14 mins on byte-identical code: a single spin always finds
+    one free core under co-tenant load; a 32-thread Spark stage does
+    not. PROCESSES, not threads: the spin holds the GIL, so N threads
+    serialize on our own lock and still measure one core.
+
+    ``workers`` defaults to the query parallelism itself
+    ($SPARK_GRAFT_CPUS, the local[N] the timed stages run at, capped by
+    the visible CPU count) — the probe must contend for exactly as many
+    cores as the measurement does: with co-tenant load L busy cores on
+    a C-core box, fair scheduling gives N saturating workers
+    ~(N+L)/C x the idle wall time, the same inflation the queries see,
+    while an 8-of-32 probe can still find free cores and under-read.
+    ~1 s of full-box burn per child at the 10 M default, same as the
+    1-thread probe. Returns None when the platform cannot run it
+    (multiprocessing unavailable/sandboxed) — recorded as null in the
+    sidecar, never a silent 0."""
+    if workers is None:
+        ncpu = os.cpu_count() or 8
+        try:
+            workers = int(os.environ.get("SPARK_GRAFT_CPUS", "") or ncpu)
+        except ValueError:
+            workers = ncpu
+        workers = max(2, min(workers, ncpu))
+    try:
+        import multiprocessing as mp
+
+        ctx = (
+            mp.get_context("fork")
+            if "fork" in mp.get_all_start_methods()
+            # spawn re-imports bench.py as __mp_main__; the __main__
+            # guard keeps that import side-effect-free
+            else mp.get_context()
+        )
+        t0 = time.perf_counter()
+        procs = [
+            ctx.Process(target=_spin, args=(iters,))
+            for _ in range(workers)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        if any(p.exitcode != 0 for p in procs):
+            return None
+        return round(time.perf_counter() - t0, 4)
+    except (ImportError, OSError, ValueError):
+        return None
 
 
 def _get_spark():
@@ -329,8 +482,10 @@ def _run_child(which: str, sf_dir: str) -> None:
     if which not in ("parse", "core", "new", "r4"):
         raise SystemExit(f"unknown bench set: {which!r}")
     # calibration runs BEFORE SparkSession init: it measures the box,
-    # not this process's JVM/GC state
+    # not this process's JVM/GC state (and the fork-based N-process
+    # probe must run before any JVM exists in this process)
     calib = _calibrate()
+    calib_mt = _calibrate_mt()
     spark = _get_spark()
     if which == "parse":
         result = {
@@ -339,6 +494,7 @@ def _run_child(which: str, sf_dir: str) -> None:
                 spark, n_rows=4_000_000
             ),
             "calib_sec": calib,
+            "calib_sec_mt": calib_mt,
         }
     else:
         cache_sec = _warm_up(spark, sf_dir)
@@ -353,6 +509,7 @@ def _run_child(which: str, sf_dir: str) -> None:
             "queries_pass2": _time_set(spark, sf_dir, names),
             "shingle_cache_build_sec": cache_sec,
             "calib_sec": calib,
+            "calib_sec_mt": calib_mt,
         }
     print(json.dumps(result))
     spark.stop()
@@ -387,8 +544,25 @@ def main() -> None:
         return
 
     # read the PREVIOUS round's committed sidecar before anything can
-    # overwrite it: the cross-round retry anchor (r14 verdict item 1)
+    # overwrite it: the cross-round retry anchors (r14 verdict item 1;
+    # the N-process companion since r16)
     prior_floor = _prior_calib_floor()
+    prior_floor_mt = _prior_calib_floor_mt()
+    # ...min-merged with every COMMITTED sidecar in git history (r15
+    # verdict item 7): one drift-inflated round that overwrote the
+    # on-disk sidecar can no longer poison the anchor — the healthiest
+    # floor ever committed on this interpreter carries forward
+    git_floor, git_floor_mt = _git_sidecar_floors()
+    if git_floor is not None:
+        prior_floor = (
+            git_floor if prior_floor is None
+            else min(prior_floor, git_floor)
+        )
+    if git_floor_mt is not None:
+        prior_floor_mt = (
+            git_floor_mt if prior_floor_mt is None
+            else min(prior_floor_mt, git_floor_mt)
+        )
 
     # parse first — in a JVM that has run nothing else — then core, then new
     try:
@@ -457,6 +631,13 @@ def main() -> None:
             k: c.get("calib_sec")
             for k, c in (("core", core), ("new", new), ("r4", r4))
         }
+        # the contention-sensitive N-process companion reading per
+        # child (r15 verdict item 2) — same children, same sidecar
+        # treatment; null where the probe could not run
+        calib_mt_secs = {
+            k: c.get("calib_sec_mt")
+            for k, c in (("core", core), ("new", new), ("r4", r4))
+        }
         calib_sec = calib_secs.get("core")
         # One-shot calib-gated child retry (r13 verdict item 2): the
         # min-of-two-passes-in-one-JVM comparator cannot defend against
@@ -481,38 +662,67 @@ def main() -> None:
         known_calib = {
             k: v for k, v in calib_secs.items() if _calib_ok(v)
         }
+        known_mt = {
+            k: v for k, v in calib_mt_secs.items() if _calib_ok(v)
+        }
         missing_calib = sorted(
             k for k in calib_secs if k not in known_calib
         )
-        # A child triggers when its calib exceeds the band over EITHER
-        # anchor: the same-round fastest child (r13 gate — catches one
-        # child in a slow window) OR the prior committed sidecar's
-        # floor (r14 verdict item 1 — catches box-WIDE drift, where
-        # every child inflates together and the within-round ratio
-        # stays tight exactly when the drift is worst). The same-round
-        # anchor needs >=2 children to mean anything; the cross-round
+        # A child triggers when EITHER probe exceeds the band over
+        # either of its anchors: the same-round fastest child (r13 gate
+        # — catches one child in a slow window) OR the prior committed
+        # sidecar's floor (r14 verdict item 1 — catches box-WIDE drift,
+        # where every child inflates together and the within-round
+        # ratio stays tight exactly when the drift is worst). The
+        # 1-thread and N-process probes gate independently against
+        # their own floors (r15 verdict item 2: the 1-thread spin reads
+        # healthy under exactly the multi-core co-tenant load that
+        # inflates 32-thread stages — r15's "new" child probed 1.166
+        # while its queries ran ~1.5-2.7x their r14 mins). A same-round
+        # anchor needs >=2 children to mean anything; a cross-round
         # anchor works from one. Still bounded to ONE respawn: the
-        # worst offender.
+        # worst offender by trip ratio.
         floor = min(known_calib.values()) if len(known_calib) >= 2 else None
+        floor_mt = min(known_mt.values()) if len(known_mt) >= 2 else None
         triggered: dict[str, list[str]] = {}
-        for k, v in known_calib.items():
-            trig = []
-            if floor is not None and v > floor * _CALIB_RETRY_RATIO:
-                trig.append("same_round")
-            if (prior_floor is not None
-                    and v > prior_floor * _CALIB_RETRY_RATIO):
-                trig.append("prior_round")
+        trip_ratio: dict[str, float] = {}
+        for k in calib_secs:
+            trig: list[str] = []
+            worst_ratio = 0.0
+            v = known_calib.get(k)
+            if v is not None:
+                if floor is not None and v > floor * _CALIB_RETRY_RATIO:
+                    trig.append("same_round")
+                    worst_ratio = max(worst_ratio, v / floor)
+                if (prior_floor is not None
+                        and v > prior_floor * _CALIB_RETRY_RATIO):
+                    trig.append("prior_round")
+                    worst_ratio = max(worst_ratio, v / prior_floor)
+            vm = known_mt.get(k)
+            if vm is not None:
+                if (floor_mt is not None
+                        and vm > floor_mt * _CALIB_RETRY_RATIO):
+                    trig.append("same_round_mt")
+                    worst_ratio = max(worst_ratio, vm / floor_mt)
+                if (prior_floor_mt is not None
+                        and vm > prior_floor_mt * _CALIB_RETRY_RATIO):
+                    trig.append("prior_round_mt")
+                    worst_ratio = max(worst_ratio, vm / prior_floor_mt)
             if trig:
                 triggered[k] = trig
+                trip_ratio[k] = worst_ratio
         if triggered:
-            worst = max(triggered, key=lambda k: known_calib[k])
+            worst = max(triggered, key=lambda k: trip_ratio[k])
             retry_detail = {
                 "child": worst,
-                "calib_sec_first": known_calib[worst],
+                "calib_sec_first": known_calib.get(worst),
+                "calib_sec_mt_first": known_mt.get(worst),
                 "calib_floor": floor,
-                # the cross-round anchor and which anchor(s) tripped —
-                # the r14 blind spot's evidence trail
+                "calib_floor_mt": floor_mt,
+                # the cross-round anchors and which anchor(s) tripped —
+                # the r14/r15 blind spots' evidence trail
                 "calib_anchor_floor": prior_floor,
+                "calib_anchor_floor_mt": prior_floor_mt,
                 "trigger": triggered[worst],
             }
             try:
@@ -522,6 +732,9 @@ def main() -> None:
                 retry_detail["error"] = str(exc)[:500]
             else:
                 retry_detail["calib_sec_retry"] = redo.get("calib_sec")
+                retry_detail["calib_sec_mt_retry"] = redo.get(
+                    "calib_sec_mt"
+                )
                 retry_detail["queries"] = redo.get("queries")
                 retry_detail["queries_pass2"] = redo.get(
                     "queries_pass2"
@@ -551,6 +764,7 @@ def main() -> None:
               "falling back to single-JVM", file=sys.stderr)
         calib_sec = _calibrate()
         calib_secs = {"single_jvm": calib_sec}
+        calib_mt_secs = {"single_jvm": _calibrate_mt()}
         spark = _get_spark()
         parse_rows = _bench_parse_throughput(spark)
         parse_rows_4m = None
@@ -599,9 +813,23 @@ def main() -> None:
         anchor_vals.append(retry_detail["calib_sec_retry"])
     if prior_floor is not None:
         anchor_vals.append(prior_floor)
-    calib_anchor = (
-        {"floor": round(min(anchor_vals), 4)} if anchor_vals else None
-    )
+    # same rolling-min contract for the N-process companion (absent
+    # until a round has recorded mt readings on this interpreter)
+    anchor_mt_vals = [
+        v for v in calib_mt_secs.values() if _calib_ok(v)
+    ]
+    if retry_detail and _calib_ok(
+        retry_detail.get("calib_sec_mt_retry")
+    ):
+        anchor_mt_vals.append(retry_detail["calib_sec_mt_retry"])
+    if prior_floor_mt is not None:
+        anchor_mt_vals.append(prior_floor_mt)
+    calib_anchor: dict[str, float] | None = {}
+    if anchor_vals:
+        calib_anchor["floor"] = round(min(anchor_vals), 4)
+    if anchor_mt_vals:
+        calib_anchor["floor_mt"] = round(min(anchor_mt_vals), 4)
+    calib_anchor = calib_anchor or None
     with open(_sidecar_path(), "w") as f:
         json.dump(
             {"queries_pass2": pass2 or None,
@@ -618,9 +846,19 @@ def main() -> None:
              "isolated_jvms": isolated,
              "shingle_cache_build_sec": cache_sec,
              "shingle_cache_build_sec_per_child": cache_secs,
-             # box-speed probe per query child; the parse JVMs' own
+             # box-speed probes per query child; the parse JVMs' own
              # figures ride inside parse_jvm_passes below
              "calib_secs": calib_secs,
+             # the N-process contention-sensitive companion reading per
+             # child (r15 verdict item 2): the 1-thread spin always
+             # finds a free core under co-tenant load; this one
+             # contends for the same core count the timed stages use
+             "calib_mt_secs": calib_mt_secs,
+             # floors recovered read-only from committed sidecar
+             # history (null = none found on this interpreter); they
+             # min-merge into the retry anchors above and into
+             # calib_anchor below via prior_floor(_mt)
+             "calib_git_floors": {"st": git_floor, "mt": git_floor_mt},
              # calib-gated one-shot child respawn (r13 verdict item 2;
              # cross-round anchor r14 item 1): null when every child's
              # calib sat within 1.15x of BOTH anchors (same-round
@@ -680,6 +918,11 @@ def main() -> None:
             # separates machine drift from plan regression
             # arithmetically (r12 verdict item 2)
             "calib_sec": calib_sec,
+            # the CORE child's N-process companion reading (r15 verdict
+            # item 2) — the contention the 1-thread spin cannot see
+            "calib_sec_mt": calib_mt_secs.get("core",
+                                              calib_mt_secs.get(
+                                                  "single_jvm")),
             # per-query min-of-passes map is in BENCH_DETAIL.json
             "qmin_sidecar": bool(pass2),
             # EVERY set's stable numerator vs the 2x-baseline bar (the

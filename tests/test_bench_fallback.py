@@ -39,6 +39,16 @@ def _stub_engine(monkeypatch, tmp_path):
         lambda spark, n_rows=400_000: 0,  # 0 rows/s: legitimate, not missing
     )
     monkeypatch.setattr(bench, "_calibrate", lambda iters=10_000_000: 0.9)
+    monkeypatch.setattr(
+        bench, "_calibrate_mt",
+        lambda iters=10_000_000, workers=None: 1.0,
+    )
+    # the git-history anchor reads the REAL repo's committed sidecars
+    # (bench.py's dirname, not tmp_path) — neutralize it so the stub
+    # scenarios control their anchors completely
+    monkeypatch.setattr(
+        bench, "_git_sidecar_floors", lambda: (None, None)
+    )
     # redirect the sidecar via bench's own helper, not os.path.dirname
     # process-wide (r13 ADVICE: patching the shared os module only
     # worked because every heavy piece was stubbed)
@@ -178,9 +188,10 @@ def test_zero_rows_per_sec_parse_pass_is_not_missing(
     assert line["parse_rows_per_sec"] == 0
 
 
-def _retry_spawn(monkeypatch, calibs, retry_result):
+def _retry_spawn(monkeypatch, calibs, retry_result, calibs_mt=None):
     """fake _spawn: parse children are flat; each query child reports
-    the given calib with pass1=1.0 / pass2=0.9 per query; a SECOND
+    the given calib (and, when ``calibs_mt`` is given, the N-process
+    companion reading) with pass1=1.0 / pass2=0.9 per query; a SECOND
     spawn of the same child returns ``retry_result`` (or raises it).
     Records every (which) call for spawn-count assertions."""
     names_of = {
@@ -200,12 +211,15 @@ def _retry_spawn(monkeypatch, calibs, retry_result):
             if isinstance(retry_result, Exception):
                 raise retry_result
             return retry_result(which)
-        return {
+        out = {
             "queries": {n: 1.0 for n in names_of[which]},
             "queries_pass2": {n: 0.9 for n in names_of[which]},
             "shingle_cache_build_sec": 0.05,
             "calib_sec": calibs[which],
         }
+        if calibs_mt is not None:
+            out["calib_sec_mt"] = calibs_mt[which]
+        return out
 
     monkeypatch.setattr(bench, "_spawn", fake_spawn)
     return calls
@@ -558,6 +572,166 @@ def test_retry_spawn_failure_keeps_original_figures(
     assert retry["child"] == "r4"
     assert "respawn died" in retry["error"]
     assert "calib_sec_retry" not in retry
+
+
+def test_mt_probe_fires_retry_when_single_thread_probe_reads_healthy(
+    monkeypatch, tmp_path, capsys
+):
+    """The r15 blind spot, stubbed exactly (r15 verdict item 2): every
+    child's 1-THREAD probe reads healthy and tight (0.90-0.92, inside
+    1.15x of both the same-round floor and the prior anchor 0.90) — the
+    configuration that let r15's "new" child publish ~1.5-2.7x-inflated
+    mins while probing 1.166. The N-PROCESS companion sees what the
+    32-thread stages see: the new child reads 1.60 vs the same-round mt
+    floor 0.95 and the prior mt anchor 0.93. The retry must fire on
+    exactly that child, record BOTH probes and the mt triggers, fold
+    the respawn in, and roll the mt floor forward."""
+    _stub_engine(monkeypatch, tmp_path)
+    _write_prior_sidecar(
+        tmp_path,
+        calib_secs={"core": 0.90, "new": 0.91, "r4": 0.92},
+        calib_mt_secs={"core": 0.93, "new": 0.94, "r4": 0.95},
+    )
+
+    def retry_result(which):
+        return {
+            "queries": {n: 0.4 for n in bench.NEW},
+            "queries_pass2": {n: 0.4 for n in bench.NEW},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": 0.90,
+            "calib_sec_mt": 0.95,
+        }
+
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 0.90, "new": 0.91, "r4": 0.92},  # 1-thread: all healthy
+        retry_result,
+        calibs_mt={"core": 0.95, "new": 1.60, "r4": 0.97},
+    )
+    bench.main()
+    assert calls.count("new") == 2  # fired despite a healthy 1-thread probe
+    assert calls.count("core") == 1 and calls.count("r4") == 1
+
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    # both probes recorded per child
+    assert detail["calib_secs"] == {"core": 0.90, "new": 0.91, "r4": 0.92}
+    assert detail["calib_mt_secs"] == {
+        "core": 0.95, "new": 1.60, "r4": 0.97,
+    }
+    retry = detail["calib_retry"]
+    assert retry["child"] == "new"
+    assert retry["calib_sec_first"] == 0.91  # the healthy-looking probe
+    assert retry["calib_sec_mt_first"] == 1.60  # the one that saw the load
+    assert retry["calib_floor_mt"] == 0.95
+    assert retry["calib_anchor_floor_mt"] == 0.93
+    # only mt anchors tripped — the 1-thread gate stayed silent
+    assert retry["trigger"] == ["same_round_mt", "prior_round_mt"]
+    assert retry["calib_sec_retry"] == 0.90
+    assert retry["calib_sec_mt_retry"] == 0.95
+    # the respawn's mins folded in as usual
+    assert detail["queries_min"]["a11_value_sum_faithful"] == 0.4
+    # and the mt floor rolls forward beside the 1-thread one
+    assert detail["calib_anchor"]["floor"] == 0.90
+    assert detail["calib_anchor"]["floor_mt"] == 0.93
+    # the line carries the CORE child's mt reading
+    line = _last_json_line(capsys)
+    assert line["calib_sec_mt"] == 0.95
+
+
+def test_mt_readings_absent_keep_the_single_thread_gate_intact(
+    monkeypatch, tmp_path, capsys
+):
+    """Children that report no mt reading (probe returned null — e.g. a
+    sandbox without multiprocessing) must leave the 1-thread gate
+    exactly as before and record the nulls in the sidecar, never a
+    spurious trigger off an empty mt floor."""
+    _stub_engine(monkeypatch, tmp_path)
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 0.90, "new": 0.92, "r4": 1.30},  # st gate fires on r4
+        lambda which: {
+            "queries": {n: 0.5 for n in bench.R4 + bench.R5
+                        + bench.R6 + bench.R7},
+            "queries_pass2": {n: 0.5 for n in bench.R4 + bench.R5
+                              + bench.R6 + bench.R7},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": 0.91,
+        },
+    )
+    bench.main()
+    assert calls.count("r4") == 2
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["calib_mt_secs"] == {
+        "core": None, "new": None, "r4": None,
+    }
+    assert detail["calib_retry"]["trigger"] == ["same_round"]
+    assert "floor_mt" not in detail["calib_anchor"]
+    assert _last_json_line(capsys)["calib_sec_mt"] is None
+
+
+def test_git_history_floor_anchors_the_gate_without_a_sidecar(
+    monkeypatch, tmp_path, capsys
+):
+    """The r15 anchor-pollution fix (verdict item 7): with NO on-disk
+    sidecar at all (the bootstrap case that let the r14 drift round
+    poison the anchor), a healthy floor recovered from committed git
+    history must still gate a uniformly-drifted round — and min-merge
+    into the rolling anchor the run writes."""
+    _stub_engine(monkeypatch, tmp_path)
+    monkeypatch.setattr(
+        bench, "_git_sidecar_floors", lambda: (0.90, 0.93)
+    )
+
+    def retry_result(which):
+        return {
+            "queries": {n: 0.5 for n in bench.CORE},
+            "queries_pass2": {n: 0.5 for n in bench.CORE},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": 0.92,
+            "calib_sec_mt": 0.96,
+        }
+
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 1.20, "new": 1.15, "r4": 1.12},  # tight within-round
+        retry_result,
+        calibs_mt={"core": 1.30, "new": 1.25, "r4": 1.22},
+    )
+    bench.main()
+    assert calls.count("core") == 2
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["calib_git_floors"] == {"st": 0.90, "mt": 0.93}
+    retry = detail["calib_retry"]
+    assert retry["child"] == "core"
+    assert retry["calib_anchor_floor"] == 0.90
+    assert retry["calib_anchor_floor_mt"] == 0.93
+    assert retry["trigger"] == ["prior_round", "prior_round_mt"]
+    # the recovered floors become the rolling anchor going forward
+    assert detail["calib_anchor"] == {"floor": 0.90, "floor_mt": 0.93}
+
+
+def test_git_history_floor_reads_this_repos_committed_sidecars():
+    """Integration: the real read-only `git show` sweep over this
+    repo's committed BENCH_DETAIL.json history. MEASURED finding, r16:
+    the r13-era sidecars carrying the healthy ~0.946 floor PREDATE the
+    `python` identity key, so the same-interpreter equality gate (the
+    gate the r15 verdict specified verbatim) refuses them — a missing
+    identity is an unknown interpreter, and accepting it would licence
+    exactly the cross-interpreter drift the key exists to rule out.
+    The best VERIFIABLE committed floor on this interpreter is
+    therefore 1.0842 (r14's r4 child); only a fresh healthy-window run
+    can beat it. Pin both halves: a usable floor is recovered, and it
+    never exceeds the known on-disk pollution level."""
+    st, mt = bench._git_sidecar_floors()
+    assert st is not None and 0 < st <= 1.0842
+    assert mt is None or mt > 0
+
+
+def test_calibrate_mt_smoke():
+    """The real N-process probe returns a positive wall time on this
+    platform (fork-capable Linux) at a tiny fixed work size."""
+    sec = bench._calibrate_mt(iters=50_000, workers=2)
+    assert isinstance(sec, float) and sec > 0
 
 
 if __name__ == "__main__":  # pragma: no cover
