@@ -34,6 +34,20 @@ calib_sec confirms box drift and licenses arithmetic normalization; a
 FLAT calib_sec with inflated queries means co-tenant contention, which
 the min-of-passes comparator (not the probe) is the defense against.
 
+MEASURED FINDING, r16 (the N-process companion closes the blind spot):
+bench.py's `_calibrate_mt` — the same fixed-work spin in N=32
+concurrent processes — measured at the same levels: under 32 spinners
+the 1-thread probe reads 1.21x while the companion reads **1.96x**, at
+or above the query inflation itself (1.62x / 1.22x), and it reverses
+with the spinners (1.06x at the trailing zero). Gated: the companion
+must read at least as inflated as the 1-thread probe under load AND
+cross the retry gate's 1.15x band — i.e. it FIRES under exactly the
+co-tenant core stealing the 1-thread spin can sleep through (r15: st
+probed 1.166 "healthy" while queries ran ~1.5-2.7x). The pairing rule:
+the 1-thread probe is the box-speed instrument (normalization), the
+N-process companion is the contention instrument (retry gating);
+bench.py gates its one-shot child respawn on EITHER.
+
 Design notes: levels run 0 -> 32 -> 0 so the final level proves
 REVERSIBILITY — if query times return to baseline after the spinners
 die, the mid-level inflation was contention, not JIT/ordering drift
@@ -60,7 +74,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CONTENTION = [0, 32, 0]  # spinner processes; final 0 = reversibility probe
 QUERIES = ["q1_pricing_summary", "dedup_drop_list"]  # scan-agg + shuffle-heavy
 REPS = 3  # min-of-N per level (co-tenant noise floor)
-WARMUP_REPS = 3  # drain JIT/codegen warmth before any timed level
+# r16: 3 -> 6 after a measured spurious failure — with 3, q1's baseline
+# still carried residual JIT warmth (it read 1.07 s at the baseline
+# level and 0.48 s at the trailing recovery level, so the "sped up
+# under load" direction gate fired on warmth, not contention; the
+# module docstring's earlier-draft note describes the same mechanism)
+WARMUP_REPS = 6  # drain JIT/codegen warmth before any timed level
 
 _SPIN_SRC = "while True:\n x = 0\n for i in range(1000000): x = (x * 31 + i) & 0xFFFFFFFF\n"
 
@@ -72,7 +91,7 @@ def _checksum(rows) -> int:
 
 def main() -> None:
     sys.path.insert(0, "/root/repo")
-    from bench import _calibrate
+    from bench import _calibrate, _calibrate_mt
     from logvision_spark import get_spark
     from logvision_spark.catalog import CATALOG
 
@@ -106,6 +125,14 @@ def main() -> None:
                 )
             time.sleep(1.0)  # let the spinners actually land on cores
             calib = min(_calibrate() for _ in range(REPS))
+            # the r16 N-process companion, measured at the same levels:
+            # min-of-REPS like every other figure; None (platform
+            # can't run it) simply drops the mt gates below
+            mt_reads = [_calibrate_mt() for _ in range(REPS)]
+            calib_mt = (
+                min(v for v in mt_reads if v is not None)
+                if any(v is not None for v in mt_reads) else None
+            )
             qsecs: dict[str, float] = {}
             for q in QUERIES:
                 best, rows = float("inf"), None
@@ -119,7 +146,11 @@ def main() -> None:
                     assert s == baseline_sums[q], f"{q} checksum drifted at K={k}"
                 baseline_sums[q] = s
                 qsecs[q] = round(best, 4)
-            results.append((k, round(calib, 4), qsecs))
+            results.append(
+                (k, round(calib, 4),
+                 round(calib_mt, 4) if calib_mt is not None else None,
+                 qsecs)
+            )
         finally:
             for p in spinners:
                 p.send_signal(signal.SIGTERM)
@@ -128,14 +159,20 @@ def main() -> None:
     spark.stop()
 
     base_calib = results[0][1]
-    base_q = results[0][2]
+    base_mt = results[0][2]
+    base_q = results[0][3]
     print(f"\ncontention sweep at {SF_DIR} (min-of-{REPS} per level):")
-    print(f"{'spinners':>8} {'calib_sec':>10} {'calib_x':>8}", end="")
+    print(f"{'spinners':>8} {'calib_sec':>10} {'calib_x':>8}"
+          f" {'mt_sec':>8} {'mt_x':>6}", end="")
     for q in QUERIES:
         print(f" {q + '_sec':>22} {'x':>6}", end="")
     print()
-    for k, calib, qsecs in results:
-        print(f"{k:>8} {calib:>10} {calib / base_calib:>8.2f}", end="")
+    for k, calib, calib_mt, qsecs in results:
+        mtx = (f"{calib_mt / base_mt:>6.2f}"
+               if calib_mt is not None and base_mt else f"{'-':>6}")
+        print(f"{k:>8} {calib:>10} {calib / base_calib:>8.2f}"
+              f" {calib_mt if calib_mt is not None else '-':>8} {mtx}",
+              end="")
         for q in QUERIES:
             print(f" {qsecs[q]:>22} {qsecs[q] / base_q[q]:>6.2f}", end="")
         print()
@@ -149,7 +186,9 @@ def main() -> None:
     # end on (review finding — a [0, 8, 16, 32, 0] rerun would have
     # asserted against the wrong levels)
     assert CONTENTION[0] == 0 and CONTENTION[-1] == 0 and max(CONTENTION) > 0
-    _, loaded_calib, loaded_q = results[CONTENTION.index(max(CONTENTION))]
+    _, loaded_calib, loaded_mt, loaded_q = results[
+        CONTENTION.index(max(CONTENTION))
+    ]
     # 0.95, not 0.98: the probe's measured lower bound under 32 spinners
     # is 1.00x on this box, so 0.98 sat at the edge of its own behavior
     # and an ordinary noise excursion could fail the experiment
@@ -162,18 +201,38 @@ def main() -> None:
     )
     for q in QUERIES:
         assert loaded_q[q] >= base_q[q], f"{q} sped up under load"
-    _, _, recovered_q = results[-1]
+    _, _, _, recovered_q = results[-1]
     for q in QUERIES:
         assert recovered_q[q] <= base_q[q] * 1.15, (
             f"{q} did not recover: {recovered_q[q]} vs base {base_q[q]}"
+        )
+    # r16 gates for the N-process companion (the probe the r15
+    # blind spot demanded): at full oversubscription it must (a) read
+    # at least as inflated as the 1-thread probe — it saturates the
+    # cores the spinners are stealing — and (b) cross the retry gate's
+    # 1.15x trigger band, i.e. it FIRES under exactly the contention
+    # the 1-thread spin can sleep through.
+    if base_mt is not None and loaded_mt is not None:
+        st_x = loaded_calib / base_calib
+        mt_x = loaded_mt / base_mt
+        assert mt_x >= st_x * 0.95, (
+            f"mt probe less sensitive than st under load: {mt_x:.2f} "
+            f"vs {st_x:.2f}"
+        )
+        assert mt_x > 1.15, (
+            f"mt probe did not cross the retry band under full "
+            f"oversubscription: {mt_x:.2f}"
         )
     print("\ngates passed: inflation under load is directional for probe "
           "and queries, reverses when the spinners die, and checksums "
           "are identical at every level. Note the MAGNITUDE gap (probe "
           f"{loaded_calib / base_calib:.2f}x vs queries "
           + ", ".join(f"{loaded_q[q] / base_q[q]:.2f}x" for q in QUERIES)
+          + (f"; N-process companion {loaded_mt / base_mt:.2f}x"
+             if base_mt is not None and loaded_mt is not None else "")
           + "): the probe tracks box speed, not co-tenant core stealing "
-          "— see the module docstring for the usage rule.")
+          "— the N-process companion is the instrument that sees the "
+          "stealing; see the module docstring for the usage rule.")
 
 
 if __name__ == "__main__":
