@@ -197,15 +197,36 @@ def _git_sidecar_floors() -> tuple[float | None, float | None]:
         )
         if log.returncode != 0:
             return None, None
-        for sha in log.stdout.split():
-            blob = subprocess.run(
-                ["git", "show", f"{sha}:BENCH_DETAIL.json"],
-                capture_output=True, text=True, cwd=root, timeout=60,
-            )
-            if blob.returncode != 0:
-                continue
+        specs = [f"{sha}:BENCH_DETAIL.json" for sha in log.stdout.split()]
+        if not specs:
+            return None, None
+        # ONE `git cat-file --batch` for every blob instead of one
+        # `git show` per commit: the sweep runs at every bench startup
+        # and the commit list grows each round (r16 review). Bytes, not
+        # text: the batch protocol frames contents by byte size.
+        batch = subprocess.run(
+            ["git", "cat-file", "--batch"],
+            input="\n".join(specs).encode() + b"\n",
+            capture_output=True, cwd=root, timeout=60,
+        )
+        if batch.returncode != 0:
+            return None, None
+        data, pos = batch.stdout, 0
+        seen_oids: set[str] = set()
+        while pos < len(data):
+            nl = data.index(b"\n", pos)
+            header = data[pos:nl].decode("utf-8", "replace").split()
+            pos = nl + 1
+            if len(header) < 3 or header[1] != "blob":
+                continue  # "<spec> missing" or non-blob
+            oid, _, size = header[0], header[1], int(header[2])
+            body = data[pos:pos + size]
+            pos += size + 1  # trailing newline after each object
+            if oid in seen_oids:
+                continue  # identical blob committed at several points
+            seen_oids.add(oid)
             try:
-                prior = json.loads(blob.stdout)
+                prior = json.loads(body)
             except ValueError:
                 continue
             if (not isinstance(prior, dict)
@@ -214,8 +235,16 @@ def _git_sidecar_floors() -> tuple[float | None, float | None]:
             st = _floor_from(
                 prior, "calib_secs", "floor", "calib_sec_retry"
             )
-            mt = _floor_from(
-                prior, "calib_mt_secs", "floor_mt", "calib_sec_mt_retry"
+            # mt floors carry only across the SAME worker count — a
+            # different-width probe is a different instrument (see
+            # _mt_workers)
+            mt = (
+                _floor_from(
+                    prior, "calib_mt_secs", "floor_mt",
+                    "calib_sec_mt_retry",
+                )
+                if prior.get("calib_mt_workers") == _mt_workers()
+                else None
             )
             if st is not None:
                 st_floor = st if st_floor is None else min(st_floor, st)
@@ -259,14 +288,14 @@ def _prior_calib_floor_mt() -> float | None:
     ``_prior_calib_floor``, over the contention-sensitive readings.
     None until a round has recorded them (the gate then falls back to
     the same-round mt floor alone, exactly like the 1-thread anchor's
-    first round)."""
+    first round). Gated on ``calib_mt_workers`` equality beside the
+    interpreter gate: a floor probed at a different worker count is
+    not comparable (see _mt_workers)."""
     prior = _read_prior_sidecar()
-    return (
-        _floor_from(
-            prior, "calib_mt_secs", "floor_mt", "calib_sec_mt_retry"
-        )
-        if prior is not None
-        else None
+    if prior is None or prior.get("calib_mt_workers") != _mt_workers():
+        return None
+    return _floor_from(
+        prior, "calib_mt_secs", "floor_mt", "calib_sec_mt_retry"
     )
 
 
@@ -341,12 +370,8 @@ def _calibrate_mt(
     (multiprocessing unavailable/sandboxed) — recorded as null in the
     sidecar, never a silent 0."""
     if workers is None:
-        ncpu = os.cpu_count() or 8
-        try:
-            workers = int(os.environ.get("SPARK_GRAFT_CPUS", "") or ncpu)
-        except ValueError:
-            workers = ncpu
-        workers = max(2, min(workers, ncpu))
+        workers = _mt_workers()
+    started = []
     try:
         import multiprocessing as mp
 
@@ -362,15 +387,44 @@ def _calibrate_mt(
             ctx.Process(target=_spin, args=(iters,))
             for _ in range(workers)
         ]
-        for p in procs:
-            p.start()
-        for p in procs:
-            p.join()
-        if any(p.exitcode != 0 for p in procs):
+        try:
+            for p in procs:
+                p.start()
+                started.append(p)
+            for p in started:
+                p.join()
+        finally:
+            # a start() that fails partway (fork EAGAIN — exactly the
+            # resource pressure this except anticipates) must not
+            # orphan the workers already spinning: they would contend
+            # with the very measurement the probe guards while the
+            # probe records null (r16 review)
+            for p in started:
+                if p.is_alive():
+                    p.terminate()
+                    p.join()
+        if any(p.exitcode != 0 for p in started):
             return None
         return round(time.perf_counter() - t0, 4)
     except (ImportError, OSError, ValueError):
         return None
+
+
+def _mt_workers() -> int:
+    """The N-process probe's worker count: the query parallelism
+    ($SPARK_GRAFT_CPUS, the local[N] the timed stages run at), capped
+    by the visible CPU count. Recorded in the sidecar
+    (``calib_mt_workers``) and EQUALITY-GATED by both mt anchors, like
+    the ``python`` key: an mt reading taken at a different width is a
+    different instrument (8 workers on 32 cores don't self-contend the
+    way 32 do), and min-merging it would either wedge a permanently
+    unbeatable floor or mask real contention (r16 review)."""
+    ncpu = os.cpu_count() or 8
+    try:
+        workers = int(os.environ.get("SPARK_GRAFT_CPUS", "") or ncpu)
+    except ValueError:
+        workers = ncpu
+    return max(2, min(workers, ncpu))
 
 
 def _get_spark():
@@ -854,6 +908,11 @@ def main() -> None:
              # finds a free core under co-tenant load; this one
              # contends for the same core count the timed stages use
              "calib_mt_secs": calib_mt_secs,
+             # the width the mt probes ran at: both mt anchors
+             # equality-gate on this beside the interpreter gate (a
+             # floor probed at a different worker count is a different
+             # instrument — see _mt_workers)
+             "calib_mt_workers": _mt_workers(),
              # floors recovered read-only from committed sidecar
              # history (null = none found on this interpreter); they
              # min-merge into the retry anchors above and into

@@ -38,34 +38,47 @@ probe's result must equal the plain aggregation's.
 MEASURED (this box, local[32], 10 M rows x 8 files, 4 triggers/arm,
 100 k hosts / 10 k urls, Zipf s=1.2 on both keys; rank-1 host carries
 19.64% of all rows = 1,963,824 rows; min over 2 interleaved reps per
-arm — a co-tenant burst during rep 1 inflated one drain's trigger 0 to
-253.9 s on byte-identical code, which is exactly why the reps exist):
+arm, per-arm REST metrics scoped to the arm's own stages with settle
+sleeps — an earlier unscoped read reported the 10 M-row equality
+gate's stage as the arm's balance; prior unscoped campaigns also saw a
+co-tenant burst inflate one drain's trigger 0 to 253.9 s on
+byte-identical code, which is why the interleaved reps exist):
 
-  arm      wall(s)  exec(core-s)  melt+agg/trigger(s)        kv-stall/trigger(s)
-  uniform   31.8     630.8        7.03, 7.85, 6.68, 6.72     0.48, 0.48, 0.39, 0.44
-  zipf      30.5     678.4        7.66, 6.96, 6.31, 6.49     0.27, 0.32, 0.30, 0.28
+  arm      wall(s)  exec(core-s)  melt+agg/trigger(s)         kv-stall/trigger(s)
+  uniform   39.5     854.1        11.18, 7.65, 7.00, 7.02     0.37, 0.42, 0.38, 0.46
+  zipf      34.2     760.6         8.83, 6.99, 7.68, 6.50     0.42, 0.34, 0.47, 0.30
 
-  -> A 19.6%-hot-key Zipf stream prices like the uniform stream:
-     per-trigger melt+agg within +-9% of uniform in both directions,
-     aggregate executor time 1.08x (inside this box's window noise),
-     wall 0.96x. The hot member never concentrates a reducer:
-     max/median shuffle-read across the 32 reduce tasks of the melt
-     exchange is 1.03 (zipf) vs 1.02-1.03 (uniform) — partial
-     aggregation collapses the hot member to <= 1 row per map task
-     BEFORE the exchange, so reducer input is bounded by distinct
-     members, not input rows.
+  -> A 19.6%-hot-key Zipf stream prices AT OR BELOW the uniform
+     stream: per-trigger melt+agg within noise of uniform (steady
+     triggers 6.5-7.7 s both arms), aggregate executor time 0.89x,
+     wall 0.87x. Partial aggregation collapses the hot member to <= 1
+     row per map task BEFORE the exchange, so reducer input is bounded
+     by (distinct members x map tasks), never input rows — 1.96 M
+     hot-host rows arrive at the reduce side as at most 32 partial
+     rows.
+  -> Reducer balance, scoped to the arm's own melt exchange:
+     max/median shuffle-read across the 32 reduce tasks is 1.02
+     (uniform) vs 1.39 (zipf), IDENTICAL across both reps. The zipf
+     imbalance is NOT hot-member concentration (32 partial rows,
+     kilobytes); it is bucket-occupancy variance: the power-law corpus
+     surfaces fewer distinct members per trigger with per-member
+     partial-row counts spread 1..32 (uniform's are near-constant
+     ~25), so hashing them into 32 buckets leaves higher byte variance
+     — on an exchange that is smaller and CHEAPER in absolute terms
+     (exec 0.89x). At production scale the distinct set per trigger
+     grows and this variance shrinks; nothing here needs fixing.
   -> The KV apply stall tracks DISTINCT members per batch, never
-     hot-member row count: zipf stalls 0.27-0.32 s/trigger vs uniform
-     0.39-0.48 s (the skewed corpus surfaces fewer distinct
-     (counter, member) rows per trigger: 96,645 vs 100,000 hosts
-     total, and far fewer per incremental batch).
+     hot-member row count: both arms stall 0.30-0.47 s/trigger at
+     ~100 k-member batches, with zipf's later triggers (fewer new
+     members) at the low end.
   -> Salted probe on the hot counter (same zipf corpus, parse cached
      so only the agg differs, min-of-5, result-equality-gated): plain
-     groupBy(host).count() 0.53 s wall / 0.3 core-s vs salted_agg(16
-     buckets) 0.50 s / 0.2 core-s — parity within noise. There is
-     nothing for the salt to spread: the partial agg already bounded
-     the hot key at one row per map task, and the salted form only
-     adds a second shuffle of partials.
+     groupBy(host).count() 0.86 s wall / 0.6 core-s vs salted_agg(16
+     buckets) 0.98 s / 0.4 core-s — parity within the noise band
+     (the direction flips between campaigns). There is nothing for the
+     salt to spread: the partial agg already bounded the hot key at
+     one row per map task, and the salted form only adds a second
+     shuffle of partials.
   -> CONCLUSION, recorded in ARCHITECTURE.md "Counter serving
      topology": the multiplexed counter path needs NO AQE skew
      handling and NO salting at any COUNTER key skew — map-side
@@ -206,10 +219,22 @@ def _executor_run_time_ms() -> int:
         return sum(s.get("executorRunTime", 0) for s in json.load(r))
 
 
-def _shuffle_read_balance() -> float | None:
+def _completed_stage_ids() -> set[int]:
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        return {s["stageId"] for s in json.load(r)}
+
+
+def _shuffle_read_balance(exclude_ids: set[int]) -> float | None:
     """max/median shuffle-read bytes across tasks of the LARGEST
-    completed shuffle-read stage — reducer concentration would show
-    here first."""
+    completed shuffle-read stage SUBMITTED SINCE ``exclude_ids`` was
+    captured — reducer concentration would show here first. Scoped to
+    the arm: the app-cumulative stage list also holds the other arm's
+    (and the 10 M-row equality gate's) larger stages, and an unscoped
+    max would read those instead (r16 review)."""
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     with urllib.request.urlopen(
@@ -217,7 +242,9 @@ def _shuffle_read_balance() -> float | None:
     ) as r:
         stages = json.load(r)
     best = max(
-        (s for s in stages if s.get("shuffleReadBytes", 0) > 0),
+        (s for s in stages
+         if s.get("shuffleReadBytes", 0) > 0
+         and s["stageId"] not in exclude_ids),
         key=lambda s: s["shuffleReadBytes"],
         default=None,
     )
@@ -276,7 +303,12 @@ def run_arm(label: str, corpus: str, gate: bool = True) -> dict:
         })
 
     ck = tempfile.mkdtemp(prefix=f"lv_skew_ck_{label}_")
+    # settle: stage-completion REST reporting is asynchronous, so give
+    # the PREVIOUS work's stages time to land before the baseline diff
+    # (otherwise their run time is silently credited to this arm)
+    time.sleep(2.0)
     exec0 = _executor_run_time_ms()
+    pre_ids = _completed_stage_ids()
     t0 = time.perf_counter()
     q = start_multiplexed_counter_sink(
         parse_access_log(
@@ -292,8 +324,9 @@ def run_arm(label: str, corpus: str, gate: bool = True) -> dict:
     if not q.awaitTermination(3600):
         raise TimeoutError(f"{label} arm did not drain")
     wall = time.perf_counter() - t0
+    time.sleep(2.0)  # same settle on the closing read
     exec_ms = _executor_run_time_ms() - exec0
-    balance = _shuffle_read_balance()
+    balance = _shuffle_read_balance(pre_ids)
 
     # correctness gate: streamed store == batch-backfilled store
     # (once per corpus — the gate itself is a full batch pass)

@@ -5129,16 +5129,17 @@ _EDITED_ROUND: dict[str, int] = {
     # property test runs unmodified — but multiplex.py is hashed into
     # all three KV entries' fingerprints, so they re-green together
     # as usual.
-    # round-16: the r15 ADVICE trio landed in persist_state_to — the
-    # umask probe became an import-time constant (the per-persist
-    # set/restore dance raced concurrent persists and could publish a
-    # world-writable file or strand the process at umask 0), fdopen now
-    # takes fd ownership BEFORE fchmod (a failing fchmod leaked the
-    # descriptor), and fchmod is hasattr-guarded (absent on Windows
-    # before 3.13). The live merge/fence/read contract is byte-identical
-    # — every pre-existing property test runs unmodified — but
-    # multiplex.py is hashed into all three KV entries' fingerprints,
-    # so they re-green together as usual.
+    # round-16: the r15 ADVICE trio landed in persist_state_to by
+    # removing the umask probe entirely — the tmp sibling is now
+    # created by the store itself (O_CREAT|O_EXCL, mode 0o666,
+    # pid+counter name) so the KERNEL applies the current umask at
+    # create time: no os.umask(0)/restore dance to race concurrent
+    # persists (the ADVICE medium), no fchmod to leak the fd or to
+    # guard on Windows (the two lows), and fdopen takes fd ownership
+    # immediately after create. The live merge/fence/read contract is
+    # byte-identical — every pre-existing property test runs
+    # unmodified — but multiplex.py is hashed into all three KV
+    # entries' fingerprints, so they re-green together as usual.
     # (Previous bumps: r15 mkstemp+dir-fsync, r14 file pair shipped,
     # r12 zrevrange heap-select, r11 store layout.)
     "stream_counter_multiplex": 16,

@@ -44,9 +44,9 @@ merged KV state ≡ one batch aggregation over the concatenated input.
 from __future__ import annotations
 
 import heapq
+import itertools
 import json
 import os
-import tempfile
 import threading
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
@@ -57,19 +57,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 DELTA_SCHEMA = "counter string, member string, delta long"
 
-# Process umask, probed ONCE at import (imports run under the
-# interpreter's import lock, before the store spawns worker threads).
-# ``persist_state_to`` needs it to widen mkstemp's 0600 back to the
-# permissions a plain open() would have produced, and the only way to
-# READ a umask is the set-and-restore dance — which mutates
-# process-global state. Doing that dance per-persist raced concurrent
-# persists (r15 ADVICE medium): one thread could observe umask 0 and
-# publish a world-writable state file, and an unlucky restore ordering
-# left the whole process at umask 0 permanently. Deliberate tradeoff,
-# documented: a process that changes its umask AFTER importing this
-# module keeps publishing with the import-time mask.
-_IMPORT_UMASK = os.umask(0)
-os.umask(_IMPORT_UMASK)
+# Per-process discriminator for persist_state_to's unique tmp siblings
+# (pid disambiguates across processes, this counter within one — two
+# concurrent persists in the same process never share a name).
+_TMP_COUNTER = itertools.count()
 
 
 @dataclass(frozen=True)
@@ -387,7 +378,8 @@ class KVCounterStore:
         TUPLE keys raw ``json.dumps`` rejects outright — as a list of
         ``[counter, member, value]`` records (member may be null),
         ``high_water`` and ``live_begun`` verbatim. Durability, in
-        order: write to a UNIQUE mkstemp sibling + flush + ``os.fsync``
+        order: write to a UNIQUE kernel-masked tmp sibling + flush +
+        ``os.fsync``
         (the new bytes are on disk before any name points at them) +
         ``os.replace`` (the name flips atomically) + fsync of the
         PARENT DIRECTORY (the rename is metadata in the directory, and
@@ -397,11 +389,11 @@ class KVCounterStore:
         previous intact file or the complete new one — never torn,
         never empty — and once this method returns, the NEW one, even
         across power loss. Concurrent persists to the same path are
-        safe in the tear-free sense (each writer owns its own mkstemp
-        file, so no replace can publish another writer's half-written
+        safe in the tear-free sense (each writer owns its own O_EXCL
+        tmp file, so no replace can publish another writer's half-written
         bytes) but race on WHICH complete snapshot lands last; a failed
         persist unlinks its tmp file rather than leaving residue (the
-        exception path — an attempt killed HARD between mkstemp and
+        exception path — an attempt killed HARD between create and
         publish leaves one uniquely-named tmp per crash, which
         ``sweep_stale_tmp`` removes at boot)."""
         state, high_water, live_begun = self.persist_state()
@@ -413,34 +405,51 @@ class KVCounterStore:
             },
             ensure_ascii=False,
         )
-        # mkstemp in the SAME directory (os.replace must not cross
-        # filesystems), never a fixed sibling name: a shared '.tmp'
+        # A unique tmp sibling in the SAME directory (os.replace must
+        # not cross filesystems), never a fixed name: a shared '.tmp'
         # lets two concurrent persists interleave — one replace
-        # publishing the other's half-written file (r14 ADVICE)
+        # publishing the other's half-written file (r14 ADVICE).
+        # Created by US at mode 0o666 so the KERNEL applies the current
+        # umask — exactly the permissions a plain open() would produce.
+        # mkstemp forced 0600, and widening it back required READING
+        # the process umask, which is only possible via the
+        # os.umask(0)/restore dance: done per-persist it raced
+        # concurrent persists (r15 ADVICE medium — one thread could
+        # publish world-writable and strand the process at umask 0);
+        # cached at import it still flashed a umask-0 window across a
+        # lazy first import in a threaded host (r16 review). Letting
+        # the kernel mask the create needs no probe, no fchmod, no
+        # Windows guard. Uniqueness: pid across processes, a counter
+        # within one; O_EXCL turns the single residual collision — pid
+        # reuse over a crashed attempt's leftover — into a retry with
+        # the next counter instead of silently truncating another
+        # writer's file. (The tmp is umask-visible while half-written,
+        # like any plain open() spool file; nothing reads `*.tmp`
+        # names — the loader reads `path`, the boot sweep unlinks.)
         d = os.path.dirname(os.path.abspath(path))
-        fd, tmp = tempfile.mkstemp(
-            dir=d, prefix=os.path.basename(path) + ".", suffix=".tmp"
-        )
+        base = os.path.basename(path)
+        for _ in range(8):
+            tmp = os.path.join(
+                d, f"{base}.{os.getpid()}.{next(_TMP_COUNTER)}.tmp"
+            )
+            try:
+                fd = os.open(
+                    tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o666
+                )
+                break
+            except FileExistsError:
+                continue
+        else:
+            raise OSError(
+                f"could not create a unique tmp sibling for {path!r} "
+                "after 8 attempts"
+            )
         f = None
         try:
             # fdopen FIRST so the file object owns fd on every path
-            # after this line — chmod-ing the raw fd before fdopen
-            # leaked the descriptor when fchmod raised (r15 ADVICE low:
-            # the except path unlinked tmp but never closed fd).
+            # after this line (r15 ADVICE low: an operation on the raw
+            # fd that raises before fdopen leaks the descriptor).
             f = os.fdopen(fd, "w", encoding="utf-8")
-            # mkstemp creates 0600; restore umask-governed permissions
-            # so the published file stays readable by the same
-            # users/groups the pre-mkstemp open() allowed (a dashboard
-            # or backup process running as another user must not get
-            # PermissionError because the tmp strategy changed). The
-            # mask is the import-time constant — probing it here
-            # mutated process-global umask under concurrency (module
-            # header). fchmod is missing on Windows before 3.13; there
-            # mkstemp's mode is already umask-filtered by the CRT, so
-            # skipping the widen degrades to a more-restrictive file,
-            # never a broken persist.
-            if hasattr(os, "fchmod"):
-                os.fchmod(f.fileno(), 0o666 & ~_IMPORT_UMASK)
             f.write(payload)
             f.flush()
             os.fsync(f.fileno())
@@ -504,7 +513,7 @@ class KVCounterStore:
     def sweep_stale_tmp(path: str) -> int:
         """Remove orphaned ``<path>.*.tmp`` siblings and return how
         many were removed. A persist killed HARD (SIGKILL, power loss)
-        between mkstemp and publish cannot unlink its own tmp file,
+        between create and publish cannot unlink its own tmp file,
         and unlike the old fixed-name scheme the unique names would
         otherwise accumulate one file per crashed attempt. Call this
         at BOOT, before any writer starts — the one point in the

@@ -591,6 +591,7 @@ def test_mt_probe_fires_retry_when_single_thread_probe_reads_healthy(
         tmp_path,
         calib_secs={"core": 0.90, "new": 0.91, "r4": 0.92},
         calib_mt_secs={"core": 0.93, "new": 0.94, "r4": 0.95},
+        calib_mt_workers=bench._mt_workers(),
     )
 
     def retry_result(which):
@@ -669,6 +670,54 @@ def test_mt_readings_absent_keep_the_single_thread_gate_intact(
     assert _last_json_line(capsys)["calib_sec_mt"] is None
 
 
+def test_mt_anchor_refuses_a_different_worker_count(
+    monkeypatch, tmp_path, capsys
+):
+    """An mt floor probed at a different width is a different
+    instrument (8 workers on 32 cores don't self-contend like 32 do) —
+    min-merging it would either wedge an unbeatable floor or mask real
+    contention (r16 review). A prior sidecar recorded at another
+    calib_mt_workers must disable the prior_round_mt anchor (and its
+    floor must not roll forward), while the same-round mt gate and the
+    st anchors keep working."""
+    _stub_engine(monkeypatch, tmp_path)
+    _write_prior_sidecar(
+        tmp_path,
+        calib_secs={"core": 0.90, "new": 0.91, "r4": 0.92},
+        # healthy-looking mt floor, but probed at a width this box
+        # does not run: must be ignored entirely
+        calib_mt_secs={"core": 0.50, "new": 0.50, "r4": 0.50},
+        calib_mt_workers=bench._mt_workers() + 1,
+    )
+
+    def retry_result(which):
+        return {
+            "queries": {n: 0.4 for n in bench.NEW},
+            "queries_pass2": {n: 0.4 for n in bench.NEW},
+            "shingle_cache_build_sec": 0.05,
+            "calib_sec": 0.90,
+            "calib_sec_mt": 0.95,
+        }
+
+    calls = _retry_spawn(
+        monkeypatch,
+        {"core": 0.90, "new": 0.91, "r4": 0.92},
+        retry_result,
+        # vs the stale 0.50 floor every child would read >1.15x and
+        # spuriously retry; vs the same-round floor only "new" trips
+        calibs_mt={"core": 0.95, "new": 1.60, "r4": 0.97},
+    )
+    bench.main()
+    assert calls.count("new") == 2
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    retry = detail["calib_retry"]
+    assert retry["trigger"] == ["same_round_mt"]  # prior_mt refused
+    assert retry["calib_anchor_floor_mt"] is None
+    # the incomparable 0.50 must NOT roll forward as this run's floor
+    assert detail["calib_anchor"]["floor_mt"] == 0.95
+    assert detail["calib_mt_workers"] == bench._mt_workers()
+
+
 def test_git_history_floor_anchors_the_gate_without_a_sidecar(
     monkeypatch, tmp_path, capsys
 ):
@@ -721,9 +770,19 @@ def test_git_history_floor_reads_this_repos_committed_sidecars():
     The best VERIFIABLE committed floor on this interpreter is
     therefore 1.0842 (r14's r4 child); only a fresh healthy-window run
     can beat it. Pin both halves: a usable floor is recovered, and it
-    never exceeds the known on-disk pollution level."""
+    never exceeds the known on-disk pollution level. Skipped (not
+    failed) when no committed sidecar matches this interpreter —
+    shallow clones and CPython rebuilds are environments where
+    bench.py's skip-the-anchor behavior is the correct one (r16
+    review)."""
     st, mt = bench._git_sidecar_floors()
-    assert st is not None and 0 < st <= 1.0842
+    if st is None and mt is None:
+        pytest.skip(
+            "no committed sidecar matches this interpreter/history "
+            "(shallow clone or CPython rebuild) — the anchor correctly "
+            "disables itself"
+        )
+    assert st is None or 0 < st <= 1.0842
     assert mt is None or mt > 0
 
 
