@@ -3281,31 +3281,42 @@ SELECT doc_id AS asset_id,
   CASE WHEN doc_id % 10 = 7 THEN NULL
        ELSE CAST(16 + (doc_id * 7) % 64 AS INTEGER) END AS height,
   CASE WHEN doc_id % 10 = 7 THEN NULL
+       WHEN doc_id % 10 = 5 THEN CAST(1 AS INTEGER)
        ELSE CAST(3 AS INTEGER) END AS channels,
   doc_id % 10 <> 7 AS decode_ok
 FROM documents
 """,
-    doc="REAL image decode end-to-end, no media library: payloads are "
-    "genuine BMP files synthesized JVM-side (multimodal.bmp_payload — "
-    "54-byte BITMAPINFOHEADER with doc_id-derived dims, text bytes as "
-    "pixel data), decoded by decode_images(use_fake=False), a "
-    "vectorized fixed-offset little-endian header reader over the same "
-    "Arrow buffers as the fake path. Every 10th doc ships headerless "
-    "bytes instead, pinning the corrupt-payload contract (decode_ok="
-    "False, NULL dims). Oracle replays the dim arithmetic; the byte "
-    "round-trip (compose header → parse header) is what the Spark side "
-    "proves.",
+    doc="REAL image decode end-to-end, no media library, THREE formats "
+    "in one corpus: per doc_id the payload is a genuine 24-bpp BMP "
+    "(multimodal.bmp_payload — 54-byte fixed-offset LE header), a "
+    "binary PPM (P6, ASCII variable-offset header, 3 channels — doc_id "
+    "% 10 = 3) or a binary PGM (P5, 1 channel — doc_id % 10 = 5), all "
+    "synthesized JVM-side with doc_id-derived dims and text bytes as "
+    "raster, decoded by decode_images(use_fake=False): BMP/farbfeld "
+    "gather vectorized from Arrow buffers, netpbm rows are magic-gated "
+    "vectorized then header-scanned per matching row. Every 10th doc "
+    "ships headerless bytes instead, pinning the corrupt-payload "
+    "contract (decode_ok=False, NULL dims). Oracle replays the dim "
+    "arithmetic; the byte round-trip (compose header → parse header) "
+    "across both header families is what the Spark side proves.",
 )
 def mm_decode_real(spark, sf_dir):
-    from logvision_spark.operators.multimodal import bmp_payload, decode_images
+    from logvision_spark.operators.multimodal import (
+        bmp_payload,
+        decode_images,
+        pnm_payload,
+    )
 
     d = _t(spark, sf_dir, "documents")
     w = (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(64))).cast("int")
     h = (F.lit(16) + F.pmod(F.col("doc_id") * 7, F.lit(64))).cast("int")
     px = F.encode(F.col("text"), "UTF-8")
+    m = F.pmod(F.col("doc_id"), F.lit(10))
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
-        F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 7, px)
+        F.when(m == 7, px)  # headerless bytes: the corrupt contract
+        .when(m == 3, pnm_payload(w, h, px))  # PPM: 3 channels
+        .when(m == 5, pnm_payload(w, h, px, gray=True))  # PGM: 1 channel
         .otherwise(bmp_payload(w, h, px))
         .alias("payload"),
     )
@@ -5159,6 +5170,25 @@ _EDITED_ROUND: dict[str, int] = {
     # (mm_partition_packing, registration-last among r13s) waits one
     # more round; it leads r17's rotation, where the floor then jumps
     # r13 → r15 in one step.
+    # round-17: the real codec gained binary netpbm (P5 PGM / P6 PPM)
+    # beside BMP + farbfeld — _parse_netpbm + the magic-gated per-row
+    # scan in decode_images, the pnm_payload JVM composer, and
+    # mm_decode_real now mixes all three formats in one fixture corpus
+    # (r16 verdict optional item 6: close the mm codec gap honestly; no
+    # new catalog surface). multimodal.py is hashed into every mm
+    # entry's fingerprint, so all seven re-green together. ROTATION
+    # ARITHMETIC, on the record: the seven mm entries are r13×1 + r14×4
+    # + r15×2 stale, so the changed tier reorders WITHIN the 50-slot
+    # sample rather than displacing it — the prefix still takes
+    # mm_partition_packing, all 45 r14s, and 2 r15 spares, and the
+    # union floor jumps r13 → r15 exactly as the r16 verdict planned.
+    "mm_partition_packing": 17,
+    "mm_decode_real": 17,
+    "mm_decode_meta": 17,
+    "mm_resize_real": 17,
+    "mm_features_real": 17,
+    "mm_frame_sample": 17,
+    "mm_feature_stats": 17,
     "fp_rolling_hash": 16,
     "text_lang_id": 16,
     "text_redact_pii": 16,

@@ -5,13 +5,14 @@ Image/audio/video assets are opaque ``binary`` columns plus typed metadata
 extraction, frame sampling) runs as Arrow-batched ``mapInPandas`` /
 ``mapInArrow`` (the latter zero-copy on both sides for the hot
 feature-extraction path). For the fixed-offset header formats the codec
-is REAL and zero-dependency (``use_fake=False``): BMP + farbfeld header
-decode, nearest-neighbor 24-bpp BMP resize, and integer-exact pixel
-histograms — all over raw Arrow buffers, no PIL. Entropy-coded formats
-(JPEG/PNG) and model-based feature extraction keep honest
-``NotImplementedError`` gates (no image/audio libraries ship in this
-container; swapping PIL/ffmpeg in is a one-function change), and a
-deterministic fake (``use_fake=True``) remains for plumbing tests.
+is REAL and zero-dependency (``use_fake=False``): BMP + farbfeld +
+binary-netpbm (P5 PGM / P6 PPM) header decode, nearest-neighbor 24-bpp
+BMP resize, and integer-exact pixel histograms — all over raw Arrow
+buffers, no PIL. Entropy-coded formats (JPEG/PNG) and model-based
+feature extraction keep honest ``NotImplementedError`` gates (no
+image/audio libraries ship in this container; swapping PIL/ffmpeg in is
+a one-function change), and a deterministic fake (``use_fake=True``)
+remains for plumbing tests.
 
 Scale notes:
 - binary payloads dominate row size → repartition so that
@@ -112,6 +113,56 @@ def _parse_bmp_24bpp(b):
     return w, h, px_off, stride, ah
 
 
+_PNM_WS = frozenset(b" \t\n\r\x0b\x0c")
+
+
+def _parse_netpbm(b):
+    """Validate + parse one binary-netpbm header (P5 = PGM grayscale,
+    P6 = PPM RGB): returns (w, h, channels, maxval, raster_off) or None.
+    Netpbm headers are ASCII with VARIABLE offsets — magic, then three
+    whitespace-separated decimal fields (width, height, maxval), with
+    ``#``-to-newline comments allowed wherever whitespace is, then
+    exactly ONE whitespace byte before the raster — so unlike the BMP /
+    farbfeld fixed-offset gathers this cannot vectorize; callers gate
+    vectorized on the 2-byte magic and hand only matching rows here
+    (same per-row budget as _parse_bmp_24bpp's use in pixel_histograms).
+    Header-decode contract (mirrors the BMP vectorized gate): dims and
+    maxval are validated, raster length is not. Accepts ``b`` as bytes
+    or a numpy uint8 view."""
+    n = len(b)
+    if n < 2 or b[0] != 0x50 or int(b[1]) not in (0x35, 0x36):
+        return None
+    vals: list[int] = []
+    i, seen_sep = 2, False
+    while i < n and len(vals) < 3:
+        c = int(b[i])
+        if c in _PNM_WS:
+            seen_sep = True
+            i += 1
+        elif c == 0x23:  # '#': comment runs to end of line, acts as a
+            while i < n and int(b[i]) not in (0x0A, 0x0D):  # separator
+                i += 1
+        elif 0x30 <= c <= 0x39:
+            if not seen_sep:
+                return None  # token must follow whitespace/comment
+            v = 0
+            while i < n and 0x30 <= int(b[i]) <= 0x39:
+                v = v * 10 + (int(b[i]) - 0x30)
+                if v > 0x7FFFFFFF:  # would wrap the int32 output cast
+                    return None
+                i += 1
+            vals.append(v)
+            seen_sep = False
+        else:
+            return None
+    if len(vals) < 3 or i >= n or int(b[i]) not in _PNM_WS:
+        return None  # exactly one whitespace byte precedes the raster
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 1 <= maxval <= 65535:
+        return None  # maxval > 255 ⇒ 2-byte BE samples (still 1/3 chans)
+    return w, h, (3 if int(b[1]) == 0x36 else 1), maxval, i + 1
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real image decode: derives plausible
     dimensions from the payload bytes. Replace with PIL/opencv in prod."""
@@ -127,17 +178,20 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
     (asset_id, payload); output is metadata-only (payload dropped — do not
     carry binaries past the decode boundary).
 
-    ``use_fake=False`` runs a REAL zero-dependency codec for the two
-    fixed-offset header formats: BMP (BITMAPFILEHEADER +
-    BITMAPINFOHEADER — 'BM' magic at 0, LE int32 width at 18, LE int32
-    height at 22 (negative ⇒ top-down; reported as |height|), LE uint16
-    bits-per-pixel at 28) and farbfeld ("farbfeld" magic, BE uint32
-    dims at 8/12, always 16-bit RGBA ⇒ 4 channels) — all gathered
-    vectorized from the same Arrow buffers the fake path uses.
+    ``use_fake=False`` runs a REAL zero-dependency codec for three
+    header formats: BMP (BITMAPFILEHEADER + BITMAPINFOHEADER — 'BM'
+    magic at 0, LE int32 width at 18, LE int32 height at 22 (negative ⇒
+    top-down; reported as |height|), LE uint16 bits-per-pixel at 28)
+    and farbfeld ("farbfeld" magic, BE uint32 dims at 8/12, always
+    16-bit RGBA ⇒ 4 channels) gathered vectorized from the same Arrow
+    buffers the fake path uses, plus binary netpbm (P5 PGM ⇒ 1 channel,
+    P6 PPM ⇒ 3 channels) whose variable-offset ASCII header cannot
+    vectorize: those rows are gated vectorized on the 2-byte magic and
+    only the matches take the bounded per-row ``_parse_netpbm`` scan.
     Unrecognized / truncated / unsupported-bpp payloads decode_ok=False
     with NULL dims, same contract as the fake path's empty-payload
-    case. Formats that need entropy decode (JPEG/PNG) or ASCII header
-    scanning (PPM) still require PIL/opencv, absent here."""
+    case. Formats that need entropy decode (JPEG/PNG) still require
+    PIL/opencv, absent here."""
 
     def _decode_bmp(batches):
         import numpy as np
@@ -199,10 +253,33 @@ def decode_images(df: DataFrame, use_fake: bool = True) -> DataFrame:
                 & (ff_w <= 0x7FFFFFFF) & (ff_h <= 0x7FFFFFFF)
             )
 
-            ok = bmp_ok | ff_ok  # magics differ: masks are disjoint
-            width = np.where(bmp_ok, bmp_w, ff_w)
-            height = np.where(bmp_ok, np.abs(bmp_h), ff_h)
-            channels = np.where(bmp_ok, bpp // 8, 4)
+            # netpbm P5/P6: vectorized gate on the 2-byte magic; only
+            # matching rows (none in a non-netpbm corpus) pay the
+            # per-row ASCII header scan — the same row-gated budget as
+            # _parse_bmp_24bpp in pixel_histograms
+            pnm_cand = (
+                (lens >= 2)
+                & (_u8(0) == 0x50)  # 'P'
+                & ((_u8(1) == 0x35) | (_u8(1) == 0x36))  # '5' | '6'
+            )
+            pnm_w = np.zeros(n, np.int64)
+            pnm_h = np.zeros(n, np.int64)
+            pnm_c = np.zeros(n, np.int64)
+            pnm_ok = np.zeros(n, dtype=bool)
+            for i in np.nonzero(pnm_cand)[0]:
+                parsed = _parse_netpbm(
+                    data[starts[i] : starts[i] + lens[i]]
+                )
+                if parsed is not None:
+                    pnm_w[i], pnm_h[i], pnm_c[i] = parsed[:3]
+                    pnm_ok[i] = True
+
+            ok = bmp_ok | ff_ok | pnm_ok  # magics differ: disjoint masks
+            width = np.where(bmp_ok, bmp_w, np.where(ff_ok, ff_w, pnm_w))
+            height = np.where(
+                bmp_ok, np.abs(bmp_h), np.where(ff_ok, ff_h, pnm_h)
+            )
+            channels = np.where(bmp_ok, bpp // 8, np.where(ff_ok, 4, pnm_c))
             mask = ~ok
             yield pa.RecordBatch.from_arrays(
                 [
@@ -284,6 +361,27 @@ def bmp_payload(width, height, pixel_bytes=None):
         F.lit("0" * 48),  # compression/img size/ppm/palette fields
     )
     header = F.unhex(header_hex)
+    return header if pixel_bytes is None else F.concat(header, pixel_bytes)
+
+
+def pnm_payload(width, height, pixel_bytes=None, gray=False):
+    """binary Column holding a REAL minimal binary-netpbm image for the
+    given dims: ``P6`` (PPM RGB) or ``P5`` (PGM grayscale, ``gray=True``)
+    magic + ASCII ``<w> <h>`` + ``255`` maxval, newline-separated, with
+    ``pixel_bytes`` (binary Column) appended as the raster when given.
+    Pure JVM expressions (string-compose + encode): the ASCII-header
+    counterpart of ``bmp_payload``, read back by
+    ``decode_images(use_fake=False)`` via ``_parse_netpbm``."""
+    header = F.encode(
+        F.concat(
+            F.lit("P5\n" if gray else "P6\n"),
+            width.cast("string"),
+            F.lit(" "),
+            height.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
     return header if pixel_bytes is None else F.concat(header, pixel_bytes)
 
 

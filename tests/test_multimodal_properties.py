@@ -213,8 +213,12 @@ def test_bmp_payload_roundtrips_through_real_decoder(spark):
 def test_bmp_decoder_never_crashes_on_arbitrary_bytes(spark, items):
     """Fuzz: the real decoder is exposed to untrusted payload bytes; any
     input must produce a row (ok or not), never an exception, and
-    decode_ok=True only for payloads long enough to hold a full header
-    with the BM magic."""
+    decode_ok=True only for payloads carrying one of the three accepted
+    magics with a header long enough to validate (BM + 54 bytes,
+    farbfeld + 16 bytes, or a P5/P6 netpbm header the independent
+    reference parser also accepts)."""
+    from logvision_spark.operators.multimodal import _parse_netpbm
+
     df = spark.createDataFrame(
         list(enumerate(items)), "asset_id long, payload binary"
     )
@@ -223,7 +227,12 @@ def test_bmp_decoder_never_crashes_on_arbitrary_bytes(spark, items):
     for i, p in enumerate(items):
         r = rows[i]
         if r["decode_ok"]:
-            assert p is not None and len(p) >= 54 and p[:2] == b"BM"
+            assert p is not None
+            assert (
+                (len(p) >= 54 and p[:2] == b"BM")
+                or (len(p) >= 16 and p[:8] == b"farbfeld")
+                or (p[:1] == b"P" and _parse_netpbm(p) is not None)
+            )
             assert r["width"] > 0 and r["height"] > 0
         else:
             assert r["width"] is None and r["channels"] is None
@@ -364,6 +373,71 @@ def test_farbfeld_decode_matches_struct_reference(spark):
         assert (r["width"], r["height"], r["channels"], r["decode_ok"]) == (
             w, h, c, ok,
         ), f"case {i}: {r}"
+
+
+def test_netpbm_decode_matches_reference(spark):
+    """The real decoder must also read binary netpbm headers: P6 (PPM,
+    3 channels) and P5 (PGM, 1 channel) with whitespace-separated ASCII
+    dims, '#' comments, and a maxval gate — and reject malformed
+    variants (no separator after magic, zero dims, maxval out of range,
+    missing raster separator, ASCII P3, int32-wrapping dims)."""
+    cases = [
+        (0, b"P6\n17 23\n255\n" + b"x" * (17 * 23 * 3), (17, 23, 3, True)),
+        (1, b"P5\n4 5\n255\n" + b"x" * 20, (4, 5, 1, True)),
+        (2, b"P6 640 480 255 ", (640, 480, 3, True)),  # all-space form
+        (3, b"P6\n# a comment\n8 9\n255\n", (8, 9, 3, True)),
+        (4, b"P6\n8 9\n65535\n", (8, 9, 3, True)),   # 2-byte samples
+        (5, b"P68 9 255 ", (None, None, None, False)),  # no sep after magic
+        (6, b"P6\n0 9\n255\n", (None, None, None, False)),   # zero width
+        (7, b"P6\n8 9\n65536\n", (None, None, None, False)),  # maxval gate
+        (8, b"P6\n8 9\n255", (None, None, None, False)),  # no raster sep
+        (9, b"P3\n8 9\n255\n", (None, None, None, False)),  # ASCII PPM
+        (10, b"P6\n2147483648 1\n255\n ", (None, None, None, False)),
+        (11, b"P6\n2147483647 1\n255\n ", (2147483647, 1, 3, True)),
+        (12, _ref_bmp(6, 7), (6, 7, 3, True)),  # BMP still works beside it
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in cases], "asset_id long, payload binary"
+    )
+    got = {r["asset_id"]: r for r in decode_images(df, use_fake=False).collect()}
+    for i, _, (w, h, c, ok) in cases:
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"], r["decode_ok"]) == (
+            w, h, c, ok,
+        ), f"case {i}: {r}"
+
+
+def test_pnm_payload_roundtrips_through_real_decoder(spark):
+    """pnm_payload (JVM string-compose) and _parse_netpbm must be exact
+    inverses for both magics, and the bytes must equal the hand-built
+    reference header."""
+    from pyspark.sql import functions as F
+
+    from logvision_spark.operators.multimodal import pnm_payload
+
+    df = spark.createDataFrame(
+        [(i, 16 + i * 37, 16 + i * 91, i % 2 == 0) for i in range(8)],
+        "asset_id long, w int, h int, gray boolean",
+    )
+    built = df.select(
+        "asset_id", "w", "h", "gray",
+        F.when(
+            F.col("gray"),
+            pnm_payload(F.col("w"), F.col("h"), F.lit(b"\x00\x01\x02"), gray=True),
+        )
+        .otherwise(pnm_payload(F.col("w"), F.col("h"), F.lit(b"\x00\x01\x02")))
+        .alias("payload"),
+    )
+    for r in built.collect():
+        magic = "P5" if r["gray"] else "P6"
+        ref = f"{magic}\n{r['w']} {r['h']}\n255\n".encode() + b"\x00\x01\x02"
+        assert bytes(r["payload"]) == ref
+    got = {r["asset_id"]: r for r in decode_images(built, use_fake=False).collect()}
+    for r in df.collect():
+        d = got[r["asset_id"]]
+        assert (d["width"], d["height"], d["channels"], d["decode_ok"]) == (
+            r["w"], r["h"], 1 if r["gray"] else 3, True,
+        )
 
 
 def test_resize_rejects_int32_overflowing_targets(spark):
