@@ -174,6 +174,15 @@ def _floor_from(
     return min(vals) if vals else None
 
 
+# A committed calib floor below this is a timer glitch, not a box
+# speed: the spin is sized for ~1 s on this class of hardware and the
+# healthiest reading ever committed is 0.946 — min-merging e.g. a 0.2
+# from a broken clock would wedge a permanently unbeatable anchor in
+# immutable history (one bounded-retry respawn every round, no recovery
+# path short of rewriting evidence; r16 ADVICE).
+_GIT_FLOOR_SANITY_MIN = 0.5
+
+
 def _git_sidecar_floors() -> tuple[float | None, float | None]:
     """(1-thread, N-process) calib floors min-merged across EVERY
     committed version of the sidecar, read-only via ``git show`` (r15
@@ -186,7 +195,16 @@ def _git_sidecar_floors() -> tuple[float | None, float | None]:
     drifted round without hand-editing evidence files. Same
     ``python`` equality gate as the live sidecar (a CPython change
     must read as a new box); every failure mode (no git, not a repo,
-    unparseable blob) skips that blob, never aborts the bench."""
+    unparseable blob) skips that blob, never aborts the bench.
+
+    History is immutable, so two guards bound the blast radius of a
+    bad committed reading (r16 ADVICE): floors below
+    ``_GIT_FLOOR_SANITY_MIN`` are rejected as timer glitches rather
+    than box speeds, and ``SPARK_GRAFT_NO_GIT_ANCHOR=1`` skips the
+    sweep entirely — the explicit recovery path when e.g. a hardware
+    change makes every historical floor permanently unbeatable."""
+    if os.environ.get("SPARK_GRAFT_NO_GIT_ANCHOR"):
+        return None, None
     st_floor: float | None = None
     mt_floor: float | None = None
     root = os.path.dirname(os.path.abspath(__file__))
@@ -217,11 +235,16 @@ def _git_sidecar_floors() -> tuple[float | None, float | None]:
             nl = data.index(b"\n", pos)
             header = data[pos:nl].decode("utf-8", "replace").split()
             pos = nl + 1
-            if len(header) < 3 or header[1] != "blob":
-                continue  # "<spec> missing" or non-blob
-            oid, _, size = header[0], header[1], int(header[2])
+            if len(header) < 3:
+                continue  # "<spec> missing": no body follows
+            oid, otype, size = header[0], header[1], int(header[2])
             body = data[pos:pos + size]
             pos += size + 1  # trailing newline after each object
+            if otype != "blob":
+                # unreachable while the specs name committed files, but
+                # the body MUST be consumed before skipping or every
+                # later record parses body bytes as headers (r16 ADVICE)
+                continue
             if oid in seen_oids:
                 continue  # identical blob committed at several points
             seen_oids.add(oid)
@@ -235,20 +258,23 @@ def _git_sidecar_floors() -> tuple[float | None, float | None]:
             st = _floor_from(
                 prior, "calib_secs", "floor", "calib_sec_retry"
             )
-            # mt floors carry only across the SAME worker count — a
-            # different-width probe is a different instrument (see
-            # _mt_workers)
+            # mt floors carry only across the SAME worker count AND
+            # start method — a different-width probe, or one whose
+            # workers pay spawn cold-starts, is a different instrument
+            # (see _mt_workers / _mt_start_method)
             mt = (
                 _floor_from(
                     prior, "calib_mt_secs", "floor_mt",
                     "calib_sec_mt_retry",
                 )
-                if prior.get("calib_mt_workers") == _mt_workers()
+                if (prior.get("calib_mt_workers") == _mt_workers()
+                    and prior.get("calib_mt_start_method")
+                    == _mt_start_method())
                 else None
             )
-            if st is not None:
+            if st is not None and st >= _GIT_FLOOR_SANITY_MIN:
                 st_floor = st if st_floor is None else min(st_floor, st)
-            if mt is not None:
+            if mt is not None and mt >= _GIT_FLOOR_SANITY_MIN:
                 mt_floor = mt if mt_floor is None else min(mt_floor, mt)
     except (OSError, subprocess.TimeoutExpired, ValueError):
         return st_floor, mt_floor
@@ -271,8 +297,11 @@ def _prior_calib_floor() -> float | None:
     forward. Deliberate tradeoff, documented: a box that becomes
     PERMANENTLY slower (hardware change, same interpreter) will show
     one bounded retry per round with the trigger recorded in the
-    sidecar — that is the honest "weak pending re-measure" signal, and
-    deleting the sidecar resets the anchor. Returns None when no
+    sidecar — that is the honest "weak pending re-measure" signal.
+    Since main() also min-merges floors from immutable committed
+    history (_git_sidecar_floors), deleting the on-disk sidecar does
+    NOT reset the anchor; the explicit recovery path is
+    ``SPARK_GRAFT_NO_GIT_ANCHOR=1`` (r16 ADVICE). Returns None when no
     usable anchor exists."""
     prior = _read_prior_sidecar()
     return (
@@ -288,11 +317,17 @@ def _prior_calib_floor_mt() -> float | None:
     ``_prior_calib_floor``, over the contention-sensitive readings.
     None until a round has recorded them (the gate then falls back to
     the same-round mt floor alone, exactly like the 1-thread anchor's
-    first round). Gated on ``calib_mt_workers`` equality beside the
-    interpreter gate: a floor probed at a different worker count is
-    not comparable (see _mt_workers)."""
+    first round). Gated on ``calib_mt_workers`` AND
+    ``calib_mt_start_method`` equality beside the interpreter gate: a
+    floor probed at a different worker count, or one whose workers
+    paid spawn cold-starts, is not comparable (see _mt_workers /
+    _mt_start_method)."""
     prior = _read_prior_sidecar()
-    if prior is None or prior.get("calib_mt_workers") != _mt_workers():
+    if (
+        prior is None
+        or prior.get("calib_mt_workers") != _mt_workers()
+        or prior.get("calib_mt_start_method") != _mt_start_method()
+    ):
         return None
     return _floor_from(
         prior, "calib_mt_secs", "floor_mt", "calib_sec_mt_retry"
@@ -375,13 +410,10 @@ def _calibrate_mt(
     try:
         import multiprocessing as mp
 
-        ctx = (
-            mp.get_context("fork")
-            if "fork" in mp.get_all_start_methods()
-            # spawn re-imports bench.py as __mp_main__; the __main__
-            # guard keeps that import side-effect-free
-            else mp.get_context()
-        )
+        # same start method the sidecar records and the anchors gate on
+        # (spawn re-imports bench.py as __mp_main__; the __main__ guard
+        # keeps that import side-effect-free)
+        ctx = mp.get_context(_mt_start_method())
         t0 = time.perf_counter()
         procs = [
             ctx.Process(target=_spin, args=(iters,))
@@ -425,6 +457,23 @@ def _mt_workers() -> int:
     except ValueError:
         workers = ncpu
     return max(2, min(workers, ncpu))
+
+
+def _mt_start_method() -> str:
+    """The multiprocessing start method the N-process probe launches
+    its workers with: fork when the platform offers it, else the
+    platform default. Recorded in the sidecar
+    (``calib_mt_start_method``) and EQUALITY-GATED by both mt anchors
+    beside the worker count: under spawn, _calibrate_mt's clock starts
+    before N interpreter cold-starts and module re-imports, so spawn
+    readings are systematically inflated relative to fork ones — a
+    different instrument whose floors must never min-merge (r16
+    ADVICE)."""
+    import multiprocessing as mp
+
+    if "fork" in mp.get_all_start_methods():
+        return "fork"
+    return mp.get_context()._name  # platform default, e.g. "spawn"
 
 
 def _get_spark():
@@ -913,6 +962,10 @@ def main() -> None:
              # floor probed at a different worker count is a different
              # instrument — see _mt_workers)
              "calib_mt_workers": _mt_workers(),
+             # ...and the start method they launched with: spawn
+             # charges N interpreter cold-starts to the reading, so
+             # fork/spawn floors never min-merge (see _mt_start_method)
+             "calib_mt_start_method": _mt_start_method(),
              # floors recovered read-only from committed sidecar
              # history (null = none found on this interpreter); they
              # min-merge into the retry anchors above and into

@@ -592,6 +592,7 @@ def test_mt_probe_fires_retry_when_single_thread_probe_reads_healthy(
         calib_secs={"core": 0.90, "new": 0.91, "r4": 0.92},
         calib_mt_secs={"core": 0.93, "new": 0.94, "r4": 0.95},
         calib_mt_workers=bench._mt_workers(),
+        calib_mt_start_method=bench._mt_start_method(),
     )
 
     def retry_result(which):
@@ -716,6 +717,30 @@ def test_mt_anchor_refuses_a_different_worker_count(
     # the incomparable 0.50 must NOT roll forward as this run's floor
     assert detail["calib_anchor"]["floor_mt"] == 0.95
     assert detail["calib_mt_workers"] == bench._mt_workers()
+
+
+def test_prior_mt_floor_refused_across_start_methods(
+    monkeypatch, tmp_path
+):
+    """An mt floor whose workers were launched with a different
+    multiprocessing start method is a different instrument: under
+    spawn the clock charges N interpreter cold-starts to the reading
+    (r16 ADVICE) — so a prior sidecar recorded at another
+    calib_mt_start_method must disable the prior_round_mt anchor, same
+    contract as the worker-count gate."""
+    _write_prior_sidecar(
+        tmp_path,
+        calib_secs={"core": 0.90},
+        calib_mt_secs={"core": 0.93},
+        calib_mt_workers=bench._mt_workers(),
+        calib_mt_start_method="spawn-other",
+    )
+    monkeypatch.setattr(
+        bench, "_sidecar_path", lambda: str(tmp_path / "BENCH_DETAIL.json")
+    )
+    assert bench._prior_calib_floor_mt() is None
+    # the st anchor is untouched by the mt gates
+    assert bench._prior_calib_floor() == 0.90
 
 
 def test_git_history_floor_anchors_the_gate_without_a_sidecar(
