@@ -1,0 +1,328 @@
+"""Measured scaling curves for the five most expensive catalog queries
+(r16 verdict item 3): dedup_drop_list_16band, dedup_clusters,
+a_user_trend_slope, ivf_topk_batch, dedup_drop_list at 1x / 2x / 4x the
+sf0.1 fixture, plus a direct A/B of the hot-shingle cap (dedup.py
+capped_shingles) under document-frequency doubling.
+
+Corpus construction (deterministic, derived from the read-only sf0.1
+fixtures — never rand()):
+
+- documents at scale m: the 5,000-doc sf0.1 table plus m-1 replicas
+  whose every token carries a per-replica suffix ("tok" -> "tok~r") and
+  whose doc_ids shift by r*1e6. Suffixing makes replica vocabularies
+  DISJOINT, so each replica reproduces the original corpus's internal
+  near-dup structure exactly and adds zero cross-replica candidates:
+  the drop list must scale EXACTLY m-proportionally, which the script
+  gates before any timing is reported. This isolates the engine's
+  scaling from the corpus's (a plain m-fold copy would plant m-1 exact
+  twins per doc and grow candidate pairs quadratically in m by
+  construction, measuring the corpus, not the plan).
+- events at scale m: user_id/event_id shift by r*1e6, ts/value/type
+  unchanged — m x the user groups at the original per-group size, the
+  shape grouped_trend_slope shuffles on.
+- embeddings at scale m: vec_id shifts by r*1e6 and components roll by
+  (r*7) % 64 — same norm and distribution, decorrelated replicas; the
+  3 query vectors (vec_id < 3) stay fixed while the base grows m-fold.
+
+The LIMITATION of disjoint-vocab replication is that no shingle's
+document frequency grows with m — exactly the failure mode the
+hot-shingle cap exists for. The cap A/B therefore uses a second corpus:
+the scaled documents with ONE unsuffixed 10-token stop phrase prepended
+to every doc_id % 10 == 0 (10% of docs, all replicas), so the phrase's
+8 trigrams have df = 500*m — under the default 1000 cap at m=1,
+exactly AT it at m=2, and 2x OVER at m=4. ngram_jaccard_pairs (the
+pair source dedup_clusters consumes) runs with the cap on vs off at
+each scale; the off arm's shared-shingle join must go quadratic in the
+hot-doc count while the on arm stays m-proportional once the cap
+engages.
+
+Protocol (experiments/ conventions): scaled fixture dirs are written
+once off the clock (documents/events/embeddings parquet under
+$LV_SCALE_DIR, default /tmp/lv_scale_curves), the catalog's shared
+shingle cache is materialized off the clock per dir exactly as bench.py
+does (its build time is reported separately — it is itself a scaling
+data point), every equality/proportionality gate passes BEFORE a
+timing is accepted, each (query, scale) point is the min of 2 in-JVM
+runs, and the per-query scaling exponent is the least-squares slope of
+log2(sec) over log2(m).
+
+Run: SPARK_GRAFT_DRIVER_MEM=16g PYTHONPATH=/root/repo \
+     python experiments/measure_scale_curves.py
+
+MEASURED (this box, local[32], min-of-2 per point, sf0.1 base,
+2026-08-16 run directly after the round-17 quiet-window bench; see
+ARCHITECTURE.md "Scaling curves" for the reading):
+
+    query                       1x      2x      4x    exponent
+    dedup_drop_list_16band    4.101   7.854   9.732      0.62
+    dedup_clusters            2.409   2.753   4.855      0.51
+    a_user_trend_slope        2.698   2.849   2.560     -0.04
+    ivf_topk_batch            1.486   1.661   2.332      0.32
+    dedup_drop_list           2.158   5.117   6.272      0.77
+    shingle-cache build       3.024   0.792   0.912     (first-build
+      JVM warmup dominates the m=1 point; the warm m=2 -> m=4 step,
+      0.79 -> 0.91 s for 2x the rows, is the meaningful one)
+
+    All proportionality gates held exactly: drop lists 244/488/976
+    rows, clusters 5000/10000/20000, trend slope 1500/3000/6000 users,
+    ivf recall_ok 3/3 at every scale.
+
+    hot-shingle cap A/B (ngram_jaccard_pairs on the hot corpus;
+    phrase df = 500/1000/2000 at m=1/2/4, cap = 1000):
+      m=1: cap-on 2.510 s / 112,374 pairs   cap-off 1.971 s / 112,374
+      m=2: cap-on 2.617 s / 443,485 pairs   cap-off 3.435 s / 443,485
+      m=4: cap-on 3.548 s /   2,324 pairs   cap-off 3.583 s / 1,761,918
+    At m=1 (df 500) and m=2 (df 1000 == cap; the filter drops only
+    df > cap) both arms keep the phrase shingles and agree exactly —
+    and the shared pair count already grows ~C(500m,2): 112,374 ->
+    443,485 is 3.95x for 2x the docs. At m=4 the capped arm drops the
+    phrase (df 2000 > 1000) and collapses to 2,324 pairs (= 4 x the
+    clean corpus's 581/replica), while the uncapped arm reaches
+    1,761,918 — 3.97x per doubling, 758x the capped arm's output. At
+    20k docs the wall times still sit together (1.76 M pairs is cheap
+    on 32 local threads); the quadratic is in the CANDIDATE VOLUME,
+    which is what explodes downstream shuffles and verify joins at
+    corpus scale — the 500k-doc run in measure_lsh_band_recall.py
+    already needs 32 GB for 19 M shingle rows, and C(50M,2)-shaped
+    hot blocks at 100 TB are an outage, not a job. The cap is
+    load-bearing, and it engages exactly where designed.
+
+The four data-bound queries' exponents sit in 0.32-0.77 — SUB-linear
+at this fixture scale because per-stage constants (task scheduling,
+codegen, the fixed 3-query IVF probe spine and KMeans fit) still
+dominate 5k-20k-row inputs; the data-dependent terms (banded shuffle
+volume, star-contract iterations, per-cell candidate scans) grow
+m-proportionally on top of that floor. a_user_trend_slope is FLAT
+(-0.04): at 100k-400k events the applyInPandas stage is pure per-stage
+constant (Arrow round-trip + Python worker spin-up), the measured
+shape that motivated keeping the regr_slope built-in variant as the
+production path. Nothing is super-linear at these scales; the known
+quadratic risk (uncapped hot shingles) is demonstrated and bounded by
+the cap above.
+"""
+
+import math
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from logvision_spark.catalog import CATALOG, _shared_shingles  # noqa: E402
+from logvision_spark.operators.dedup import ngram_jaccard_pairs  # noqa: E402
+
+BASE = os.environ.get("LV_SCALE_BASE", "/root/testdata/sf0.1")
+OUT = os.environ.get("LV_SCALE_DIR", "/tmp/lv_scale_curves")
+SCALES = (1, 2, 4)
+STRIDE = 1_000_000  # id offset per replica (>> any fixture id)
+QUERIES = [
+    "dedup_drop_list_16band",
+    "dedup_clusters",
+    "a_user_trend_slope",
+    "ivf_topk_batch",
+    "dedup_drop_list",
+]
+HOT_PHRASE = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+CAP = 1000  # the operators' default max_doc_freq
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    )
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def _suffixed_docs(m: int):
+    """sf0.1 documents + (m-1) disjoint-vocab replicas (see module doc)."""
+    base = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = [base.select("doc_id", "text", "lang", "source", "n_chars")]
+    for r in range(1, m):
+        suf = F.lit(f"~{r}")
+        parts.append(
+            base.select(
+                (F.col("doc_id") + r * STRIDE).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split("text", " "), lambda t: F.concat(t, suf)
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                F.length(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split("text", " "),
+                            lambda t: F.concat(t, suf),
+                        ),
+                    )
+                ).alias("n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _build_dir(m: int) -> str:
+    """Write the scale-m fixture dir once; reused across runs."""
+    d = os.path.join(OUT, f"x{m}")
+    marker = os.path.join(d, "_built")
+    if os.path.exists(marker):
+        return d
+    _suffixed_docs(m).coalesce(max(1, m)).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    ev_parts = [ev]
+    for r in range(1, m):
+        ev_parts.append(
+            ev.withColumn("event_id", F.col("event_id") + r * STRIDE)
+            .withColumn("user_id", F.col("user_id") + r * STRIDE)
+        )
+    evs = ev_parts[0]
+    for p in ev_parts[1:]:
+        evs = evs.unionByName(p)
+    evs.coalesce(max(1, m)).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    em_parts = [emb]
+    for r in range(1, m):
+        roll = (r * 7) % 64
+        rolled = F.concat(
+            F.slice("embedding", roll + 1, 64 - roll),
+            F.slice("embedding", 1, roll),
+        ).cast("array<float>")
+        em_parts.append(
+            emb.select(
+                (F.col("vec_id") + r * STRIDE).alias("vec_id"),
+                rolled.alias("embedding"),
+                "label",
+            )
+        )
+    embs = em_parts[0]
+    for p in em_parts[1:]:
+        embs = embs.unionByName(p)
+    embs.coalesce(max(1, m)).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write(f"m={m} base={BASE}\n")
+    return d
+
+
+def _hot_docs(m: int):
+    """The scaled corpus with the unsuffixed stop phrase prepended to
+    10% of docs — phrase-trigram df = 500*m (see module doc)."""
+    docs = spark.read.parquet(os.path.join(_build_dir(m), "documents.parquet"))
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) == 0,
+            F.concat(F.lit(HOT_PHRASE + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+
+def _fit_exponent(points: dict[int, float]) -> float:
+    """Least-squares slope of log2(sec) over log2(m)."""
+    xs = [math.log2(m) for m in sorted(points)]
+    ys = [math.log2(points[m]) for m in sorted(points)]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return num / den
+
+
+def main() -> None:
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    cache_secs: dict[int, float] = {}
+    base_counts: dict[str, int] = {}
+
+    for m in SCALES:
+        d = _build_dir(m)
+        n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
+        assert n_docs == 5000 * m, (m, n_docs)
+
+        # shared shingle cache off the clock, exactly like bench.py —
+        # but its build time is itself a scaling point, so record it
+        t0 = time.perf_counter()
+        _shared_shingles(spark, d).count()
+        cache_secs[m] = round(time.perf_counter() - t0, 4)
+
+        for q in QUERIES:
+            rows = CATALOG[q].builder(spark, d).collect()
+            # ---- proportionality / correctness gates BEFORE timing ----
+            if q in ("dedup_drop_list", "dedup_drop_list_16band",
+                     "dedup_clusters", "a_user_trend_slope"):
+                if m == 1:
+                    base_counts[q] = len(rows)
+                assert len(rows) == base_counts[q] * m, (
+                    q, m, len(rows), base_counts[q]
+                )
+            if q == "ivf_topk_batch":
+                assert len(rows) == 3 and all(r["recall_ok"] for r in rows), (
+                    q, m, rows,
+                )
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                CATALOG[q].builder(spark, d).collect()
+                best = min(best, time.perf_counter() - t0)
+            results[q][m] = round(best, 4)
+            print(f"  m={m} {q}: {results[q][m]} s ({len(rows)} rows)",
+                  flush=True)
+
+    print(f"\n{'query':<26s}" + "".join(f"{m}x".rjust(9) for m in SCALES)
+          + "  exponent")
+    for q in QUERIES:
+        exp = _fit_exponent(results[q])
+        print(f"{q:<26s}"
+              + "".join(f"{results[q][m]:9.3f}" for m in SCALES)
+              + f"{exp:10.2f}")
+    cexp = _fit_exponent(cache_secs)
+    print(f"{'shingle-cache build':<26s}"
+          + "".join(f"{cache_secs[m]:9.3f}" for m in SCALES)
+          + f"{cexp:10.2f}")
+
+    # ---- hot-shingle cap A/B under df doubling ----
+    print("\nhot-shingle cap A/B (ngram_jaccard_pairs, phrase df = 500*m, "
+          f"cap = {CAP}):")
+    for m in SCALES:
+        hot = _hot_docs(m).persist()
+        hot.count()
+        row = {}
+        for label, cap in (("cap-on", CAP), ("cap-off", None)):
+            best, pairs = float("inf"), None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                got = ngram_jaccard_pairs(
+                    hot, threshold=0.05, max_doc_freq=cap
+                ).count()
+                best = min(best, time.perf_counter() - t0)
+                assert pairs is None or pairs == got
+                pairs = got
+            row[label] = (round(best, 3), pairs)
+        hot.unpersist()
+        print(f"  m={m}: cap-on {row['cap-on'][0]} s / {row['cap-on'][1]:,} "
+              f"pairs   cap-off {row['cap-off'][0]} s / "
+              f"{row['cap-off'][1]:,} pairs", flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
