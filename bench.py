@@ -174,13 +174,16 @@ def _floor_from(
     return min(vals) if vals else None
 
 
-# A committed calib floor below this is a timer glitch, not a box
-# speed: the spin is sized for ~1 s on this class of hardware and the
-# healthiest reading ever committed is 0.946 — min-merging e.g. a 0.2
-# from a broken clock would wedge a permanently unbeatable anchor in
-# immutable history (one bounded-retry respawn every round, no recovery
-# path short of rewriting evidence; r16 ADVICE).
-_GIT_FLOOR_SANITY_MIN = 0.5
+# A calib reading below this is a timer glitch, not a box speed: the
+# spin is sized for ~1 s on this class of hardware and the healthiest
+# reading ever committed is 0.946 — min-merging e.g. a 0.2 from a
+# broken clock would wedge a permanently unbeatable anchor (one
+# bounded-retry respawn every round; for a glitch in committed history
+# there is no recovery path short of rewriting evidence; r16 ADVICE).
+# Enforced per-reading inside _calib_ok so the live rolling-anchor
+# path is guarded identically to the git sweep (r17 review: a glitch
+# accepted live gets committed and then IS a glitched blob).
+_CALIB_SANITY_MIN = 0.5
 
 
 def _git_sidecar_floors() -> tuple[float | None, float | None]:
@@ -198,11 +201,13 @@ def _git_sidecar_floors() -> tuple[float | None, float | None]:
     unparseable blob) skips that blob, never aborts the bench.
 
     History is immutable, so two guards bound the blast radius of a
-    bad committed reading (r16 ADVICE): floors below
-    ``_GIT_FLOOR_SANITY_MIN`` are rejected as timer glitches rather
-    than box speeds, and ``SPARK_GRAFT_NO_GIT_ANCHOR=1`` skips the
-    sweep entirely — the explicit recovery path when e.g. a hardware
-    change makes every historical floor permanently unbeatable."""
+    bad committed reading (r16 ADVICE): readings below
+    ``_CALIB_SANITY_MIN`` are rejected as timer glitches rather than
+    box speeds (inside ``_calib_ok``, so the live anchor path is
+    guarded identically), and ``SPARK_GRAFT_NO_GIT_ANCHOR=1`` skips
+    the sweep entirely — the explicit recovery path when e.g. a
+    hardware change makes every historical floor permanently
+    unbeatable."""
     if os.environ.get("SPARK_GRAFT_NO_GIT_ANCHOR"):
         return None, None
     st_floor: float | None = None
@@ -261,20 +266,22 @@ def _git_sidecar_floors() -> tuple[float | None, float | None]:
             # mt floors carry only across the SAME worker count AND
             # start method — a different-width probe, or one whose
             # workers pay spawn cold-starts, is a different instrument
-            # (see _mt_workers / _mt_start_method)
+            # (see _mt_workers / _mt_start_method /
+            # _mt_method_compatible for the missing-key legacy rule)
             mt = (
                 _floor_from(
                     prior, "calib_mt_secs", "floor_mt",
                     "calib_sec_mt_retry",
                 )
                 if (prior.get("calib_mt_workers") == _mt_workers()
-                    and prior.get("calib_mt_start_method")
-                    == _mt_start_method())
+                    and _mt_method_compatible(prior))
                 else None
             )
-            if st is not None and st >= _GIT_FLOOR_SANITY_MIN:
+            # per-reading sanity bound already applied by _calib_ok
+            # inside _floor_from
+            if st is not None:
                 st_floor = st if st_floor is None else min(st_floor, st)
-            if mt is not None and mt >= _GIT_FLOOR_SANITY_MIN:
+            if mt is not None:
                 mt_floor = mt if mt_floor is None else min(mt_floor, mt)
     except (OSError, subprocess.TimeoutExpired, ValueError):
         return st_floor, mt_floor
@@ -326,7 +333,7 @@ def _prior_calib_floor_mt() -> float | None:
     if (
         prior is None
         or prior.get("calib_mt_workers") != _mt_workers()
-        or prior.get("calib_mt_start_method") != _mt_start_method()
+        or not _mt_method_compatible(prior)
     ):
         return None
     return _floor_from(
@@ -335,15 +342,19 @@ def _prior_calib_floor_mt() -> float | None:
 
 
 def _calib_ok(v) -> bool:
-    """A usable probe reading: positive real number. Excludes bools
-    (isinstance(True, int) is True — a mangled JSON true would anchor
-    at 1.0) and zero/negative values — a corrupt reading must neither
-    become a floor every future round trips over nor, on the write
-    side, destroy the rolling anchor by min-merging 0 into it."""
+    """A usable probe reading: real number at or above the sanity
+    floor. Excludes bools (isinstance(True, int) is True — a mangled
+    JSON true would anchor at 1.0) and zero/negative/sub-floor values —
+    a corrupt or timer-glitched reading must neither become a floor
+    every future round trips over nor, on the write side, destroy the
+    rolling anchor by min-merging into it. The sanity floor lives HERE,
+    on every reading, not just on the git sweep: a glitch accepted by
+    the live rolling-anchor path gets committed and propagates through
+    history exactly like a glitched blob would (r17 review)."""
     return (
         isinstance(v, (int, float))
         and not isinstance(v, bool)
-        and v > 0
+        and v >= _CALIB_SANITY_MIN
     )
 
 
@@ -474,6 +485,25 @@ def _mt_start_method() -> str:
     if "fork" in mp.get_all_start_methods():
         return "fork"
     return mp.get_context()._name  # platform default, e.g. "spawn"
+
+
+def _mt_method_compatible(prior: dict) -> bool:
+    """True when a prior sidecar's mt readings were (or provably would
+    have been) probed with this run's start method. Sidecars written
+    before the key existed never recorded it, but the probe's choice
+    has always been deterministic — fork whenever the platform offers
+    it — and the ``python`` identity gate already pins those blobs to
+    this interpreter build, so a missing key while THIS run uses fork
+    means the legacy probe used fork too. Refusing them outright would
+    drop provably comparable history and re-open the exact
+    bootstrap-pollution window the git sweep exists to close (r17
+    review). A missing key on a non-fork platform stays incomparable —
+    the legacy default there is whatever the platform picked, and
+    spawn cold-start inflation is the reason this gate exists."""
+    stored = prior.get("calib_mt_start_method")
+    if stored is not None:
+        return stored == _mt_start_method()
+    return _mt_start_method() == "fork"
 
 
 def _get_spark():

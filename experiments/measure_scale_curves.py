@@ -48,6 +48,9 @@ log2(sec) over log2(m).
 
 Run: SPARK_GRAFT_DRIVER_MEM=16g PYTHONPATH=/root/repo \
      python experiments/measure_scale_curves.py
+(defaults reproduce the MEASURED table below: LV_SCALES=1,2,4; pass
+LV_SCALES=1,2,4,8 for the extension point, LV_SCALE_FORCE=1 to
+override the quiet-box probe gate, LV_SCALE_MAX_ST/_MT to move it)
 
 MEASURED (this box, local[32], min-of-2 per point, sf0.1 base,
 2026-08-16 run directly after the round-17 quiet-window bench; see
@@ -117,7 +120,7 @@ from logvision_spark.operators.dedup import ngram_jaccard_pairs  # noqa: E402
 BASE = os.environ.get("LV_SCALE_BASE", "/root/testdata/sf0.1")
 OUT = os.environ.get("LV_SCALE_DIR", "/tmp/lv_scale_curves")
 SCALES = tuple(
-    int(m) for m in os.environ.get("LV_SCALES", "1,2,4,8").split(",")
+    int(m) for m in os.environ.get("LV_SCALES", "1,2,4").split(",")
 )
 STRIDE = 1_000_000  # id offset per replica (>> any fixture id)
 QUERIES = [
@@ -284,7 +287,12 @@ def main() -> None:
     cache_secs: dict[int, float] = {}
     base_counts: dict[str, int] = {}
 
-    for m in SCALES:
+    # proportionality gates reference the SMALLEST scale run this
+    # campaign, so LV_SCALES need not include 1 and need not ascend
+    scales = sorted(SCALES)
+    m0 = scales[0]
+
+    for m in scales:
         d = _build_dir(m)
         n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
         assert n_docs == 5000 * m, (m, n_docs)
@@ -300,9 +308,9 @@ def main() -> None:
             # ---- proportionality / correctness gates BEFORE timing ----
             if q in ("dedup_drop_list", "dedup_drop_list_16band",
                      "dedup_clusters", "a_user_trend_slope"):
-                if m == 1:
+                if m == m0:
                     base_counts[q] = len(rows)
-                assert len(rows) == base_counts[q] * m, (
+                assert len(rows) * m0 == base_counts[q] * m, (
                     q, m, len(rows), base_counts[q]
                 )
             if q == "ivf_topk_batch":
@@ -318,22 +326,22 @@ def main() -> None:
             print(f"  m={m} {q}: {results[q][m]} s ({len(rows)} rows)",
                   flush=True)
 
-    print(f"\n{'query':<26s}" + "".join(f"{m}x".rjust(9) for m in SCALES)
+    print(f"\n{'query':<26s}" + "".join(f"{m}x".rjust(9) for m in scales)
           + "  exponent")
     for q in QUERIES:
         exp = _fit_exponent(results[q])
         print(f"{q:<26s}"
-              + "".join(f"{results[q][m]:9.3f}" for m in SCALES)
+              + "".join(f"{results[q][m]:9.3f}" for m in scales)
               + f"{exp:10.2f}")
     cexp = _fit_exponent(cache_secs)
     print(f"{'shingle-cache build':<26s}"
-          + "".join(f"{cache_secs[m]:9.3f}" for m in SCALES)
+          + "".join(f"{cache_secs[m]:9.3f}" for m in scales)
           + f"{cexp:10.2f}")
 
     # ---- hot-shingle cap A/B under df doubling ----
     print("\nhot-shingle cap A/B (ngram_jaccard_pairs, phrase df = 500*m, "
           f"cap = {CAP}):")
-    for m in SCALES:
+    for m in scales:
         hot = _hot_docs(m).persist()
         hot.count()
         row = {}

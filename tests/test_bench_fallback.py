@@ -743,6 +743,48 @@ def test_prior_mt_floor_refused_across_start_methods(
     assert bench._prior_calib_floor() == 0.90
 
 
+def test_prior_mt_floor_accepted_when_legacy_sidecar_lacks_method_key(
+    monkeypatch, tmp_path
+):
+    """Sidecars committed before calib_mt_start_method existed recorded
+    no key, but the probe's choice has always been deterministic (fork
+    whenever the platform offers it) and the python gate already pins
+    those blobs to this interpreter — so on a fork platform a missing
+    key must be treated as fork, not refused: dropping provably
+    comparable history re-opens the bootstrap-pollution window the git
+    sweep exists to close (r17 review)."""
+    if bench._mt_start_method() != "fork":
+        pytest.skip("legacy-compatibility rule only provable under fork")
+    _write_prior_sidecar(
+        tmp_path,
+        calib_secs={"core": 0.90},
+        calib_mt_secs={"core": 1.62},
+        calib_mt_workers=bench._mt_workers(),
+        # no calib_mt_start_method key — the pre-r17 sidecar shape
+    )
+    monkeypatch.setattr(
+        bench, "_sidecar_path", lambda: str(tmp_path / "BENCH_DETAIL.json")
+    )
+    assert bench._prior_calib_floor_mt() == 1.62
+
+
+def test_glitch_readings_rejected_by_calib_ok_everywhere():
+    """A timer-glitch reading below _CALIB_SANITY_MIN must be unusable
+    on EVERY anchor path, not just the git sweep: a glitch accepted by
+    the live rolling anchor gets committed and then IS a glitched blob
+    (r17 review)."""
+    assert not bench._calib_ok(0.2)
+    assert not bench._calib_ok(bench._CALIB_SANITY_MIN / 2)
+    assert bench._calib_ok(bench._CALIB_SANITY_MIN)
+    assert bench._calib_ok(1.08)
+    # _floor_from (shared by live + git paths) skips the glitch and
+    # keeps the healthy reading
+    prior = {"calib_secs": {"core": 0.2, "new": 1.1}}
+    assert bench._floor_from(
+        prior, "calib_secs", "floor", "calib_sec_retry"
+    ) == 1.1
+
+
 def test_git_history_floor_anchors_the_gate_without_a_sidecar(
     monkeypatch, tmp_path, capsys
 ):
