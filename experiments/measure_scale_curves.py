@@ -1,6 +1,6 @@
 """Measured scaling curves for the five most expensive catalog queries
 (r16 verdict item 3): dedup_drop_list_16band, dedup_clusters,
-a_user_trend_slope, ivf_topk_batch, dedup_drop_list at 1x / 2x / 4x the
+a_user_trend_slope, ivf_topk_batch, dedup_drop_list at 1x/2x/4x/8x the
 sf0.1 fixture, plus a direct A/B of the hot-shingle cap (dedup.py
 capped_shingles) under document-frequency doubling.
 
@@ -30,7 +30,7 @@ hot-shingle cap exists for. The cap A/B therefore uses a second corpus:
 the scaled documents with ONE unsuffixed 10-token stop phrase prepended
 to every doc_id % 10 == 0 (10% of docs, all replicas), so the phrase's
 8 trigrams have df = 500*m — under the default 1000 cap at m=1,
-exactly AT it at m=2, and 2x OVER at m=4. ngram_jaccard_pairs (the
+exactly AT it at m=2, and 2x/4x OVER at m=4/8. ngram_jaccard_pairs (the
 pair source dedup_clusters consumes) runs with the cap on vs off at
 each scale; the off arm's shared-shingle join must go quadratic in the
 hot-doc count while the on arm stays m-proportional once the cap
@@ -48,60 +48,73 @@ log2(sec) over log2(m).
 
 Run: SPARK_GRAFT_DRIVER_MEM=16g PYTHONPATH=/root/repo \
      python experiments/measure_scale_curves.py
-(defaults reproduce the MEASURED table below: LV_SCALES=1,2,4; pass
-LV_SCALES=1,2,4,8 for the extension point, LV_SCALE_FORCE=1 to
-override the quiet-box probe gate, LV_SCALE_MAX_ST/_MT to move it)
+(defaults reproduce the MEASURED table below: LV_SCALES=1,2,4,8;
+LV_SCALE_FORCE=1 overrides the quiet-box probe gate,
+LV_SCALE_MAX_ST/_MT move its thresholds)
 
 MEASURED (this box, local[32], min-of-2 per point, sf0.1 base,
-2026-08-16 run directly after the round-17 quiet-window bench; see
-ARCHITECTURE.md "Scaling curves" for the reading):
+2026-08-16 probe-gated campaign: before-probe st=1.2146 mt=1.7661 —
+inside both idle plateaus — after-probe st=1.52 mt=5.47, so co-tenant
+load ARRIVED during the tail and every late reading is an upper
+bound; see ARCHITECTURE.md "Scaling curves" for the reading):
 
-    query                       1x      2x      4x    exponent
-    dedup_drop_list_16band    4.101   7.854   9.732      0.62
-    dedup_clusters            2.409   2.753   4.855      0.51
-    a_user_trend_slope        2.698   2.849   2.560     -0.04
-    ivf_topk_batch            1.486   1.661   2.332      0.32
-    dedup_drop_list           2.158   5.117   6.272      0.77
-    shingle-cache build       3.024   0.792   0.912     (first-build
-      JVM warmup dominates the m=1 point; the warm m=2 -> m=4 step,
-      0.79 -> 0.91 s for 2x the rows, is the meaningful one)
+    query                       1x      2x      4x      8x  exponent
+    dedup_drop_list_16band    3.546   4.762   8.815  17.550     0.78
+    dedup_clusters            3.006   2.544   4.631   5.304     0.33
+    a_user_trend_slope        3.069   3.269   2.593   3.128    -0.03
+    ivf_topk_batch            1.599   1.783   2.413   2.365     0.21
+    dedup_drop_list           2.299   3.104   4.691   5.307     0.42
+    shingle-cache build       3.226   1.015   1.201   1.221   (first
+      build pays JVM warmup; the warm 2x->8x steps, 1.02 -> 1.22 s
+      for 4x the rows, are the meaningful ones)
 
-    All proportionality gates held exactly: drop lists 244/488/976
-    rows, clusters 5000/10000/20000, trend slope 1500/3000/6000 users,
-    ivf recall_ok 3/3 at every scale.
+    A 1x/2x/4x-only campaign in the round's post-bench quiet window
+    reproduced the same shape within the documented between-JVM band
+    (16band 4.10/7.85/9.73, drop_list 2.16/5.12/6.27, clusters
+    2.41/2.75/4.86, ivf 1.49/1.66/2.33, trend flat), and an earlier
+    CONTENDED campaign read the 16band m=8 point at 52 s — the probe
+    bracket is what separates that artifact from the 17.55 s
+    (= 1.99x its m=4 value, exactly one doubling) measured here.
+
+    All proportionality gates held exactly at every scale: drop
+    lists 244/488/976/1952 rows, clusters 5k/10k/20k/40k, trend
+    slope 1500/3000/6000/12000 users, ivf recall_ok 3/3.
 
     hot-shingle cap A/B (ngram_jaccard_pairs on the hot corpus;
-    phrase df = 500/1000/2000 at m=1/2/4, cap = 1000):
-      m=1: cap-on 2.510 s / 112,374 pairs   cap-off 1.971 s / 112,374
-      m=2: cap-on 2.617 s / 443,485 pairs   cap-off 3.435 s / 443,485
-      m=4: cap-on 3.548 s /   2,324 pairs   cap-off 3.583 s / 1,761,918
+    phrase df = 500/1000/2000/4000 at m=1/2/4/8, cap = 1000):
+      m=1: cap-on 2.369 s / 112,374 pairs  cap-off  1.918 s / 112,374
+      m=2: cap-on 2.465 s / 443,485 pairs  cap-off  2.333 s / 443,485
+      m=4: cap-on 2.774 s /   2,324 pairs  cap-off  3.206 s / 1,761,918
+      m=8: cap-on 5.266 s /   4,648 pairs  cap-off 10.885 s / 7,023,628
     At m=1 (df 500) and m=2 (df 1000 == cap; the filter drops only
     df > cap) both arms keep the phrase shingles and agree exactly —
     and the shared pair count already grows ~C(500m,2): 112,374 ->
-    443,485 is 3.95x for 2x the docs. At m=4 the capped arm drops the
-    phrase (df 2000 > 1000) and collapses to 2,324 pairs (= 4 x the
-    clean corpus's 581/replica), while the uncapped arm reaches
-    1,761,918 — 3.97x per doubling, 758x the capped arm's output. At
-    20k docs the wall times still sit together (1.76 M pairs is cheap
-    on 32 local threads); the quadratic is in the CANDIDATE VOLUME,
-    which is what explodes downstream shuffles and verify joins at
-    corpus scale — the 500k-doc run in measure_lsh_band_recall.py
-    already needs 32 GB for 19 M shingle rows, and C(50M,2)-shaped
-    hot blocks at 100 TB are an outage, not a job. The cap is
-    load-bearing, and it engages exactly where designed.
+    443,485 is 3.95x for 2x the docs. From m=4 the capped arm drops
+    the phrase and goes exactly linear (2,324 -> 4,648 = 2x), while
+    the uncapped arm quadruples per doubling through three doublings
+    (443,485 -> 1,761,918 -> 7,023,628; 3.97x/3.99x) — 1,511x the
+    capped arm's output at m=8, where the WALL gap emerges too
+    (10.9 s vs 5.3 s, same window, ratio robust to the shared late
+    contention). The quadratic is in the CANDIDATE VOLUME, which is
+    what explodes downstream shuffles and verify joins at corpus
+    scale — C(50M,2)-shaped hot blocks at 100 TB are an outage, not
+    a job. The cap is load-bearing, and it engages exactly where
+    designed.
 
-The four data-bound queries' exponents sit in 0.32-0.77 — SUB-linear
-at this fixture scale because per-stage constants (task scheduling,
-codegen, the fixed 3-query IVF probe spine and KMeans fit) still
-dominate 5k-20k-row inputs; the data-dependent terms (banded shuffle
-volume, star-contract iterations, per-cell candidate scans) grow
-m-proportionally on top of that floor. a_user_trend_slope is FLAT
-(-0.04): at 100k-400k events the applyInPandas stage is pure per-stage
-constant (Arrow round-trip + Python worker spin-up), the measured
-shape that motivated keeping the regr_slope built-in variant as the
-production path. Nothing is super-linear at these scales; the known
-quadratic risk (uncapped hot shingles) is demonstrated and bounded by
-the cap above.
+The four data-bound queries' exponents sit in 0.21-0.78 over three
+doublings — SUB-linear at this fixture scale because per-stage
+constants (task scheduling, codegen, the fixed 3-query IVF probe
+spine and KMeans fit) still dominate 5k-40k-row inputs; the
+data-dependent terms (banded shuffle volume, star-contract
+iterations, per-cell candidate scans) grow m-proportionally on top
+of that floor: the most data-bound query (16band) converges to
+exactly 2x per doubling at the top of the range, the linear
+asymptote. a_user_trend_slope is FLAT (-0.03): at 100k-800k events
+the applyInPandas stage is pure per-stage constant (Arrow round-trip
++ Python worker spin-up), the measured shape that motivated keeping
+the regr_slope built-in variant as the production path. Nothing is
+super-linear anywhere in the range; the known quadratic risk
+(uncapped hot shingles) is demonstrated and bounded by the cap above.
 """
 
 import math
@@ -120,7 +133,7 @@ from logvision_spark.operators.dedup import ngram_jaccard_pairs  # noqa: E402
 BASE = os.environ.get("LV_SCALE_BASE", "/root/testdata/sf0.1")
 OUT = os.environ.get("LV_SCALE_DIR", "/tmp/lv_scale_curves")
 SCALES = tuple(
-    int(m) for m in os.environ.get("LV_SCALES", "1,2,4").split(",")
+    int(m) for m in os.environ.get("LV_SCALES", "1,2,4,8").split(",")
 )
 STRIDE = 1_000_000  # id offset per replica (>> any fixture id)
 QUERIES = [
