@@ -76,6 +76,16 @@ bound; see ARCHITECTURE.md "Scaling curves" for the reading):
     bracket is what separates that artifact from the 17.55 s
     (= 1.99x its m=4 value, exactly one doubling) measured here.
 
+    CAVEAT, found while chasing that 52 s artifact (full mechanism in
+    measure_shuffle_sys_storms.py): shuffle-heavy runs on this box
+    are bimodal — kernel memory-compaction storms burn 30-56% of all
+    cpu in SYS time on identical plans in spin-probe-quiet windows.
+    The published 16band points are therefore UPPER bounds; its 8x
+    min over every quiet-gated run this round is 7.66 s, BELOW the
+    best 4x reading, so the true data-dependent exponent is smaller
+    than the 0.78 fitted here and the sub-linear conclusion is
+    conservative in the direction that matters.
+
     All proportionality gates held exactly at every scale: drop
     lists 244/488/976/1952 rows, clusters 5k/10k/20k/40k, trend
     slope 1500/3000/6000/12000 users, ivf recall_ok 3/3.
