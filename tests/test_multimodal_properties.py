@@ -407,6 +407,70 @@ def test_netpbm_decode_matches_reference(spark):
         ), f"case {i}: {r}"
 
 
+@given(
+    gray=st.booleans(),
+    w=st.integers(min_value=1, max_value=2**31 - 1),
+    h=st.integers(min_value=1, max_value=2**31 - 1),
+    maxval=st.integers(min_value=1, max_value=65535),
+    seps=st.lists(
+        st.text(alphabet=" \t\n\r\x0b\x0c", min_size=1, max_size=3),
+        min_size=3, max_size=3,
+    ),
+    comment=st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\n\r"
+            ),
+            max_size=12,
+        ),
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_netpbm_accepts_any_legal_header(
+    gray, w, h, maxval, seps, comment
+):
+    """Pure-Python property: every legal binary-netpbm header — any
+    whitespace runs between fields, an optional '#' comment after the
+    magic — parses to exactly its (w, h, channels, maxval), and the
+    reported raster offset points one byte past the single whitespace
+    separator. No Spark in the loop: this pins the tokenizer itself."""
+    from logvision_spark.operators.multimodal import _parse_netpbm
+
+    magic = b"P5" if gray else b"P6"
+    head = magic
+    if comment is not None:
+        head += b"#" + comment.encode("ascii") + b"\n"
+    head += seps[0].encode() + str(w).encode()
+    head += seps[1].encode() + str(h).encode()
+    head += seps[2].encode() + str(maxval).encode()
+    head += b"\n"
+    payload = head + b"\xab\xcd"
+    got = _parse_netpbm(payload)
+    assert got is not None, payload
+    assert got[:4] == (w, h, 1 if gray else 3, maxval)
+    assert payload[got[4]:got[4] + 2] == b"\xab\xcd"
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_parse_netpbm_never_crashes_and_rejects_precisely(b):
+    """Pure-Python fuzz: arbitrary bytes never raise, and anything the
+    parser accepts really is a legal header (magic, three in-range
+    fields, one-whitespace raster separator)."""
+    from logvision_spark.operators.multimodal import _PNM_WS, _parse_netpbm
+
+    got = _parse_netpbm(b)
+    if got is None:
+        return
+    w, h, c, maxval, off = got
+    assert b[:1] == b"P" and b[1:2] in (b"5", b"6")
+    assert c == (1 if b[1:2] == b"5" else 3)
+    assert 1 <= w <= 2**31 - 1 and 1 <= h <= 2**31 - 1
+    assert 1 <= maxval <= 65535
+    assert 2 < off <= len(b) and b[off - 1] in _PNM_WS
+
+
 def test_pnm_payload_roundtrips_through_real_decoder(spark):
     """pnm_payload (JVM string-compose) and _parse_netpbm must be exact
     inverses for both magics, and the bytes must equal the hand-built
