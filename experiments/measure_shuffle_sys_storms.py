@@ -9,14 +9,27 @@ from 7.7 s to 112 s — min-of-3 in one fresh JVM read 51 s while an
 earlier same-config campaign read 17.6 s. /proc/stat accounting
 around each run found the difference: slow runs spend 30-56% of ALL
 cpu time in SYS (kernel) with user% collapsing proportionally, fast
-runs 3-5% — kernel memory compaction (kcompactd is the top non-Spark
-consumer on this box) battling the 32-thread shuffle's allocation
-bursts. The storms arrive in waves tied to box memory state, hit any
+runs 3-5%. The storms arrive in waves tied to box state, hit any
 shuffle.partitions setting (32/64/128 all showed both modes), do not
 spill (executor memory metrics read zero at every setting), and are
-INVISIBLE to both bench spin probes: a pure-CPU spin never allocates,
-so the 1-thread probe read 1.10-1.31 and the 32-process probe sat at
-its idle plateau while a query storm burned 45% sys beside them.
+INVISIBLE to both bench spin probes: a pure-CPU spin never allocates
+or syscalls, so the 1-thread probe read 1.10-1.31 and the 32-process
+probe sat at its idle plateau while a query storm burned 45% sys
+beside them.
+
+Cause, bounded by measurement rather than asserted: per-run kernel
+counters RULE OUT every paging-class suspect — compaction
+(compact_stall/compact_daemon_wake = 0 across storms), THP (madvise
+mode, thp_fault_alloc = 0), reclaim (pgscan/pgsteal_kswapd = 0),
+major faults (0), host co-tenancy (steal 1.5-8.4% throughout), and
+the fault volume that does occur (0.6-2.8 M minor faults/run) cannot
+account for ~900 core-seconds of sys time in a 77 s storm. Context
+switches don't co-move either (fast runs showed HIGHER ctxt/s than
+slow-ish ones). What remains is guest-kernel lock/scheduling
+contention — the mmap-lock/futex class that 32 threads churning
+shuffle buffers and page-cache mappings are the canonical trigger
+for — which guest-side observability cannot pin further without
+perf, and which no Spark-level knob removes.
 
 What this means, in order of consequence:
 
@@ -31,9 +44,11 @@ What this means, in order of consequence:
    reading — so the published 0.78 exponent overstates the true
    data-dependent growth.
 3. Partition count is not the lever here (all settings storm); at
-   cluster scale the equivalent pressure is per-executor allocation
-   rate, which real deployments bound with executor sizing and THP
-   tuning — host-level knobs a guest workload can only route around.
+   cluster scale the equivalent pressure is per-executor thread and
+   allocation concurrency, which real deployments bound with executor
+   sizing (more executors x fewer cores each splits the contended
+   kernel structures) — a host/deployment knob a guest workload can
+   only route around.
 
 Protocol: fresh JVM per shuffle.partitions setting, the catalog's
 shingle cache built off the clock, N runs per setting recording
@@ -59,6 +74,11 @@ probes at idle plateaus throughout — representative campaigns):
       18.5 s @ sys  4.8%/user 46.9%   <- fast mode
       68.8 s @ sys 31.1%/user 11.4%   <- storm: kernel eats the cores
       12.8 s @ sys  3.5%/user 40.1%
+    kernel counters across storms (per-run deltas): pgmajfault 0,
+      pgscan/pgsteal_kswapd 0, thp_fault_alloc 0, compact_stall 0,
+      compact_daemon_wake 0, TLB interrupts 33-49k (flat across
+      modes), minor faults 0.6-2.8 M (orders too few for the sys
+      time), ctxt/s 6-15k and NOT correlated with the storms
     partitions sweep in a storm-free window (min of 3, fresh JVMs):
       32: 51.2   64: 18.2   128: 13.4 s
     same sweep minutes later, storms active:
