@@ -130,6 +130,42 @@ R7 = [
 # against it — both passes sat inside the slow window).
 _CALIB_RETRY_RATIO = 1.15
 
+# RECORD-ONLY storm flag (r17 verdict item 2): kernel sys-time storms
+# inflate identical plans 30-56% on this box while BOTH spin probes
+# read healthy (spins don't allocate — measure_shuffle_sys_storms.py),
+# so the sidecar records each child's /proc/stat sys% for the judge to
+# consult before blaming a plan. Quiet children read ~3-12%; measured
+# storms 30-56%. 25 splits the modes. NO gating or retry hangs off
+# this — min-of-passes stays the robust comparator.
+_SYS_STORM_PCT = 25.0
+
+
+def _proc_cpu_jiffies() -> list[int] | None:
+    """Aggregate-cpu jiffy counters from /proc/stat (user nice system
+    idle ...), or None where the file is absent/odd (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()
+        if fields[0] != "cpu" or len(fields) < 5:
+            return None
+        return [int(x) for x in fields[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _sys_pct_between(before, after) -> float | None:
+    """Kernel (system-field) share of all cpu jiffies burned between
+    two _proc_cpu_jiffies snapshots — the same formula the storm
+    campaign published, so sidecar readings compare directly against
+    its measured quiet/storm bands."""
+    if not before or not after:
+        return None
+    d = [b - a for a, b in zip(before, after)]
+    tot = sum(d)
+    if tot <= 0 or len(d) < 3:
+        return None
+    return round(100.0 * d[2] / tot, 1)
+
 
 def _read_prior_sidecar() -> dict | None:
     """The PREVIOUS committed sidecar, read before this run overwrites
@@ -184,6 +220,10 @@ def _floor_from(
 # path is guarded identically to the git sweep (r17 review: a glitch
 # accepted live gets committed and then IS a glitched blob).
 _CALIB_SANITY_MIN = 0.5
+
+# once-per-process latch for the sub-floor discard warning (_calib_ok):
+# the git sweep can evaluate dozens of historical readings in one run
+_SUB_FLOOR_WARNED = False
 
 
 def _git_sidecar_floors() -> tuple[float | None, float | None]:
@@ -350,12 +390,32 @@ def _calib_ok(v) -> bool:
     rolling anchor by min-merging into it. The sanity floor lives HERE,
     on every reading, not just on the git sweep: a glitch accepted by
     the live rolling-anchor path gets committed and propagates through
-    history exactly like a glitched blob would (r17 review)."""
-    return (
+    history exactly like a glitched blob would (r17 review).
+
+    A positive reading under the floor warns VISIBLY (once per
+    process): on a box genuinely >=2x faster than the ~1 s spin every
+    live reading would be rejected, silently disabling every anchor —
+    the operator should see "resize the spin", not an anchor-less
+    sidecar (r17 ADVICE; SPARK_GRAFT_NO_GIT_ANCHOR only skips the git
+    sweep, so this warning is the one signal the live path has)."""
+    ok = (
         isinstance(v, (int, float))
         and not isinstance(v, bool)
         and v >= _CALIB_SANITY_MIN
     )
+    global _SUB_FLOOR_WARNED
+    if (not ok and not _SUB_FLOOR_WARNED
+            and isinstance(v, (int, float)) and not isinstance(v, bool)
+            and 0 < v < _CALIB_SANITY_MIN):
+        _SUB_FLOOR_WARNED = True
+        print(
+            f"bench: WARNING calib reading {v} discarded: below the "
+            f"{_CALIB_SANITY_MIN}s sanity floor. If this box is "
+            "genuinely that fast, resize the spin (_spin iters) - "
+            "otherwise every anchor silently disables.",
+            file=sys.stderr,
+        )
+    return ok
 
 
 def _sidecar_path() -> str:
@@ -650,6 +710,9 @@ def _run_child(which: str, sf_dir: str) -> None:
 
 def _spawn(which: str, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # box-level /proc/stat bracket around the whole child: attributes
+    # kernel time to this child's window (record-only storm flag)
+    cpu0 = _proc_cpu_jiffies()
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--run", which],
         capture_output=True,
@@ -657,10 +720,14 @@ def _spawn(which: str, sf_dir: str) -> dict:
         env=env,
         timeout=1800,
     )
+    sys_pct = _sys_pct_between(cpu0, _proc_cpu_jiffies())
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            out = json.loads(line)
+            if sys_pct is not None:
+                out["sys_pct"] = sys_pct
+            return out
     raise RuntimeError(
         f"bench child '{which}' produced no JSON "
         f"(rc={proc.returncode}): {proc.stderr[-2000:]}"
@@ -771,6 +838,14 @@ def main() -> None:
             k: c.get("calib_sec_mt")
             for k, c in (("core", core), ("new", new), ("r4", r4))
         }
+        # parent-measured /proc/stat sys% per child window (r17 verdict
+        # item 2, record-only): parse JVMs keyed by pass order
+        sys_pcts = {
+            k: c.get("sys_pct")
+            for k, c in (("core", core), ("new", new), ("r4", r4))
+        }
+        for i, p in enumerate(parse_passes, 1):
+            sys_pcts[f"parse{i}"] = p.get("sys_pct")
         calib_sec = calib_secs.get("core")
         # One-shot calib-gated child retry (r13 verdict item 2): the
         # min-of-two-passes-in-one-JVM comparator cannot defend against
@@ -868,6 +943,7 @@ def main() -> None:
                 retry_detail["calib_sec_mt_retry"] = redo.get(
                     "calib_sec_mt"
                 )
+                sys_pcts[f"{worst}_retry"] = redo.get("sys_pct")
                 retry_detail["queries"] = redo.get("queries")
                 retry_detail["queries_pass2"] = redo.get(
                     "queries_pass2"
@@ -910,6 +986,7 @@ def main() -> None:
         pass2 = {}
         retry_detail = None
         retry_passes = {}
+        sys_pcts = {}
         spark.stop()
         isolated = False
 
@@ -987,6 +1064,19 @@ def main() -> None:
              # finds a free core under co-tenant load; this one
              # contends for the same core count the timed stages use
              "calib_mt_secs": calib_mt_secs,
+             # /proc/stat kernel-time share over each child's window
+             # (r17 verdict item 2): RECORD-ONLY evidence for the
+             # bimodal sys-storm mode both spin probes are blind to
+             # (measure_shuffle_sys_storms.py — storms burn 30-56%
+             # sys on identical plans; quiet children ~3-12%). A
+             # reading >= _SYS_STORM_PCT lands in sys_storm_children
+             # so a storm-exposed round is visible at a glance; no
+             # gate or retry consumes these.
+             "sys_pct": sys_pcts or None,
+             "sys_storm_children": sorted(
+                 k for k, v in sys_pcts.items()
+                 if isinstance(v, (int, float)) and v >= _SYS_STORM_PCT
+             ) or None,
              # the width the mt probes ran at: both mt anchors
              # equality-gate on this beside the interpreter gate (a
              # floor probed at a different worker count is a different

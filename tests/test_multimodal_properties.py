@@ -8,6 +8,7 @@ exactly the code a row loop can't get wrong, so the references pin it.
 from __future__ import annotations
 
 import math
+import re
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -207,6 +208,42 @@ def test_bmp_payload_roundtrips_through_real_decoder(spark):
         assert (d["width"], d["height"], d["decode_ok"]) == (r["w"], r["h"], True)
 
 
+# Independent binary-netpbm header reference: ONE regex over the whole
+# header in a deliberately different implementation style from the
+# char-walk in multimodal._parse_netpbm, so a tokenizer bug cannot pass
+# both sides (r17 ADVICE: the fuzz test's netpbm branch called the
+# implementation itself — tautological for that format). Contract it
+# encodes, matching the implementation's documented strictness:
+#   * magic P5/P6, then three decimal fields, each PRECEDED by a
+#     separator run of whitespace and/or '#'-to-end-of-line comments;
+#   * after the maxval digits, exactly ONE whitespace byte (no comment
+#     run there — the strict plain-netpbm reading; pinned below by
+#     test_netpbm_comment_after_maxval_is_rejected_by_contract);
+#   * dims 1..2^31-1, maxval 1..65535 (range-checked after the match).
+# the (?![^\n\r]) lookahead pins every comment at end-of-line/input:
+# without it, regex backtracking can end a comment mid-line and
+# resurrect digits inside the comment text as header tokens — the
+# first thing the differential fuzz below caught (b"P5 8#c8 8\nxxx"
+# parsed as h=8 from INSIDE the comment while the production
+# char-walk, which always scans comments to the newline, rejects)
+_PNM_SEP = rb"(?:[ \t\n\r\x0b\x0c]|#[^\n\r]*(?![^\n\r]))+"
+_PNM_HEAD_RE = re.compile(
+    rb"P([56])" + _PNM_SEP + rb"([0-9]+)" + _PNM_SEP + rb"([0-9]+)"
+    + _PNM_SEP + rb"([0-9]+)[ \t\n\r\x0b\x0c]"
+)
+
+
+def _ref_parse_netpbm(b) -> tuple[int, int, int, int, int] | None:
+    m = _PNM_HEAD_RE.match(bytes(b))
+    if m is None:
+        return None
+    w, h, maxval = (int(m.group(i)) for i in (2, 3, 4))
+    if not (1 <= w <= 2**31 - 1 and 1 <= h <= 2**31 - 1
+            and 1 <= maxval <= 65535):
+        return None
+    return w, h, (3 if m.group(1) == b"6" else 1), maxval, m.end()
+
+
 @given(st.lists(st.one_of(st.none(), st.binary(min_size=0, max_size=120)),
                 min_size=1, max_size=16))
 @SET
@@ -215,10 +252,9 @@ def test_bmp_decoder_never_crashes_on_arbitrary_bytes(spark, items):
     input must produce a row (ok or not), never an exception, and
     decode_ok=True only for payloads carrying one of the three accepted
     magics with a header long enough to validate (BM + 54 bytes,
-    farbfeld + 16 bytes, or a P5/P6 netpbm header the independent
-    reference parser also accepts)."""
-    from logvision_spark.operators.multimodal import _parse_netpbm
-
+    farbfeld + 16 bytes, or a P5/P6 netpbm header _ref_parse_netpbm —
+    the regex re-implementation above, NOT the production tokenizer —
+    also accepts)."""
     df = spark.createDataFrame(
         list(enumerate(items)), "asset_id long, payload binary"
     )
@@ -231,7 +267,7 @@ def test_bmp_decoder_never_crashes_on_arbitrary_bytes(spark, items):
             assert (
                 (len(p) >= 54 and p[:2] == b"BM")
                 or (len(p) >= 16 and p[:8] == b"farbfeld")
-                or (p[:1] == b"P" and _parse_netpbm(p) is not None)
+                or (p[:1] == b"P" and _ref_parse_netpbm(p) is not None)
             )
             assert r["width"] > 0 and r["height"] > 0
         else:
@@ -469,6 +505,57 @@ def test_parse_netpbm_never_crashes_and_rejects_precisely(b):
     assert 1 <= w <= 2**31 - 1 and 1 <= h <= 2**31 - 1
     assert 1 <= maxval <= 65535
     assert 2 < off <= len(b) and b[off - 1] in _PNM_WS
+
+
+@given(st.one_of(
+    st.binary(max_size=80),
+    # bias toward near-miss headers: raw fuzz almost never produces
+    # three whole decimal fields, so build mutilated-but-close ones
+    st.tuples(
+        st.sampled_from([b"P5", b"P6", b"P4", b"PX"]),
+        st.lists(st.sampled_from(
+            [b" ", b"\n", b"\t", b"#c\n", b"#\n", b"", b"8", b"255",
+             b"65536", b"0", b"007", b"2147483648", b"a", b"#c", b"-1"]
+        ), max_size=9),
+    ).map(lambda t: t[0] + b"".join(t[1]) + b"\nxxx"),
+))
+@settings(max_examples=400, deadline=None)
+def test_parse_netpbm_agrees_with_independent_reference(b):
+    """Differential fuzz: the production char-walk tokenizer and the
+    regex reference (_ref_parse_netpbm) must return IDENTICAL results —
+    accept/reject, parsed fields, and raster offset — on arbitrary and
+    near-miss inputs. This is the non-tautological check the r17 ADVICE
+    asked for: the two implementations share no code, so a bug has to
+    be made twice, independently, to slip through."""
+    from logvision_spark.operators.multimodal import _parse_netpbm
+
+    assert _parse_netpbm(b) == _ref_parse_netpbm(b)
+
+
+def test_netpbm_comment_after_maxval_is_rejected_by_contract():
+    """Strictness, on the record (r17 ADVICE): a '#' comment between
+    the maxval token and the raster separator (some spec-lenient
+    writers emit it) is REJECTED — the byte after the maxval digits
+    must BE the single whitespace raster separator. Both
+    implementations agree, so the contract is pinned from two sides;
+    relaxing it is a deliberate decision that flips this test, not a
+    drive-by."""
+    from logvision_spark.operators.multimodal import _parse_netpbm
+
+    strict_no = b"P6\n8 9\n255#c\n" + b"x" * (8 * 9 * 3)
+    assert _parse_netpbm(strict_no) is None
+    assert _ref_parse_netpbm(strict_no) is None
+    # regression: digits INSIDE a comment are comment text, not header
+    # tokens — the reference's first draft backtracked a comment to
+    # end mid-line and parsed h=8 out of "#c8 8" (caught by the
+    # differential fuzz on its first full-suite run)
+    in_comment = b"P5 8#c8 8\nxxx"
+    assert _parse_netpbm(in_comment) is None
+    assert _ref_parse_netpbm(in_comment) is None
+    # ...while every earlier separator position admits comment runs
+    lenient_yes = b"P6#a\n# b\n8# c\n9\t#d\n255\n" + b"x" * 8
+    assert _parse_netpbm(lenient_yes) == (8, 9, 3, 255, 23)
+    assert _ref_parse_netpbm(lenient_yes) == (8, 9, 3, 255, 23)
 
 
 def test_pnm_payload_roundtrips_through_real_decoder(spark):
