@@ -349,7 +349,10 @@ FROM g FULL OUTER JOIN b ON g.s = b.s
     "formatted string for cross-engine hash stability.",
 )
 def a13_class_timeline(spark, sf_dir):
-    tl = _scored_serving_catalog(spark, sf_dir).class_timeline()
+    # ordered=False: the driver compare is order-insensitive and the
+    # oracle has no ORDER BY — the display sort was a pure extra global
+    # range exchange (r18)
+    tl = _scored_serving_catalog(spark, sf_dir).class_timeline(ordered=False)
     return tl.select(
         F.date_format("second", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("second"),
         "good_cnt",
@@ -4116,7 +4119,15 @@ def corpus_quality_funnel(spark, sf_dir):
         F.count(F.lit(1)).alias("s0_total"),
         F.count(F.when(is_en, 1)).alias("s1_lang_en"),
         F.count(F.when(is_en & is_q, 1)).alias("s2_quality"),
-        F.countDistinct(F.when(is_en & is_q, F.col("text"))).alias("s3_unique"),
+        # distinct over the 64-bit content hash, not the document text:
+        # the distinct's shuffle carries 8 bytes/doc instead of the
+        # payload (guide §2.3 — shuffle keys, not payloads). Count-
+        # identical short of an xxhash64 collision among the quality
+        # tier (p ~ n²/2⁶⁵), the same accepted stance as exact_dedup's
+        # production content hash (r18).
+        F.countDistinct(
+            F.when(is_en & is_q, F.xxhash64(F.col("text")))
+        ).alias("s3_unique"),
     )
     return agg.select(
         F.expr(
@@ -5194,9 +5205,36 @@ _EDITED_ROUND: dict[str, int] = {
     "text_redact_pii": 16,
     "corpus_split_counts": 16,
     "text_bpe_token_count": 16,
-    "corpus_quality_funnel": 16,
     "pack_token_bins": 16,
     "text_chunk_windows": 16,
+    # round-18 (optimization round 1): performance-only edits, results
+    # pinned identical vs the DuckDB oracle before commit.
+    # - dedup.py: LSH candidate emit-once (merge-hinted self-join, no
+    #   pair distinct), array-based Jaccard verify in near_dup_drop_list,
+    #   hashed shingle keys in cross_corpus_overlap. dedup.py is hashed
+    #   into every dedup/decontam entry's fingerprint, so they re-green
+    #   together.
+    # - serving/views.py: class_timeline(ordered=False) for the catalog
+    #   entry (display sort dropped from the hashed compare path) —
+    #   views.py is hashed into a11/a12/a13's fingerprints.
+    # - aggregations.py: grouped trend slope vectorized (one Arrow map
+    #   per partition via mapInPandas + numpy segment reductions).
+    # - catalog.py builders: corpus_quality_funnel distinct over
+    #   xxhash64(text).
+    "a11_value_sum_faithful": 18,
+    "a12_class_counts": 18,
+    "a13_class_timeline": 18,
+    "dedup_minhash_sig": 18,
+    "dedup_minhash_fast": 18,
+    "dedup_ngram_jaccard": 18,
+    "stream_dedup_distinct_props": 18,
+    "dedup_simhash": 18,
+    "dedup_drop_list": 18,
+    "dedup_drop_list_16band": 18,
+    "dedup_clusters": 18,
+    "a_user_trend_slope": 18,
+    "corpus_quality_funnel": 18,
+    "decontam_ngram_overlap": 18,
 }
 
 

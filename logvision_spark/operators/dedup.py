@@ -503,7 +503,25 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on at least one band of their
     MinHash signature. rows_per_band = num_hashes/bands controls precision;
-    shuffle carries only (band_idx, band_value, id)."""
+    shuffle carries (band_idx, band_value, id, packed signature).
+
+    EMIT-ONCE (r18) — the near_dup_pairs_cosine_lsh layout applied to
+    MinHash bands: each banded row carries the doc's full packed
+    signature array, and a pair is emitted only from the FIRST band the
+    two signatures agree on (a zip_with/exists prefix scan over the two
+    arrays — cheap struct compares). A high-similarity pair colliding in
+    many bands (the common case for true dups) used to be emitted once
+    per colliding band and deduplicated by a full ``distinct`` over the
+    pair set; now each qualifying pair exits the join exactly once and
+    the distinct — a whole extra shuffle + aggregate over the candidate
+    volume — disappears (guide §2.4). Cost: `bands` longs ride beside
+    each banded row (128 bytes at 16×1), noise next to the removed
+    exchange. The self-join is merge-hinted: a broadcast side would
+    re-compute the whole signature aggregation subtree per side, while
+    the shuffle join's two identical children collapse into ONE exchange
+    (ReusedExchange) — the signatures are computed once. Measured inside
+    the 16-band drop list at sf0.1: 2.87 s (broadcast+distinct) →
+    1.21 s (merge+emit-once), candidate set identical."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands}: "
@@ -522,31 +540,46 @@ def minhash_candidate_pairs(
         .where(F.col("h0").isNotNull())
         .withColumnRenamed(id_col, "id")
     )
-    band_cols = []
-    for bi in range(bands):
-        # pack the band's hash rows into one comparable struct value —
-        # exact equality, no positional arithmetic (v*P + h chains
-        # overflow LongType for rows_per_band >= 3)
-        v = F.struct(
-            *[
-                F.col(f"h{bi * rows + r}").alias(f"r{r}")
-                for r in range(rows)
-            ]
-        )
-        band_cols.append(F.struct(F.lit(bi).alias("band"), v.alias("val")))
-    banded = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bv")
-    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # pack each band's hash rows into one comparable struct value —
+    # exact equality, no positional arithmetic (v*P + h chains overflow
+    # LongType for rows_per_band >= 3); the array of all bands rides
+    # along for the emit-once prefix scan
+    packed = F.array(
+        *[
+            F.struct(
+                *[
+                    F.col(f"h{bi * rows + r}").alias(f"r{r}")
+                    for r in range(rows)
+                ]
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("id", packed.alias("_sig")).select(
+        "id", "_sig", F.posexplode("_sig").alias("band", "val")
+    )
+    a = banded.select(
+        F.col("id").alias("doc_a"), F.col("_sig").alias("_sa"), "band", "val"
+    ).hint("merge")
+    b = banded.select(
+        F.col("id").alias("doc_b"), F.col("_sig").alias("_sb"), "band", "val"
+    ).hint("merge")
+    # no earlier band where both signatures agree (band is 0-indexed, so
+    # slice(_, 1, band) is exactly the strict prefix; signatures carry no
+    # NULLs — h0-null docs were filtered above)
+    first_match = ~F.exists(
+        F.zip_with(
+            F.slice("_sa", F.lit(1), F.col("band")),
+            F.slice("_sb", F.lit(1), F.col("band")),
+            lambda x, y: x == y,
+        ),
+        lambda v: v,
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
+        a.join(b, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(first_match)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -600,38 +633,43 @@ def near_dup_drop_list(
         num_hashes=num_hashes, bands=bands, n=n, fast=fast, shingles=shared,
         shingles_hashed=shingles_hashed,
     )
-    # capped shingle sizes ride along as a count window (same single
-    # shuffle on id as a separate sizes aggregate, but no pair-side join
-    # exchanges afterwards — the ngram_jaccard_pairs layout)
     sh = capped_shingles(df, id_col, text_col, n, max_doc_freq, shingles=shared)
     if fast and not shingles_hashed:
-        # verify join on an 8-byte shingle hash, not the string: set
-        # sizes and intersection counts are hash-invariant (shingles are
-        # per-doc distinct; an xxhash64 collision would need ~2^32
-        # distinct shingles to matter), and the narrower key measured
-        # 2.09 → 1.63 s at sf0.1. Hash AFTER the doc-freq cap so the cap
-        # semantics stay on true strings; hashing BEFORE it measured
-        # slower (1.98 s) despite the narrower cap shuffle. (With a
-        # pre-hashed shared cache the values already ARE these longs.)
+        # verify on an 8-byte shingle hash, not the string: set sizes and
+        # intersection counts are hash-invariant (shingles are per-doc
+        # distinct; an xxhash64 collision would need ~2^32 distinct
+        # shingles to matter). Hash AFTER the doc-freq cap so the cap
+        # semantics stay on true strings. (With a pre-hashed shared
+        # cache the values already ARE these longs.)
         sh = sh.select("id", F.xxhash64("s").alias("s"))
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    a, b = sh.alias("a"), sh.alias("b")
-    # verify ONLY candidate pairs: join candidates into the shingle match
-    common = (
-        cands.join(a, cands.doc_a == F.col("a.id"))
-        .join(b, (cands.doc_b == F.col("b.id")) & (F.col("a.s") == F.col("b.s")))
-        .groupBy(
-            "doc_a",
-            "doc_b",
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+    # Verify via per-doc shingle ARRAYS, not a per-shingle join (r18).
+    # The previous layout attached the exploded shingle table to the
+    # candidates twice (on doc_a, then on (doc_b, shingle)) and counted
+    # matches per pair: its first join materializes Σ|A| rows over the
+    # candidate set — measured 8.3M intermediate rows at sf0.1's 159k
+    # 16-band candidates — then shuffles them again into the pair-count
+    # aggregate. Collapsing each doc's capped shingles into one
+    # array<long> row makes the attach joins one-row-per-doc compact,
+    # |A∩B| a single JVM array_intersect per candidate (~52-element
+    # arrays: sub-µs, no row explosion, no pair aggregate), and set
+    # sizes come free as size(arr) — the count window over id is gone
+    # too. Σ|A| longs still cross the second attach join at scale, but
+    # as one packed array per pair instead of one row per shingle
+    # (guide §2.3: shuffle fewer, wider rows; §2.4: two exchanges and a
+    # pair-count aggregate removed). Measured sf0.1: 8-band 3.18→1.37 s,
+    # 16-band 3.37→2.16 s, drop lists identical. Per-task memory is one
+    # doc's shingle array — bounded by document length, not corpus.
+    arrs = sh.groupBy("id").agg(F.collect_list("s").alias("_arr"))
+    j = cands.join(
+        arrs.select(F.col("id").alias("doc_a"), F.col("_arr").alias("_aa")),
+        "doc_a",
+    ).join(
+        arrs.select(F.col("id").alias("doc_b"), F.col("_arr").alias("_ab")),
+        "doc_b",
     )
-    verified = common.where(
-        F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-        >= F.lit(threshold)
-    )
+    common = F.size(F.array_intersect("_aa", "_ab"))
+    na, nb = F.size("_aa"), F.size("_ab")
+    verified = j.where(common / (na + nb - common) >= F.lit(threshold))
     return verified.select(F.col("doc_b").alias(id_col)).distinct()
 
 
@@ -1062,9 +1100,22 @@ def cross_corpus_overlap(
     left to the autoBroadcastJoinThreshold / AQE rather than pinned,
     since THIS query's fixture eval set scales with SF. For an adversarially
     repetitive corpus, compose with the same `max_doc_freq` hot-shingle
-    cap used by `ngram_jaccard_pairs`."""
-    c = exploded_shingles(corpus, id_col, text_col, n)
-    e = exploded_shingles(evalset, id_col, text_col, n).select("shingle").distinct()
+    cap used by `ngram_jaccard_pairs`.
+
+    Both sides hash their shingles to xxhash64 longs before the
+    distinct/join (r18; guide §2.3 — shuffle keys, not payloads): the
+    eval-side distinct and the join exchange then carry 8 bytes per
+    shingle instead of the n-word strings (~60 bytes at n=8).
+    Hit counts are hash-invariant short of a corpus-shingle/eval-shingle
+    xxhash64 collision (p ≈ n_corpus·n_eval/2⁶⁴) — the same accepted
+    stance as `near_dup_drop_list`'s hashed verify join."""
+    h = F.xxhash64("shingle").alias("shingle")
+    c = exploded_shingles(corpus, id_col, text_col, n).select(id_col, h)
+    e = (
+        exploded_shingles(evalset, id_col, text_col, n)
+        .select(h)
+        .distinct()
+    )
     return (
         c.join(e, "shingle")
         .groupBy(id_col)

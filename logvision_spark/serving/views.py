@@ -149,7 +149,7 @@ class ServingCatalog:
         return self.scored.groupBy("prediction").agg(F.count(F.lit(1)).alias("cnt"))
 
     # --- url_cate_count_timeline (app.py:425-458) ---------------------------
-    def class_timeline(self) -> DataFrame:
+    def class_timeline(self, ordered: bool = True) -> DataFrame:
         """Good vs bad per-second timeline, zero-filled.
 
         Single-pass conditional aggregation: one scan, one shuffle. The
@@ -158,18 +158,26 @@ class ServingCatalog:
         second present has ≥1 record, and the absent class counts 0, which
         is exactly the full-outer zero-fill (that two-feed merge shape
         itself is pinned by `j2_timeline_full_outer`). At 100 TB this
-        halves the scan and drops a shuffle+join."""
+        halves the scan and drops a shuffle+join.
+
+        ``ordered=False`` skips the display sort — a global range
+        exchange + sort that exists purely for dashboard presentation;
+        callers that hash, join, or re-aggregate the timeline (the
+        catalog's order-insensitive oracle compare included) shouldn't
+        pay a full extra shuffle for row order they ignore (r18,
+        optimization guide §2.4: an orderBy used only to make output
+        deterministic is an accidental exchange)."""
         if self.scored is None:
             raise ValueError("class_timeline requires the scored frame")
-        return (
+        tl = (
             self.scored.where(F.col("prediction").isin(0.0, 1.0))
             .groupBy(F.date_trunc("second", "ts").alias("second"))
             .agg(
                 F.sum((F.col("prediction") == 0.0).cast("long")).alias("good_cnt"),
                 F.sum((F.col("prediction") == 1.0).cast("long")).alias("bad_cnt"),
             )
-            .orderBy("second")
         )
+        return tl.orderBy("second") if ordered else tl
 
     # --- good/bad detail feeds (app.py:345-423) -----------------------------
     def class_detail(self, prediction: float, k: int = 50) -> DataFrame:
