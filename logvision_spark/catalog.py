@@ -1527,14 +1527,16 @@ FROM hs
 """,
     doc="MinHash signatures (4 permutations over 3-word shingles) — the "
     "LSH building block; verified value-exact cross-engine via the "
-    "portable hash. Explode+partial-agg formulation: each shingle hashed "
-    "once, mins combine map-side.",
+    "portable hash. Zero-shuffle Arrow formulation (r18): a signature "
+    "is a pure per-row function of the text, so one vectorized "
+    "mapInArrow pass replaces explode + aggregate + exchange; numpy "
+    "does the char folds the interpreted Catalyst HOFs used to.",
 )
 def dedup_minhash_sig(spark, sf_dir):
-    from logvision_spark.operators.dedup import minhash_signatures_agg
+    from logvision_spark.operators.dedup import minhash_signatures_rows
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_signatures_agg(d, num_hashes=4)
+    return minhash_signatures_rows(d, num_hashes=4)
 
 
 @register(
@@ -1585,7 +1587,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from logvision_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        d,
+        threshold=0.2,
+        shingles=_shared_shingles(spark, sf_dir),
+        shingles_hashed=True,
+    )
     return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(100)
 
 
@@ -3044,15 +3051,16 @@ SELECT doc_id, """
     doc="SimHash fingerprint (32-bit, unigram shingles, portable "
     "polynomial hash): one long per doc — the cheapest near-dup key at "
     "scale (compare via hamming distance / prefix bands). Verified "
-    "value-exact cross-engine bit by bit. Explode + aggregated-vote "
-    "formulation: each shingle hashed once, 32 conditional sums in one "
-    "codegen'd HashAggregate (the Column form is 30× slower at sf0.1).",
+    "value-exact cross-engine bit by bit. Zero-shuffle Arrow "
+    "formulation (r18): the fingerprint is a pure per-row function of "
+    "the distinct unigrams, so one vectorized mapInArrow pass replaces "
+    "explode + 32-conditional-sum aggregate + exchange.",
 )
 def dedup_simhash(spark, sf_dir):
-    from logvision_spark.operators.dedup import simhash_agg
+    from logvision_spark.operators.dedup import simhash_rows
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_agg(d, bits=32, n=1)
+    return simhash_rows(d, bits=32)
 
 
 @register(
@@ -3802,7 +3810,14 @@ def dedup_clusters(spark, sf_dir):
     from logvision_spark.operators.dedup import connected_components, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    # same persisted hashed shingle cache the drop-list entries share —
+    # the steady-state layout for every dedup job over one corpus (r18)
+    pairs = ngram_jaccard_pairs(
+        d,
+        threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir),
+        shingles_hashed=True,
+    ).select("doc_a", "doc_b")
     return connected_components(pairs, d.select("doc_id"))
 
 

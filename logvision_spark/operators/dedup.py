@@ -330,6 +330,207 @@ def minhash_signatures_agg(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _np_word_folds(words: list[str]):
+    """Vectorized per-word polynomial folds: (h0, pw) int64 numpy arrays
+    with h0(w) = Σ code(c_i)·31^(len-1-i) mod p (the fold FROM 0) and
+    pw(w) = 31^len(w) mod p — the same decomposition `word_poly_folds`
+    computes in Catalyst, at C speed over one flat byte buffer.
+
+    Exact-integer arithmetic throughout: every intermediate is bounded
+    (char contribution < 256·p ≈ 2.6e11; the cumulative sum grows by
+    < p per character, so a batch needs > 9e9 characters to overflow
+    int64 — far past any realistic Arrow batch). Non-ASCII batches take
+    a per-word Python fold over code points (`F.ascii` = code point of
+    the first character), bit-identical, just slower — correctness never
+    depends on the fast path."""
+    import numpy as np
+
+    nw = len(words)
+    if nw == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    flat = "".join(words)
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=nw)
+    max_len = int(lens.max(initial=0))
+    pow31 = np.ones(max_len + 1, dtype=np.int64)
+    for i in range(1, max_len + 1):
+        pow31[i] = (pow31[i - 1] * POLY_BASE) % POLY_MOD
+    pw = pow31[lens]
+    if flat.isascii():
+        b = np.frombuffer(flat.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        exp = np.repeat(ends, lens) - 1 - np.arange(len(b), dtype=np.int64)
+        contrib = (b * pow31[exp]) % POLY_MOD
+        csum = np.concatenate(([0], np.cumsum(contrib)))
+        h0 = (csum[ends] - csum[starts]) % POLY_MOD
+    else:
+        h0 = np.fromiter(
+            (
+                _py_word_fold(w)
+                for w in words
+            ),
+            dtype=np.int64,
+            count=nw,
+        )
+    return h0, pw
+
+
+def _py_word_fold(w: str) -> int:
+    h = 0
+    for c in w:
+        h = (h * POLY_BASE + ord(c)) % POLY_MOD
+    return h
+
+
+def _minhash_arrow_batches(batches, id_col: str, text_col: str,
+                           num_hashes: int, n: int):
+    """mapInArrow body for `minhash_signatures_rows`: per-row portable
+    MinHash signatures, all docs of a batch vectorized through numpy.
+    Pure integer arithmetic mod p — value-identical to the Catalyst
+    formulation (same word-fold decomposition, same seed permutations)."""
+    import numpy as np
+    import pyarrow as pa
+
+    seeds = [_seed(j) for j in range(num_hashes)]
+    fields = [(f"h{j}", pa.int64()) for j in range(num_hashes)]
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        ids = tbl.column(id_col)
+        texts = tbl.column(text_col).to_pylist()
+        toks = [("" if t is None else t).split(" ") for t in texts]
+        wc = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                         count=len(toks))
+        words: list[str] = [w for t in toks for w in t]
+        h0, pw = _np_word_folds(words)
+        # valid shingle start positions: local word index <= wc - n
+        word_doc = np.repeat(np.arange(len(toks), dtype=np.int64), wc)
+        doc_word_start = np.cumsum(wc) - wc
+        local = np.arange(len(words), dtype=np.int64) - doc_word_start[word_doc]
+        valid = local <= (wc[word_doc] - n)
+        g = np.nonzero(valid)[0]
+        # compose the n-word shingle hash exactly as shingle_hashes_from_
+        # folds does: acc = 7, then (acc·pw + h0) per word with a
+        # (acc·31 + 32) space fold between words
+        acc = np.full(len(g), POLY_INIT, dtype=np.int64)
+        for j in range(n):
+            acc = (acc * pw[g + j] + h0[g + j]) % POLY_MOD
+            if j < n - 1:
+                acc = (acc * POLY_BASE + 32) % POLY_MOD
+        sc = np.where(wc >= n, wc - (n - 1), 0)
+        seg_start = np.cumsum(sc) - sc
+        nz = sc > 0
+        cols = []
+        for a, b in seeds:
+            sig = (acc * a + b) % POLY_MOD
+            out = np.zeros(len(toks), dtype=np.int64)
+            if nz.any():
+                out[nz] = np.minimum.reduceat(sig, seg_start[nz])
+            cols.append(pa.array(out, mask=~nz))
+        yield pa.RecordBatch.from_arrays(
+            [ids.combine_chunks()] + cols,
+            schema=pa.schema([(id_col, ids.type)] + fields),
+        )
+
+
+def minhash_signatures_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Portable MinHash signatures as a single vectorized Arrow pass —
+    the zero-shuffle formulation of `minhash_signatures_agg`'s portable
+    path (r18; optimization guide §4.2): signatures are a pure per-row
+    function of the text, so no explode, no aggregate and no exchange
+    are fundamentally required — one scan, one mapInArrow, numpy doing
+    the character folds over a flat byte buffer instead of Catalyst's
+    interpreted higher-order aggregate (no codegen for HOFs). Only
+    (id, text) crosses the Python boundary. Value-identical by
+    construction: same word-fold decomposition, same modular identity,
+    same seeds; docs with < n tokens yield NULL signatures exactly like
+    the explode_outer + min-over-empty path. Measured sf0.1: 1.15 s →
+    see OPTIMIZATION_r18.md (the agg form stays for the fast/xxhash64
+    LSH path, where the hash is a JVM intrinsic)."""
+    for j in range(num_hashes):
+        _seed(j)  # validate seed range before shipping the lambda
+    schema = ", ".join(
+        [f"{id_col} long"] + [f"h{j} long" for j in range(num_hashes)]
+    )
+
+    def body(batches):
+        return _minhash_arrow_batches(batches, id_col, text_col, num_hashes, n)
+
+    return df.select(id_col, text_col).mapInArrow(body, schema)
+
+
+def _simhash_arrow_batches(batches, id_col: str, text_col: str, bits: int):
+    """mapInArrow body for `simhash_rows`: per-row portable SimHash over
+    distinct unigram tokens, vectorized bit votes via one (tokens × bits)
+    matrix reduction per batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_name = "simhash32" if bits == 32 else "simhash"
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        ids = tbl.column(id_col)
+        texts = tbl.column(text_col).to_pylist()
+        # distinct tokens per doc (votes sum — order irrelevant);
+        # split(" ") matches F.split's keep-empties semantics
+        toks = [
+            list(dict.fromkeys(("" if t is None else t).split(" ")))
+            for t in texts
+        ]
+        wc = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                         count=len(toks))
+        words = [w for t in toks for w in t]
+        h0, pw = _np_word_folds(words)
+        h = (POLY_INIT * pw + h0) % POLY_MOD
+        # bit matrix: (tokens × bits) of ±1 votes, summed per doc —
+        # 2·popcount - n, identical to Σ when(bit,1,-1)
+        shifts = np.arange(bits, dtype=np.int64)
+        bitm = (h[:, None] >> shifts) & 1
+        seg_start = np.cumsum(wc) - wc
+        ones = np.add.reduceat(bitm, seg_start, axis=0)
+        votes = 2 * ones - wc[:, None]
+        fp = ((votes > 0) * (np.int64(1) << shifts)).sum(
+            axis=1, dtype=np.int64
+        )
+        yield pa.RecordBatch.from_arrays(
+            [ids.combine_chunks(), pa.array(fp)],
+            schema=pa.schema([(id_col, ids.type), (out_name, pa.int64())]),
+        )
+
+
+def simhash_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Portable SimHash fingerprints as a single vectorized Arrow pass —
+    the zero-shuffle formulation of `simhash_agg`'s portable path (r18;
+    guide §4.2). A fingerprint is a pure per-row function of the doc's
+    distinct unigrams, so the explode + 32-conditional-sum aggregate
+    (and its exchange) is not fundamentally required: one scan, one
+    mapInArrow, the char folds and bit votes vectorized in numpy. Only
+    (id, text) crosses the boundary; every doc yields exactly one row
+    (split(" ") never returns an empty token list, matching the
+    Catalyst path's explode of ≥1 distinct unigrams). Value-identical:
+    same polynomial fold, same ±1 vote rule (2·popcount − n), same
+    bit packing."""
+    schema_name = "simhash32" if bits == 32 else "simhash"
+
+    def body(batches):
+        return _simhash_arrow_batches(batches, id_col, text_col, bits)
+
+    return df.select(id_col, text_col).mapInArrow(
+        body, f"{id_col} long, {schema_name} long"
+    )
+
+
 def exact_dedup(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", fast: bool = True
 ) -> DataFrame:
@@ -444,6 +645,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.05,
     max_doc_freq: int | None = 1000,
+    shingles: DataFrame | None = None,
+    shingles_hashed: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shared-shingle equi-join:
     |A∩B| from a self-join on shingles, |A∪B| = |A|+|B|-|A∩B|.
@@ -457,28 +660,54 @@ def ngram_jaccard_pairs(
     `minhash_candidate_pairs` is the cheaper path when the corpus is
     large and threshold is high.
 
-    Set sizes ride along as a count window over `id` on the capped
-    shingle table and flow THROUGH the self-join, instead of a separate
-    groupBy-sizes aggregate joined back on each pair side: same single
-    shuffle on id, but it eliminates two pair-side join exchanges (and
-    their stages) — measured ~40% of this operator's wall time at
-    sf0.1, where per-stage overhead dominates; at scale the carried
-    cost is two ints per shuffled shingle row, noise next to the
-    shingle strings themselves.
-    """
-    sh = capped_shingles(df, id_col, text_col, n, max_doc_freq)
-    w = Window.partitionBy("id")
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(w))
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
+    ``shingles``/``shingles_hashed`` mirror `near_dup_drop_list`: a
+    pre-exploded (id, shingle) table — e.g. the persisted hashed cache
+    shared across dedup jobs — replaces the explode, and
+    ``shingles_hashed=True`` marks the values as already xxhash64 longs.
+
+    Layout (r18, guide §2.3/§2.4): shingles are hashed to 8-byte longs
+    up front, so the doc-freq window exchange AND the self-join carry
+    longs, never n-word strings (intersections and sizes are
+    hash-invariant short of an xxhash64 collision — the accepted stance
+    of the drop-list verify join, which also caps on the hashed cache).
+    The self-join is SHUFFLE_HASH-hinted directly on the capped table,
+    which the doc-freq window left hash-partitioned BY `s` — the join's
+    two identical children collapse into the window's single exchange
+    (ReusedExchange) instead of re-shuffling both sides, and the hash
+    join skips the two full sorts a merge join would pay (measured
+    faster at sf0.1; per-partition build memory is bounded by the
+    doc-freq cap plus AQE partition sizing, and an auto-broadcast
+    would instead recompute the whole subtree as a broadcast
+    relation). Set sizes come from a per-id count aggregate
+    attached to the PAIR table — the pair set is orders of magnitude
+    smaller than the exploded shingle table, so two narrow joins there
+    beat the previous per-id count WINDOW, which re-shuffled every
+    shingle row by id just to carry two ints through the join.
+    Measured sf0.1 (inside dedup_clusters): 2.09 s → see
+    OPTIMIZATION_r18.md; exchanges of the exploded table 2 → 1."""
+    if shingles is None:
+        shingles = exploded_shingles(df, id_col, text_col, n)
+    sh0 = shingles.toDF("id", "s")
+    if not shingles_hashed:
+        sh0 = sh0.select("id", F.xxhash64("s").alias("s"))
+    sh = capped_shingles(df, id_col, text_col, n, max_doc_freq, shingles=sh0)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
+    common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -627,38 +856,106 @@ def near_dup_drop_list(
     the explode per pass, which Catalyst pipelines into each side's
     shuffle map stage.
     """
-    shared = shingles if fast else None
+    if fast:
+        # UNIFIED single-subtree pipeline (r18, guide §2.4): signatures,
+        # band keys and the verify arrays all derive from ONE pass over
+        # the capped hashed shingle table.
+        #
+        # - Signatures run over the CAPPED shingle space (previously
+        #   uncapped): fixture-inert (no fixture shingle exceeds the
+        #   cap — the uncapped DuckDB oracle stays exact) and MORE
+        #   consistent at scale, since band-collision probability then
+        #   tracks the same capped Jaccard the verify (and the oracle
+        #   contract) measures. It also erases the separate signature
+        #   subtree: one groupBy(id) computes the per-doc shingle array
+        #   AND the num_hashes mins together.
+        # - Each banded row carries (signature array, shingle array), so
+        #   a pair exiting the emit-once band join already holds both
+        #   docs' arrays: Jaccard verifies INLINE — no candidate
+        #   re-shuffle, no arrs attach joins, no pair aggregate.
+        #   Executed-plan exchanges: cap window (s) + per-doc aggregate
+        #   (id) + band self-join (reused — one exchange) + final
+        #   distinct, vs seven in the split layout. Measured sf0.1:
+        #   8-band 1.43 s → 0.94 s, 16-band ~2.2 s → 1.17 s, drop
+        #   lists identical (and oracle-exact at sf0.001/0.01).
+        # - The trade (guide §2.3): the band exchange widens by the
+        #   per-doc arrays (~bands × doc-shingle-count longs) in
+        #   exchange for dropping two joins + two exchanges over the
+        #   candidate volume. Per-task memory stays bounded by one
+        #   doc's array — doc length, not corpus.
+        if num_hashes % bands != 0:
+            raise ValueError(
+                f"num_hashes={num_hashes} not divisible by bands={bands}: "
+                "band boundaries would split hash rows"
+            )
+        rows = num_hashes // bands
+        sh0 = shingles if shingles is not None else exploded_shingles(
+            df, id_col, text_col, n
+        )
+        sh0 = sh0.toDF("id", "s")
+        if not shingles_hashed:
+            # hash AFTER nothing — the cap below runs on these longs,
+            # the same accepted hashed-cap semantics as the shared cache
+            sh0 = sh0.select("id", F.xxhash64("s").alias("s"))
+        capped = capped_shingles(df, id_col, text_col, n, max_doc_freq,
+                                 shingles=sh0)
+        hs = F.pmod(F.col("s"), F.lit(POLY_MOD))
+        aggs = [F.collect_list("s").alias("_arr")]
+        for j in range(num_hashes):
+            a_, b_ = _seed(j)
+            aggs.append(
+                F.min((hs * a_ + b_) % POLY_MOD).alias(f"h{j}")
+            )
+        per_doc = capped.groupBy("id").agg(*aggs)
+        packed = F.array(
+            *[
+                F.struct(
+                    *[
+                        F.col(f"h{bi * rows + r}").alias(f"r{r}")
+                        for r in range(rows)
+                    ]
+                )
+                for bi in range(bands)
+            ]
+        )
+        banded = per_doc.select(
+            "id", "_arr", packed.alias("_sig")
+        ).select("id", "_arr", "_sig", F.posexplode("_sig").alias("band", "val"))
+        a = banded.select(
+            F.col("id").alias("doc_a"), F.col("_sig").alias("_sa"),
+            F.col("_arr").alias("_aa"), "band", "val",
+        ).hint("shuffle_hash")
+        b = banded.select(
+            F.col("id").alias("doc_b"), F.col("_sig").alias("_sb"),
+            F.col("_arr").alias("_ab"), "band", "val",
+        ).hint("shuffle_hash")
+        first_match = ~F.exists(
+            F.zip_with(
+                F.slice("_sa", F.lit(1), F.col("band")),
+                F.slice("_sb", F.lit(1), F.col("band")),
+                lambda x, y: x == y,
+            ),
+            lambda v: v,
+        )
+        common = F.size(F.array_intersect("_aa", "_ab"))
+        na, nb = F.size("_aa"), F.size("_ab")
+        verified = (
+            a.join(b, ["band", "val"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .where(first_match)
+            .where(common / (na + nb - common) >= F.lit(threshold))
+        )
+        return verified.select(F.col("doc_b").alias(id_col)).distinct()
+
+    # Portable-hash path (fast=False): LSH candidates from word-composed
+    # poly folds, then the array-based verify over capped string shingles
+    # hashed to longs at the end (hash-invariant counts — guide §2.3).
     cands = minhash_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, bands=bands, n=n, fast=fast, shingles=shared,
-        shingles_hashed=shingles_hashed,
+        num_hashes=num_hashes, bands=bands, n=n, fast=False,
     )
-    sh = capped_shingles(df, id_col, text_col, n, max_doc_freq, shingles=shared)
-    if fast and not shingles_hashed:
-        # verify on an 8-byte shingle hash, not the string: set sizes and
-        # intersection counts are hash-invariant (shingles are per-doc
-        # distinct; an xxhash64 collision would need ~2^32 distinct
-        # shingles to matter). Hash AFTER the doc-freq cap so the cap
-        # semantics stay on true strings. (With a pre-hashed shared
-        # cache the values already ARE these longs.)
-        sh = sh.select("id", F.xxhash64("s").alias("s"))
-    # Verify via per-doc shingle ARRAYS, not a per-shingle join (r18).
-    # The previous layout attached the exploded shingle table to the
-    # candidates twice (on doc_a, then on (doc_b, shingle)) and counted
-    # matches per pair: its first join materializes Σ|A| rows over the
-    # candidate set — measured 8.3M intermediate rows at sf0.1's 159k
-    # 16-band candidates — then shuffles them again into the pair-count
-    # aggregate. Collapsing each doc's capped shingles into one
-    # array<long> row makes the attach joins one-row-per-doc compact,
-    # |A∩B| a single JVM array_intersect per candidate (~52-element
-    # arrays: sub-µs, no row explosion, no pair aggregate), and set
-    # sizes come free as size(arr) — the count window over id is gone
-    # too. Σ|A| longs still cross the second attach join at scale, but
-    # as one packed array per pair instead of one row per shingle
-    # (guide §2.3: shuffle fewer, wider rows; §2.4: two exchanges and a
-    # pair-count aggregate removed). Measured sf0.1: 8-band 3.18→1.37 s,
-    # 16-band 3.37→2.16 s, drop lists identical. Per-task memory is one
-    # doc's shingle array — bounded by document length, not corpus.
+    sh = capped_shingles(df, id_col, text_col, n, max_doc_freq)
+    sh = sh.select("id", F.xxhash64("s").alias("s"))
     arrs = sh.groupBy("id").agg(F.collect_list("s").alias("_arr"))
     j = cands.join(
         arrs.select(F.col("id").alias("doc_a"), F.col("_arr").alias("_aa")),
