@@ -3616,7 +3616,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """,
     doc="Hot-key as-of join (operators/asof.asof_join_bucketed): the "
     "fill window runs per (key, 1-hour bucket) with a boundary carry-in "
-    "(per-bucket max_by partial agg → one-row-per-bucket running last), "
+    "(per-bucket max partial agg → one-row-per-bucket running last), "
     "so a hyperactive key costs #buckets instead of serializing its "
     "whole history through one task — the mitigation asof.py's own "
     "scale note prescribes. Same DuckDB ASOF oracle as j6_asof_join: "
@@ -3653,8 +3653,8 @@ FROM events p WHERE p.event_type = 'purchase'
     doc="Hot-key NEAREST as-of join (operators/asof.asof_join_bucketed "
     "direction='nearest', new r7): both fill windows run per (key, "
     "1-hour bucket) with symmetric boundary carry-ins — backward: "
-    "per-bucket max_by + running last over earlier buckets injected at "
-    "the bucket start; forward: per-bucket min_by + running last over a "
+    "per-bucket max + running last over earlier buckets injected at "
+    "the bucket start; forward: per-bucket min + running last over a "
     "DESCENDING bucket sort (closest later bucket) injected at the "
     "bucket end. The carries travel in separate pack columns so each "
     "fill only sees its own direction. nearest is the direction that "
@@ -5250,6 +5250,17 @@ _EDITED_ROUND: dict[str, int] = {
     "a_user_trend_slope": 18,
     "corpus_quality_funnel": 18,
     "decontam_ngram_overlap": 18,
+    # - asof.py: value_cols=() special case in asof_join_bucketed — the
+    #   empty pack's max_by/min_by (struct aggregation buffer forces
+    #   SortAggregate) became struct(max/min(_rts)) (HashAggregate; 3
+    #   sorts dropped per bucketed plan). asof_join itself is untouched,
+    #   but the fingerprint hashes the whole module, so every asof
+    #   entry re-greens (same precedent as the r7 bump).
+    "j6_asof_join": 18,
+    "j6_asof_forward": 18,
+    "j6_asof_nearest": 18,
+    "j6_asof_bucketed": 18,
+    "j6_asof_bucketed_nearest": 18,
 }
 
 

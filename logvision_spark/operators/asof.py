@@ -204,9 +204,25 @@ def asof_join_bucketed(
     # needs both; computing them separately doubled the carry stages).
     need_back = direction in ("backward", "nearest")
     need_fwd = direction in ("forward", "nearest")
+    if value_cols:
+        back_agg = F.max_by("_rpack", "_rts").alias("_pmax")
+        fwd_agg = F.min_by("_rpack", "_rts").alias("_pmin")
+    else:
+        # value_cols=(): the pack is struct(_rts) alone, so the pack of
+        # the max/min-_rts row IS struct(max/min(_rts)). max_by/min_by
+        # carry a struct-typed aggregation buffer, which HashAggregate
+        # cannot hold (mutable fixed-width types only) — the planner
+        # falls back to SortAggregate and pays a full sort of the
+        # filtered right side per direction. Plain max/min keep a
+        # timestamp buffer → HashAggregate, and the struct is rebuilt
+        # in the projection above the aggregate (r18; ties are
+        # irrelevant — all tied packs are identical when the pack has
+        # no value columns).
+        back_agg = F.struct(F.max("_rts").alias("_rts")).alias("_pmax")
+        fwd_agg = F.struct(F.min("_rts").alias("_rts")).alias("_pmin")
     rb = r.groupBy(key, "_b").agg(
-        *([F.max_by("_rpack", "_rts").alias("_pmax")] if need_back else []),
-        *([F.min_by("_rpack", "_rts").alias("_pmin")] if need_fwd else []),
+        *([back_agg] if need_back else []),
+        *([fwd_agg] if need_fwd else []),
     )
     # ONE distinct over the left's (key, bucket) pairs, FULL OUTER
     # joined to the per-bucket aggregate: every bucket either side

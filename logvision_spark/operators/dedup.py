@@ -1116,10 +1116,13 @@ def connected_components(
 
     Two-phase, size-adaptive design. Phase 1 (always distributed):
     persist the pair set (so the expensive candidate/verify pipeline
-    runs exactly once) and count it. The near-dup edge set is orders of
-    magnitude smaller than the corpus BY CONSTRUCTION (dup pairs are
-    rare — that asymmetry is the whole point of dedup at 100 TB), so
-    its size is cheap to learn and decides phase 2:
+    runs exactly once) and probe it with ONE bounded
+    limit(max_edges+1).collect() job — the same driver-memory bound the
+    previous count-then-collect enforced, one Spark job cheaper (r18).
+    The near-dup edge set is orders of magnitude smaller than the
+    corpus BY CONSTRUCTION (dup pairs are rare — that asymmetry is the
+    whole point of dedup at 100 TB), so its size is cheap to learn and
+    decides phase 2:
 
     - edges ≤ `driver_finish_max_edges` (default 4M ≈ 64 MB of id
       pairs): collect ONLY the edge list and finish with union-find on
@@ -1153,15 +1156,21 @@ def connected_components(
     # persist (NOT localCheckpoint: .rdd materialization compiles the
     # non-AQE plan — measured 2× slower; persist keeps the Catalyst plan
     # and AQE-coalesced partitioning) so the candidate/verify pipeline
-    # runs exactly once; the count is a bounded O(1)-row action that
-    # decides the phase BEFORE any unbounded collect can happen
+    # runs exactly once; the bounded limit-probe below decides the phase
+    # BEFORE any unbounded collect can happen
     und = pairs.select(
         F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")
     ).persist()
-    n_edges = und.count()
+    # ONE bounded probe job instead of count-then-collect (r18): pull at
+    # most max_edges+1 rows — the same driver-memory bound the count
+    # gate enforced (the transfer can never exceed the threshold by more
+    # than one row), one Spark job cheaper. If the probe overflows, the
+    # partial result is discarded and the persisted edge set feeds the
+    # distributed phase untouched.
+    probe = und.limit(driver_finish_max_edges + 1).collect()
+    n_edges = len(probe)
 
     if n_edges <= driver_finish_max_edges:
-        probe = und.collect()
         und.unpersist()
         parent: dict[int, int] = {}
 

@@ -213,3 +213,28 @@ def test_asof_nearest_plan_has_no_unbounded_following_frame(spark):
         .toString()
     )
     assert "unboundedfollowing" not in plan.lower().replace(" ", ""), plan
+
+
+def test_asof_bucketed_empty_pack_equals_plain_and_hash_aggregates(spark):
+    """r18 optimization pin: with value_cols=() the per-bucket carry
+    aggregate uses plain max/min(_rts) (HashAggregate) instead of
+    max_by/min_by whose struct aggregation buffer forces SortAggregate.
+    Two sides: (1) results stay row-identical to the plain asof_join in
+    every direction; (2) the executed plan carries NO SortAggregate."""
+    from logvision_spark.operators.asof import asof_join_bucketed
+
+    ldf, rdf = _bucketed_fixture(spark)
+    for direction in ("backward", "forward", "nearest"):
+        plain = {
+            r["event_id"]: r["ts_asof"]
+            for r in asof_join(
+                ldf, rdf, key="user", direction=direction
+            ).collect()
+        }
+        bucketed = asof_join_bucketed(
+            ldf, rdf, key="user", bucket="1 hour", direction=direction
+        )
+        got = {r["event_id"]: r["ts_asof"] for r in bucketed.collect()}
+        assert got == plain, direction
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan, (direction, plan)
