@@ -208,11 +208,23 @@ def a3_count_by_user(spark, sf_dir):
     "regardless of pandas datetime resolution.",
 )
 def a6_count_by_second(spark, sf_dir):
+    # group on the truncated TIMESTAMP (8-byte long) and render the
+    # display string AFTER the aggregate (r18, guide §2.3): the shuffle
+    # and the aggregation hash table carry a long instead of a 26-char
+    # string, and the formatter runs once per bucket, not per event.
+    # Row-identical: the format is injective on whole-second timestamps,
+    # so grouping before or after formatting yields the same buckets.
     ev = _t(spark, sf_dir, "events")
-    sec = F.date_format(
-        F.date_trunc("second", F.col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        ev.groupBy(F.date_trunc("second", F.col("ts")).alias("_sec"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("_sec", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "second"
+            ),
+            "cnt",
+        )
     )
-    return ev.groupBy(sec.alias("second")).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 @register(
@@ -5261,6 +5273,22 @@ _EDITED_ROUND: dict[str, int] = {
     "j6_asof_nearest": 18,
     "j6_asof_bucketed": 18,
     "j6_asof_bucketed_nearest": 18,
+    # - similarity.py: ivf_topk_batch probe selection folded into a
+    #   per-query array expression (array_sort over (distance, cell)
+    #   structs — bit-identical cell choice; the centroid broadcast
+    #   table, its crossJoin and the probe window's Exchange+Sort are
+    #   gone). similarity.py is hashed into every sim/ivf/emb entry's
+    #   fingerprint, so they re-green together.
+    # - catalog.py builders: a6_count_by_second groups on the truncated
+    #   timestamp and formats after the aggregate (narrow group key).
+    "a6_count_by_second": 18,
+    "ivf_topk_batch": 18,
+    "ivf_topk_vec0": 18,
+    "sim_topk_batch": 18,
+    "sim_near_pairs": 18,
+    "sim_near_pairs_lsh": 18,
+    "sim_srp_topk_vec0": 18,
+    "emb_int8_quantize": 18,
 }
 
 

@@ -559,13 +559,20 @@ def ivf_topk_batch(
     Plan: (1) base vectors get their cell from the coarse quantizer
     (precomputed columns at scale — here `model.transform`, consistent
     with the single-query path); (2) the ≤`n_cells` centroids — driver-
-    side by construction, the quantizer IS tiny — become a broadcast
-    table, and each query picks its `n_probe` nearest cells via a
-    per-query window rank over the broadcast crossJoin (queries ×
-    centroids is |Q|·n_cells rows, trivially small); (3) candidates =
-    equi-join of assigned vectors to (query, cell) probe pairs on
-    `cell`, so each query scans only its probed cells; (4) exact cosine
-    re-rank per query via row_number ≤ k.
+    side by construction, the quantizer IS tiny — fold into a single
+    per-query PROJECTION: an array of (distance, cell) structs,
+    array_sorted and sliced to the `n_probe` best, then exploded to
+    (q_id, cell) pairs (r18; previously a centroid table was broadcast,
+    crossJoined and window-ranked per query — a BroadcastExchange plus
+    a window Exchange+Sort over |Q|·n_cells rows that a bounded-size
+    array expression computes in place; at any |Q| this removes one
+    broadcast build and one shuffle without changing a single probe:
+    struct sort order is (d, cell), bit-identical to the window's
+    (score DESC, cell ASC) since d is the exact IEEE negation of the
+    score); (3) candidates = equi-join of assigned vectors to
+    (query, cell) probe pairs on `cell`, so each query scans only its
+    probed cells; (4) exact cosine re-rank per query via row_number
+    ≤ k.
 
     One corpus pass serves the whole batch; candidate volume is
     Σ_q Σ_probed-cells |cell|. Returns (q_id, id, cos_sim).
@@ -592,38 +599,43 @@ def ivf_topk_batch(
         )
         assigned = model.transform(vecs).drop("_v")
 
-    spark = df.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
-    qw = Window.partitionBy(query_id_col).orderBy(
-        F.desc("_qc_cos"), F.asc("cell")
-    )
     # rank cells by Euclidean distance of the NORMALIZED query to the
     # centroid (the assignment metric): for unit q̂, argmin ||q̂-c||²
-    # = argmax (q̂·c − ||c||²/2) — one dot fold per (query, cell) row,
-    # |Q|·n_cells rows total
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            query_id_col,
-            "cell",
-            (
-                F.coalesce(
-                    F.try_divide(
-                        dot(F.col(query_vec_col), F.col("centroid")),
-                        l2_norm(F.col(query_vec_col)),
-                    ),
-                    F.lit(0.0),
-                )
-                - F.lit(0.5) * dot(F.col("centroid"), F.col("centroid"))
-            ).alias("_qc_cos"),
-        )
-        .withColumn("_rn", F.row_number().over(qw))
-        .where(F.col("_rn") <= n_probe)
-        .select(query_id_col, "cell")
+    # = argmin (||c||²/2 − q̂·c) — one dot fold per (query, cell) pair,
+    # all ≤n_cells of them inside ONE array expression per query row.
+    # ||c||²/2 is a Python-side constant per centroid (the quantizer is
+    # driver-side by construction), so each struct's distance is a
+    # single fold over the query vector; array_sort orders by (d, cell)
+    # — the exact mirror of the previous window's (score DESC, cell
+    # ASC), d being the IEEE negation of the score.
+    qv = F.col(query_vec_col)
+    qn = l2_norm(qv)
+    cell_structs = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(0.5 * sum(x * x for x in c))
+                    - F.coalesce(
+                        F.try_divide(
+                            dot(qv, F.array(*[F.lit(float(x)) for x in c])),
+                            qn,
+                        ),
+                        F.lit(0.0),
+                    )
+                ).alias("_d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(
+                [list(c) for c in model.clusterCenters()]
+            )
+        ]
     )
+    probes = queries.select(
+        query_id_col,
+        F.explode(
+            F.slice(F.array_sort(cell_structs), 1, n_probe)
+        ).alias("_p"),
+    ).select(query_id_col, F.col("_p.cell").alias("cell"))
 
     cand = assigned.join(probes, "cell").join(
         F.broadcast(queries), query_id_col
