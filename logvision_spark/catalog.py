@@ -3239,7 +3239,7 @@ def _ivf_model(base: DataFrame, sf_dir: str, tag: str, n_cells: int, seed: int):
     "— 2x measured at 500k vectors, asserted row-identical).",
 )
 def ivf_topk_batch_recall(spark, sf_dir):
-    from logvision_spark.operators.similarity import cosine, ivf_topk_batch
+    from logvision_spark.operators.similarity import cosine_cols, ivf_topk_batch
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 3).select(
@@ -3254,7 +3254,7 @@ def ivf_topk_batch_recall(spark, sf_dir):
     scored = base.crossJoin(F.broadcast(qs)).select(
         "q_id",
         "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        F.round(cosine_cols("embedding", "qe"), 6).alias("cos_sim"),
     )
     ew = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     exact = (
@@ -4214,7 +4214,7 @@ QUALIFY row_number() OVER (PARTITION BY q.q_id
     "the corpus N times.",
 )
 def sim_topk_batch(spark, sf_dir):
-    from logvision_spark.operators.similarity import cosine
+    from logvision_spark.operators.similarity import cosine_cols
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = F.broadcast(
@@ -4226,7 +4226,7 @@ def sim_topk_batch(spark, sf_dir):
     scored = data.crossJoin(qs).select(
         "q_id",
         "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        F.round(cosine_cols("embedding", "qe"), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")

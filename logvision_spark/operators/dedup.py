@@ -899,24 +899,34 @@ def near_dup_drop_list(
             sh0 = sh0.select("id", F.xxhash64("s").alias("s"))
         capped = capped_shingles(df, id_col, text_col, n, max_doc_freq,
                                  shingles=sh0)
-        hs = F.pmod(F.col("s"), F.lit(POLY_MOD))
-        aggs = [F.collect_list("s").alias("_arr")]
+        # agg + band-pack expressions built as F.expr STRINGS, one
+        # JVM parse each, instead of ~8 py4j round trips per Column op
+        # (r18; profiled ~0.45 s of pure driver-side builder time per
+        # 16-hash call — the bench times builder()+collect(), and at
+        # any scale this is dead driver latency per job submission).
+        # The parsed trees are the same expressions: pmod/*/+/% on the
+        # same int literals, named_struct mirroring F.struct aliases.
+        aggs = [F.expr("collect_list(s) AS _arr")]
         for j in range(num_hashes):
             a_, b_ = _seed(j)
             aggs.append(
-                F.min((hs * a_ + b_) % POLY_MOD).alias(f"h{j}")
+                F.expr(
+                    f"min((pmod(s, {POLY_MOD}) * {a_} + {b_}) % "
+                    f"{POLY_MOD}) AS h{j}"
+                )
             )
         per_doc = capped.groupBy("id").agg(*aggs)
-        packed = F.array(
-            *[
-                F.struct(
-                    *[
-                        F.col(f"h{bi * rows + r}").alias(f"r{r}")
-                        for r in range(rows)
-                    ]
+        packed = F.expr(
+            "array("
+            + ", ".join(
+                "named_struct("
+                + ", ".join(
+                    f"'r{r}', h{bi * rows + r}" for r in range(rows)
                 )
+                + ")"
                 for bi in range(bands)
-            ]
+            )
+            + ")"
         )
         banded = per_doc.select(
             "id", "_arr", packed.alias("_sig")

@@ -66,6 +66,38 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _sq_sum_sql(col_sql: str) -> str:
+    return (
+        f"aggregate(transform({col_sql}, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def cosine_cols(a_name: str, b_name: str) -> Column:
+    """`cosine` over two NAMED columns, built as ONE F.expr parse (r18).
+
+    Tree-identical to ``cosine(F.col(a_name), F.col(b_name))`` — same
+    CASE WHEN null guard, try_divide + coalesce zero-norm guard, and
+    zip_with/transform/aggregate folds with double casts — but the
+    whole expression crosses py4j once: the Column form costs ~100
+    round trips of higher-order-function construction (~0.1-0.3 s of
+    driver-side builder time PER CALL, profiled — it dominated the
+    builder cost of every cosine-scoring entry), where one SQL string
+    parses JVM-side in milliseconds. Use this at call sites that score
+    plain columns; keep `cosine` for composed Column expressions."""
+    a_sql, b_sql = f"`{a_name}`", f"`{b_name}`"
+    dot_sql = (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+    return F.expr(
+        f"CASE WHEN ({a_sql} IS NOT NULL AND {b_sql} IS NOT NULL) THEN "
+        f"coalesce(try_divide({dot_sql}, sqrt({_sq_sum_sql(a_sql)}) * "
+        f"sqrt({_sq_sum_sql(b_sql)})), 0.0D) END"
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query: DataFrame,
@@ -78,7 +110,7 @@ def brute_force_topk(
     """Exact cosine top-k of ``df`` against a 1-row ``query`` frame.
     Rounding keeps scores oracle-comparable; pass None for raw doubles."""
     j = df.crossJoin(F.broadcast(query))
-    score = cosine(F.col(vec_col), F.col(query_vec_col))
+    score = cosine_cols(vec_col, query_vec_col)
     if round_to is not None:
         score = F.round(score, round_to)
     return (
@@ -161,7 +193,7 @@ def srp_bucket_topk(
         data_b.join(F.broadcast(q_b), ["t", "b"]).select(id_col).distinct()
     )
     cand = df.join(cand_ids, id_col, "left_semi").crossJoin(F.broadcast(query))
-    score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    score = F.round(cosine_cols(vec_col, query_vec_col), 6)
     return (
         cand.select(F.col(id_col), score.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -520,7 +552,7 @@ def ivf_topk(
 
     probe = sorted(range(len(centers)), key=lambda c: d2(centers[c]))[:n_probe]
     cand = assigned.where(F.col("cell").isin(probe)).crossJoin(F.broadcast(query))
-    score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    score = F.round(cosine_cols(vec_col, query_vec_col), 6)
     return (
         cand.select(F.col(id_col), score.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -608,28 +640,39 @@ def ivf_topk_batch(
     # single fold over the query vector; array_sort orders by (d, cell)
     # — the exact mirror of the previous window's (score DESC, cell
     # ASC), d being the IEEE negation of the score.
-    qv = F.col(query_vec_col)
-    qn = l2_norm(qv)
-    cell_structs = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(0.5 * sum(x * x for x in c))
-                    - F.coalesce(
-                        F.try_divide(
-                            dot(qv, F.array(*[F.lit(float(x)) for x in c])),
-                            qn,
-                        ),
-                        F.lit(0.0),
-                    )
-                ).alias("_d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(
-                [list(c) for c in model.clusterCenters()]
-            )
-        ]
+    #
+    # Built as ONE F.expr PARSE, not nested Column calls: the Column
+    # form cost n_cells·(n_dim + ~20) py4j round trips — ~1.6 s of
+    # pure driver-side builder time at 16×64 (profiled; lit(list) is
+    # sugar for per-element lits in classic PySpark) — where one SQL
+    # string parses JVM-side in milliseconds. The parsed tree is the
+    # same expression: zip_with/aggregate folds with double casts,
+    # 0.0D accumulators, try_divide+coalesce zero-norm guard (exactly
+    # `dot`/`l2_norm`'s lambdas). Constants round-trip exactly via
+    # CAST('<repr>' AS DOUBLE) — shortest-round-trip repr parsed by a
+    # correctly-rounded parser.
+    def _dbl(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    qv_sql = f"`{query_vec_col}`"
+    qn_sql = (
+        f"sqrt(aggregate(transform({qv_sql}, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
     )
+    cell_sqls = []
+    for i, c in enumerate(model.clusterCenters()):
+        arr = "array(" + ", ".join(_dbl(float(x)) for x in c) + ")"
+        dot_sql = (
+            f"aggregate(zip_with({qv_sql}, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+        half = _dbl(0.5 * sum(float(x) * float(x) for x in c))
+        cell_sqls.append(
+            f"named_struct('_d', {half} - coalesce(try_divide({dot_sql}, "
+            f"{qn_sql}), 0.0D), 'cell', {i})"
+        )
+    cell_structs = F.expr("array(" + ", ".join(cell_sqls) + ")")
     probes = queries.select(
         query_id_col,
         F.explode(
@@ -640,7 +683,7 @@ def ivf_topk_batch(
     cand = assigned.join(probes, "cell").join(
         F.broadcast(queries), query_id_col
     )
-    score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    score = F.round(cosine_cols(vec_col, query_vec_col), 6)
     rw = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
