@@ -5289,6 +5289,18 @@ _EDITED_ROUND: dict[str, int] = {
     "sim_near_pairs_lsh": 18,
     "sim_srp_topk_vec0": 18,
     "emb_int8_quantize": 18,
+    # - text.py: quality_features / lang_id expression trees built as
+    #   F.expr strings (one JVM parse each; value- and schema-identical,
+    #   differential-tested) — text.py is hashed into every
+    #   text-importing entry's fingerprint, so the family re-greens
+    #   together (same precedent as the r16 docstring bump).
+    "text_lang_id": 18,
+    "text_redact_pii": 18,
+    "text_bpe_token_count": 18,
+    "text_chunk_windows": 18,
+    "corpus_split_counts": 18,
+    "pack_token_bins": 18,
+    "fp_rolling_hash": 18,
 }
 
 

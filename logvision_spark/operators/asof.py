@@ -41,7 +41,13 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lcols = left.columns
-    l = left.withColumn("_src", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    # frame constructions as single selectExpr calls (r18): the
+    # withColumn chains and the per-field struct aliases cost a py4j
+    # round trip per Column op — pure driver-side builder latency; the
+    # parsed projections are the same expressions in the same output
+    # order (named_struct mirrors the struct aliases, 1/0 literals the
+    # lit() ints)
+    l = left.selectExpr("*", "1 AS _src", f"`{left_ts}` AS _ts")
     # The matched right row travels as ONE struct, so every carried
     # field comes from the SAME row as the reported timestamp: filling
     # each column independently with last(ignorenulls) fabricated data —
@@ -50,18 +56,20 @@ def asof_join(
     # key or NULL timestamp are excluded up front: SQL join semantics
     # never match NULL keys (Window.partitionBy would have grouped
     # them), and a row without a timestamp has no as-of position.
-    r = (
-        right.where(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
-        .select(
-            F.col(key),
-            F.col(right_ts).alias("_rts"),
-            F.struct(
-                F.col(right_ts).alias("_rts"),
-                *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-            ).alias("_rpack"),
-        )
-        .withColumn("_src", F.lit(0))
-        .withColumn("_ts", F.col("_rts"))
+    pack_sql = "named_struct('_rts', `%s`%s)" % (
+        right_ts,
+        "".join(
+            f", '{c}{suffix}', `{c}`" for c in value_cols
+        ),
+    )
+    r = right.where(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    ).selectExpr(
+        f"`{key}`",
+        f"`{right_ts}` AS _rts",
+        f"{pack_sql} AS _rpack",
+        "0 AS _src",
+        f"`{right_ts}` AS _ts",
     )
 
     combined = l.unionByName(
@@ -179,24 +187,30 @@ def asof_join_bucketed(
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lcols = left.columns
     b = lambda c: F.window(F.col(c), bucket)["start"]  # noqa: E731
-    l = (
-        left.withColumn("_src", F.lit(1))
-        .withColumn("_ts", F.col(left_ts))
-        .withColumn("_b", b(left_ts))
+    # frame constructions as single selectExpr calls — same projections,
+    # one parse instead of a py4j round trip per Column op (r18; see
+    # asof_join's note)
+    l = left.selectExpr(
+        "*",
+        "1 AS _src",
+        f"`{left_ts}` AS _ts",
+        f"window(`{left_ts}`, '{bucket}').start AS _b",
     )
-    r = (
-        right.where(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
-        .select(
-            F.col(key),
-            F.col(right_ts).alias("_rts"),
-            F.struct(
-                F.col(right_ts).alias("_rts"),
-                *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-            ).alias("_rpack"),
-        )
-        .withColumn("_src", F.lit(0))
-        .withColumn("_ts", F.col("_rts"))
-        .withColumn("_b", b("_rts"))
+    pack_sql = "named_struct('_rts', `%s`%s)" % (
+        right_ts,
+        "".join(
+            f", '{c}{suffix}', `{c}`" for c in value_cols
+        ),
+    )
+    r = right.where(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    ).selectExpr(
+        f"`{key}`",
+        f"`{right_ts}` AS _rts",
+        f"{pack_sql} AS _rpack",
+        "0 AS _src",
+        f"`{right_ts}` AS _ts",
+        f"window(`{right_ts}`, '{bucket}').start AS _b",
     )
     # spine over every (key, bucket) either side touches, so gaps
     # between right buckets still receive the carry. ONE per-bucket
@@ -205,8 +219,8 @@ def asof_join_bucketed(
     need_back = direction in ("backward", "nearest")
     need_fwd = direction in ("forward", "nearest")
     if value_cols:
-        back_agg = F.max_by("_rpack", "_rts").alias("_pmax")
-        fwd_agg = F.min_by("_rpack", "_rts").alias("_pmin")
+        back_agg = F.expr("max_by(_rpack, _rts) AS _pmax")
+        fwd_agg = F.expr("min_by(_rpack, _rts) AS _pmin")
     else:
         # value_cols=(): the pack is struct(_rts) alone, so the pack of
         # the max/min-_rts row IS struct(max/min(_rts)). max_by/min_by
@@ -218,8 +232,8 @@ def asof_join_bucketed(
         # in the projection above the aggregate (r18; ties are
         # irrelevant — all tied packs are identical when the pack has
         # no value columns).
-        back_agg = F.struct(F.max("_rts").alias("_rts")).alias("_pmax")
-        fwd_agg = F.struct(F.min("_rts").alias("_rts")).alias("_pmin")
+        back_agg = F.expr("named_struct('_rts', max(_rts)) AS _pmax")
+        fwd_agg = F.expr("named_struct('_rts', min(_rts)) AS _pmin")
     rb = r.groupBy(key, "_b").agg(
         *([back_agg] if need_back else []),
         *([fwd_agg] if need_fwd else []),
@@ -300,13 +314,9 @@ def asof_join_bucketed(
         )
 
     # nearest: real right rows feed BOTH fills; each carry feeds only its own
-    r_both = r.select(
-        key,
-        "_b",
-        "_src",
-        "_ts",
-        F.col("_rpack").alias("_pb"),
-        F.col("_rpack").alias("_pf"),
+    r_both = r.selectExpr(
+        f"`{key}`", "_b", "_src", "_ts",
+        "_rpack AS _pb", "_rpack AS _pf",
     )
     # BOTH carries in ONE pass over sp: calling carry_for() per
     # direction recomputes the whole sp subtree (left distinct + right

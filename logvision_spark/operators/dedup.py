@@ -323,10 +323,15 @@ def minhash_signatures_agg(
                 shingle_hashes_from_folds(F.col("_wh"), F.col("_nt"), n)
             ).alias("_h"),
         )
+    # one F.expr parse per permutation instead of ~6 py4j round trips
+    # of Column construction (r18 — same tree: * int, + int, % int on
+    # the same literals; see near_dup_drop_list's fast-path note)
     aggs = []
     for j in range(num_hashes):
         a, b = _seed(j)
-        aggs.append(F.min((F.col("_h") * a + b) % POLY_MOD).alias(f"h{j}"))
+        aggs.append(
+            F.expr(f"min((_h * {a} + {b}) % {POLY_MOD}) AS h{j}")
+        )
     return hashed.groupBy(id_col).agg(*aggs)
 
 

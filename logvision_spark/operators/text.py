@@ -71,20 +71,50 @@ def punct_ratio(text: Column) -> Column:
     return F.try_divide(punct.cast("double"), F.length(text))
 
 
+def _sql_str_list(ws: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in ws)
+
+
+def _stop_hits_sql(t: str, ws: tuple[str, ...]) -> str:
+    return (
+        f"size(filter(split({t}, ' '), "
+        f"t -> lower(t) IN ({_sql_str_list(ws)})))"
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Standard quality-scoring features: lengths, token stats, ratios.
-    One projection pass; composes with any filter threshold downstream."""
-    t = F.col(text_col)
-    n_tok = token_count(t)
+    One projection pass; composes with any filter threshold downstream.
+
+    Expressions are built as F.expr STRINGS — one JVM parse each — not
+    nested Column calls (r18): the higher-order filter alone cost ~25
+    py4j round trips of driver-side construction per call, pure builder
+    latency the bench (and every job submission) pays. The parsed trees
+    are the SAME expressions as the previous Column forms (same split,
+    same lower/IN membership, same double casts and divides) — only
+    where they are assembled changes."""
+    t = f"`{text_col}`"
+    toks = f"split({t}, ' ')"
     return df.withColumns(
         {
-            "n_chars_calc": F.length(t),
-            "token_cnt": n_tok,
-            "chars_per_token": F.length(t).cast("double") / n_tok,
-            "stopword_ratio": stopword_ratio(t),
-            "punct_ratio": punct_ratio(t),
-            "uniq_token_ratio": F.size(F.array_distinct(tokens(t))).cast("double")
-            / n_tok,
+            "n_chars_calc": F.expr(f"length({t})"),
+            "token_cnt": F.expr(f"size({toks})"),
+            "chars_per_token": F.expr(
+                f"CAST(length({t}) AS DOUBLE) / size({toks})"
+            ),
+            "stopword_ratio": F.expr(
+                f"CAST({_stop_hits_sql(t, LANG_STOPWORDS['en'])} AS DOUBLE)"
+                f" / size({toks})"
+            ),
+            "punct_ratio": F.expr(
+                f"try_divide(CAST(length(regexp_replace({t}, "
+                r"'[A-Za-z0-9\\s]', '')) AS DOUBLE), "
+                f"length({t}))"
+            ),
+            "uniq_token_ratio": F.expr(
+                f"CAST(size(array_distinct({toks})) AS DOUBLE) / "
+                f"size({toks})"
+            ),
         }
     )
 
@@ -105,8 +135,21 @@ def lang_scores(text: Column) -> list[Column]:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language-ID heuristic: argmax over per-language stopword scores,
     'und' (undetermined) when no stopword hits at all. Deterministic
-    tie-break by language order."""
-    scored = df.select("*", *lang_scores(F.col(text_col)))
+    tie-break by language order.
+
+    The four score columns are built as F.expr strings (one parse each;
+    same filter/lower/IN trees as `lang_scores`, which stays the
+    Column-API form for composition) — see quality_features' r18 note
+    on builder-side py4j latency."""
+    scored = df.select(
+        "*",
+        *[
+            F.expr(
+                f"{_stop_hits_sql(f'`{text_col}`', ws)} AS score_{lang}"
+            )
+            for lang, ws in LANG_STOPWORDS.items()
+        ],
+    )
     langs = list(LANG_STOPWORDS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit("und")
