@@ -19,8 +19,22 @@ time bucket first if a key can exceed one task's memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _nearest_pick_sql(fb: str, ff: str) -> str:
+    """SQL for the nearest-direction candidate pick: the backward pack
+    when it exists and is at least as close as the forward one (ties
+    prefer backward/earlier — `<=`), else the forward pack. One string
+    so callers parse the whole CASE once (r18); the tree is the same
+    unix_micros arithmetic the Column form built."""
+    return (
+        f"(CASE WHEN {fb}._rts IS NOT NULL AND ({ff}._rts IS NULL OR "
+        f"(unix_micros(_ts) - unix_micros({fb}._rts)) <= "
+        f"(unix_micros({ff}._rts) - unix_micros(_ts))) "
+        f"THEN {fb} ELSE {ff} END)"
+    )
 
 
 def asof_join(
@@ -77,32 +91,38 @@ def asof_join(
         allowMissingColumns=True,
     )
     # right rows (_src=0) sort before left rows at equal timestamps in
-    # BOTH directions → equal-ts matches are inclusive
+    # BOTH directions → equal-ts matches are inclusive. Window fills,
+    # unpack projections and the nearest pick are single SQL parses
+    # (r18, guide §5): the Column-form Window specs + per-field struct
+    # extracts cost a py4j round trip per op (~500 per nearest build of
+    # pure driver-side latency); the parsed trees are the same
+    # expressions — last(pack, true) over ROWS UNBOUNDED PRECEDING
+    # frames on the same sort orders (SQL ASC/DESC NULLS defaults match
+    # Column.asc()/.desc()), the same unix_micros CASE pick.
     w_back = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_src").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f"PARTITION BY `{key}` ORDER BY _ts ASC, _src ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     w_fwd = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_ts").desc(), F.col("_src").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f"PARTITION BY `{key}` ORDER BY _ts DESC, _src ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     suffixed = [f"{c}{suffix}" for c in value_cols]
 
-    def unpack(pack, out_names):
+    def unpack(pack_sql_, out_names):
         return [
-            *[pack[name].alias(name) for name in out_names],
-            pack["_rts"].alias(f"{right_ts}{suffix}"),
+            *[f"{pack_sql_}.`{name}` AS `{name}`" for name in out_names],
+            f"{pack_sql_}._rts AS `{right_ts}{suffix}`",
         ]
 
+    lcols_sql = [f"`{c}`" for c in lcols]
     if direction in ("backward", "forward"):
         w = w_back if direction == "backward" else w_fwd
-        filled = combined.select(
-            "*", F.last(F.col("_rpack"), ignorenulls=True).over(w).alias("_f")
+        filled = combined.selectExpr(
+            "*", f"last(_rpack, true) OVER ({w}) AS _f"
         )
-        return filled.where(F.col("_src") == 1).select(
-            *lcols, *unpack(F.col("_f"), suffixed)
+        return filled.where(F.col("_src") == 1).selectExpr(
+            *lcols_sql, *unpack("_f", suffixed)
         )
 
     # nearest: fill both directions, pick the closer candidate per row.
@@ -116,19 +136,13 @@ def asof_join(
     # here are unbounded-PRECEDING on their own sort order, the
     # incremental O(m) frame, so the cost is two sorts, not a quadratic
     # scan.
-    filled = combined.select(
+    filled = combined.selectExpr(
         "*",
-        F.last(F.col("_rpack"), ignorenulls=True).over(w_back).alias("_fb"),
-        F.last(F.col("_rpack"), ignorenulls=True).over(w_fwd).alias("_ff"),
+        f"last(_rpack, true) OVER ({w_back}) AS _fb",
+        f"last(_rpack, true) OVER ({w_fwd}) AS _ff",
     ).where(F.col("_src") == 1)
-    l_us = F.unix_micros(F.col("_ts"))
-    back_us = F.unix_micros(F.col("_fb")["_rts"])
-    fwd_us = F.unix_micros(F.col("_ff")["_rts"])
-    use_back = F.col("_fb")["_rts"].isNotNull() & (
-        F.col("_ff")["_rts"].isNull() | ((l_us - back_us) <= (fwd_us - l_us))
-    )
-    pick = F.when(use_back, F.col("_fb")).otherwise(F.col("_ff"))
-    return filled.select(*lcols, *unpack(pick, suffixed))
+    pick = _nearest_pick_sql("_fb", "_ff")
+    return filled.selectExpr(*lcols_sql, *unpack(pick, suffixed))
 
 
 def asof_join_bucketed(
@@ -186,7 +200,6 @@ def asof_join_bucketed(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lcols = left.columns
-    b = lambda c: F.window(F.col(c), bucket)["start"]  # noqa: E731
     # frame constructions as single selectExpr calls — same projections,
     # one parse instead of a py4j round trip per Column op (r18; see
     # asof_join's note)
@@ -249,17 +262,20 @@ def asof_join_bucketed(
     # the join adds no exchange.)
     sp = l.select(key, "_b").distinct().join(rb, [key, "_b"], "full_outer")
 
+    # Windows, carries and unpack projections as single SQL parses (r18
+    # — same recipe and same trees as asof_join; see its note).
     def carry_spec(dir_: str):
-        """(pack column, bucket sort order, injection timestamp) for a
-        carry direction — the ONLY place these constants live; both
+        """(pack column, bucket sort order SQL, injection timestamp SQL)
+        for a carry direction — the ONLY place these constants live; both
         carry_for and nearest's one-pass dual carry read them here."""
         if dir_ == "backward":
-            return "_pmax", F.col("_b").asc(), F.col("_b")
-        return "_pmin", F.col("_b").desc(), F.window(F.col("_b"), bucket)["end"]
+            return "_pmax", "_b ASC", "_b"
+        return "_pmin", "_b DESC", f"window(_b, '{bucket}').end"
 
-    def carry_window(order):
-        return Window.partitionBy(key).orderBy(order).rowsBetween(
-            Window.unboundedPreceding, -1
+    def carry_window(order: str) -> str:
+        return (
+            f"PARTITION BY `{key}` ORDER BY {order} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
         )
 
     def carry_for(dir_: str) -> DataFrame:
@@ -267,36 +283,32 @@ def asof_join_bucketed(
         from strictly earlier (backward) / later (forward) buckets."""
         pack, order, inject_ts = carry_spec(dir_)
         return (
-            sp.select(
-                key,
+            sp.selectExpr(
+                f"`{key}`",
                 "_b",
-                F.last(F.col(pack), ignorenulls=True)
-                .over(carry_window(order))
-                .alias("_rpack"),
+                f"last({pack}, true) OVER ({carry_window(order)}) AS _rpack",
             )
             .where(F.col("_rpack").isNotNull())
-            .withColumn("_src", F.lit(-1))
-            .withColumn("_ts", inject_ts)
+            .selectExpr("*", "-1 AS _src", f"{inject_ts} AS _ts")
         )
 
     w_back = (
-        Window.partitionBy(key, "_b")
-        .orderBy(F.col("_ts").asc(), F.col("_src").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f"PARTITION BY `{key}`, _b ORDER BY _ts ASC, _src ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     w_fwd = (
-        Window.partitionBy(key, "_b")
-        .orderBy(F.col("_ts").desc(), F.col("_src").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f"PARTITION BY `{key}`, _b ORDER BY _ts DESC, _src ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     suffixed = [f"{c}{suffix}" for c in value_cols]
 
-    def unpack(pack):
+    def unpack(pack_sql_):
         return [
-            *[pack[name].alias(name) for name in suffixed],
-            pack["_rts"].alias(f"{right_ts}{suffix}"),
+            *[f"{pack_sql_}.`{name}` AS `{name}`" for name in suffixed],
+            f"{pack_sql_}._rts AS `{right_ts}{suffix}`",
         ]
 
+    lcols_sql = [f"`{c}`" for c in lcols]
     if direction in ("backward", "forward"):
         w = w_back if direction == "backward" else w_fwd
         combined = l.unionByName(
@@ -306,11 +318,11 @@ def asof_join_bucketed(
             carry_for(direction).select(key, "_b", "_src", "_ts", "_rpack"),
             allowMissingColumns=True,
         )
-        filled = combined.select(
-            "*", F.last(F.col("_rpack"), ignorenulls=True).over(w).alias("_f")
+        filled = combined.selectExpr(
+            "*", f"last(_rpack, true) OVER ({w}) AS _f"
         )
-        return filled.where(F.col("_src") == 1).select(
-            *lcols, *unpack(F.col("_f"))
+        return filled.where(F.col("_src") == 1).selectExpr(
+            *lcols_sql, *unpack("_f")
         )
 
     # nearest: real right rows feed BOTH fills; each carry feeds only its own
@@ -328,55 +340,39 @@ def asof_join_bucketed(
     # all come from carry_spec — the same constants carry_for reads.
     bpack, border, binject = carry_spec("backward")
     fpack, forder, finject = carry_spec("forward")
-    none_pack = F.when(F.lit(False), F.col("_cb"))  # typed NULL pack
+    none_pack = "CASE WHEN false THEN _cb END"  # typed NULL pack
     carries = (
-        sp.select(
-            key,
+        sp.selectExpr(
+            f"`{key}`",
             "_b",
-            F.last(bpack, ignorenulls=True).over(carry_window(border)).alias("_cb"),
-            F.last(fpack, ignorenulls=True).over(carry_window(forder)).alias("_cf"),
+            f"last({bpack}, true) OVER ({carry_window(border)}) AS _cb",
+            f"last({fpack}, true) OVER ({carry_window(forder)}) AS _cf",
         )
-        .select(
-            key,
+        .selectExpr(
+            f"`{key}`",
             "_b",
-            F.explode(
-                F.array(
-                    F.struct(
-                        binject.alias("_ts"),
-                        F.col("_cb").alias("_pb"),
-                        none_pack.alias("_pf"),
-                    ),
-                    F.struct(
-                        finject.alias("_ts"),
-                        none_pack.alias("_pb"),
-                        F.col("_cf").alias("_pf"),
-                    ),
-                )
-            ).alias("_e"),
+            "explode(array("
+            f"named_struct('_ts', {binject}, '_pb', _cb, '_pf', {none_pack}), "
+            f"named_struct('_ts', {finject}, '_pb', {none_pack}, '_pf', _cf)"
+            ")) AS _e",
         )
-        .select(
-            key,
+        .selectExpr(
+            f"`{key}`",
             "_b",
-            F.col("_e._ts").alias("_ts"),
-            F.col("_e._pb").alias("_pb"),
-            F.col("_e._pf").alias("_pf"),
+            "_e._ts AS _ts",
+            "_e._pb AS _pb",
+            "_e._pf AS _pf",
         )
         .where(F.col("_pb").isNotNull() | F.col("_pf").isNotNull())
-        .withColumn("_src", F.lit(-1))
+        .selectExpr("*", "-1 AS _src")
     )
     combined = l.unionByName(r_both, allowMissingColumns=True).unionByName(
         carries, allowMissingColumns=True
     )
-    filled = combined.select(
+    filled = combined.selectExpr(
         "*",
-        F.last(F.col("_pb"), ignorenulls=True).over(w_back).alias("_fb"),
-        F.last(F.col("_pf"), ignorenulls=True).over(w_fwd).alias("_ff"),
+        f"last(_pb, true) OVER ({w_back}) AS _fb",
+        f"last(_pf, true) OVER ({w_fwd}) AS _ff",
     ).where(F.col("_src") == 1)
-    l_us = F.unix_micros(F.col("_ts"))
-    back_us = F.unix_micros(F.col("_fb")["_rts"])
-    fwd_us = F.unix_micros(F.col("_ff")["_rts"])
-    use_back = F.col("_fb")["_rts"].isNotNull() & (
-        F.col("_ff")["_rts"].isNull() | ((l_us - back_us) <= (fwd_us - l_us))
-    )
-    pick = F.when(use_back, F.col("_fb")).otherwise(F.col("_ff"))
-    return filled.select(*lcols, *unpack(pick))
+    pick = _nearest_pick_sql("_fb", "_ff")
+    return filled.selectExpr(*lcols_sql, *unpack(pick))

@@ -204,22 +204,27 @@ def exploded_shingles(
         *[F.col(c) for c in carry],
         F.split(F.col(text_col), " ").alias("_toks"),
     )
-    tk = F.col("_toks")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
-            ),
-        )
+    # One F.expr parse for the whole shingle subtree (r18, guide §5):
+    # the Column form paid ~25 py4j round trips PER shingle position
+    # (n element_at + index arithmetic inside the transform lambda) —
+    # ~200 per call at n=8, pure driver latency before any job. Same
+    # tree: element_at over the staged token array, concat_ws(' '),
+    # array_distinct, with the size() CASE guard. Short docs (size < n)
+    # explode to zero rows; without the guard the descending sequence
+    # hits element_at index 0 (ANSI error, Spark 4).
+    elems = ", ".join(f"element_at(_toks, i + {j + 1})" for j in range(n))
+    shingles_sql = (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', {elems}))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
-    # Short docs (size < n) explode to zero rows; without the guard the
-    # descending sequence hits element_at index 0 (ANSI error, Spark 4).
-    guarded = F.when(F.size(tk) >= n, shingles).otherwise(
-        F.array().cast("array<string>")
+    exploder = "explode_outer" if outer else "explode"
+    return staged.select(
+        id_col,
+        *carry,
+        F.expr(f"{exploder}({shingles_sql})").alias("shingle"),
     )
-    exploder = F.explode_outer if outer else F.explode
-    return staged.select(id_col, *carry, exploder(guarded).alias("shingle"))
 
 
 def shingle_hashes(text: Column, n: int = 3, fast: bool = False) -> Column:
@@ -587,12 +592,17 @@ def minhash_exact_groups(
         F.col(id_col), F.xxhash64(F.col(text_col)).alias("_chash"), F.col(text_col)
     )
     sh = exploded_shingles(pre, id_col, text_col, n, outer=True, carry=("_chash",))
-    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(POLY_MOD))
-    hashed = sh.select(F.col(id_col), F.col("_chash"), h.alias("_h"))
+    hashed = sh.select(
+        F.col(id_col),
+        F.col("_chash"),
+        F.expr(f"pmod(xxhash64(shingle), {POLY_MOD})").alias("_h"),
+    )
+    # one F.expr parse per permutation instead of ~6 py4j round trips of
+    # Column construction (r18 — same tree as minhash_signatures_agg)
     aggs = []
     for j in range(num_hashes):
         a, b = _seed(j)
-        aggs.append(F.min((F.col("_h") * a + b) % POLY_MOD).alias(f"h{j}"))
+        aggs.append(F.expr(f"min((_h * {a} + {b}) % {POLY_MOD}) AS h{j}"))
     sig = hashed.groupBy(id_col, "_chash").agg(*aggs)
     sig_cols = [f"h{j}" for j in range(num_hashes)]
     w = Window.partitionBy(*sig_cols, "_chash")
@@ -935,30 +945,33 @@ def near_dup_drop_list(
         )
         banded = per_doc.select(
             "id", "_arr", packed.alias("_sig")
-        ).select("id", "_arr", "_sig", F.posexplode("_sig").alias("band", "val"))
-        a = banded.select(
-            F.col("id").alias("doc_a"), F.col("_sig").alias("_sa"),
-            F.col("_arr").alias("_aa"), "band", "val",
+        ).selectExpr("id", "_arr", "_sig", "posexplode(_sig) AS (band, val)")
+        # rename/emit-once/verify projections as single selectExpr/expr
+        # parses (r18, same recipe): ~420 Column-op round trips per
+        # build collapsed into three JVM parses. Same trees: slice with
+        # int literal 1, zip_with equality lambda, size/array_intersect
+        # Jaccard with the threshold round-tripped exactly via
+        # CAST('<repr>' AS DOUBLE).
+        a = banded.selectExpr(
+            "id AS doc_a", "_sig AS _sa", "_arr AS _aa", "band", "val"
         ).hint("shuffle_hash")
-        b = banded.select(
-            F.col("id").alias("doc_b"), F.col("_sig").alias("_sb"),
-            F.col("_arr").alias("_ab"), "band", "val",
+        b = banded.selectExpr(
+            "id AS doc_b", "_sig AS _sb", "_arr AS _ab", "band", "val"
         ).hint("shuffle_hash")
-        first_match = ~F.exists(
-            F.zip_with(
-                F.slice("_sa", F.lit(1), F.col("band")),
-                F.slice("_sb", F.lit(1), F.col("band")),
-                lambda x, y: x == y,
-            ),
-            lambda v: v,
+        first_match = F.expr(
+            "NOT exists(zip_with(slice(_sa, 1, band), slice(_sb, 1, band), "
+            "(x, y) -> x = y), v -> v)"
         )
-        common = F.size(F.array_intersect("_aa", "_ab"))
-        na, nb = F.size("_aa"), F.size("_ab")
+        jac_ok = F.expr(
+            "size(array_intersect(_aa, _ab)) / (size(_aa) + size(_ab) - "
+            "size(array_intersect(_aa, _ab))) >= "
+            f"CAST('{threshold!r}' AS DOUBLE)"
+        )
         verified = (
             a.join(b, ["band", "val"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .where(first_match)
-            .where(common / (na + nb - common) >= F.lit(threshold))
+            .where(jac_ok)
         )
         return verified.select(F.col("doc_b").alias(id_col)).distinct()
 
