@@ -618,25 +618,28 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    qty, price, disc, tax = (
-        cents("l_quantity"),
-        cents("l_extendedprice"),
-        cents("l_discount"),
-        cents("l_tax"),
-    )
+    # measure aggregates as single F.expr parses (r18, guide §5): the
+    # Column form paid ~300 py4j round trips per build — ~40% of this
+    # CORE entry's bench time was driver-side construction. Same trees:
+    # cents() is CAST(round(c * 100) AS BIGINT), 100.0D the double lit.
+    q = "CAST(round(l_quantity * 100) AS BIGINT)"
+    p = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    d = "CAST(round(l_discount * 100) AS BIGINT)"
+    t = "CAST(round(l_tax * 100) AS BIGINT)"
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.where(F.expr("l_shipdate <= CAST('1998-09-02 00:00:00' AS TIMESTAMP)"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum(qty) / F.lit(100.0)).alias("sum_qty"),
-            (F.sum(price) / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum(price * (F.lit(100) - disc)) / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum(price * (F.lit(100) - disc) * (F.lit(100) + tax)) / F.lit(1000000.0)).alias(
-                "sum_charge"
+            F.expr(f"sum({q}) / 100.0D AS sum_qty"),
+            F.expr(f"sum({p}) / 100.0D AS sum_base_price"),
+            F.expr(f"sum({p} * (100 - {d})) / 10000.0D AS sum_disc_price"),
+            F.expr(
+                f"sum({p} * (100 - {d}) * (100 + {t})) / 1000000.0D "
+                "AS sum_charge"
             ),
-            (F.sum(qty) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(disc) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr(f"sum({q}) / 100.0D / count(1) AS avg_qty"),
+            F.expr(f"sum({d}) / 100.0D / count(1) AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         )
     )
 
@@ -4820,30 +4823,33 @@ def a_value_decile_histogram_approx(spark, sf_dir):
         ).alias("q")
     )
     e = ev.select("value").crossJoin(b)  # 1-row boundary frame: pin OK
-    bucket = F.lit(9)
-    for i in range(8, -1, -1):
-        bucket = F.when(F.col("value") <= F.col("q")[i], F.lit(i)).otherwise(bucket)
+    # bucket CASE and band projection as single F.expr parses (r18,
+    # guide §5: the nested when() chain alone was ~585 py4j round trips
+    # per build). Flat CASE = first-match, identical to the nested
+    # otherwise() chain (NULL value matches no arm -> ELSE 9, as before);
+    # 0.01D keeps the double literal (bare 0.01 parses as DECIMAL).
+    bucket = F.expr(
+        "CASE "
+        + " ".join(f"WHEN value <= q[{i}] THEN {i}" for i in range(9))
+        + " ELSE 9 END"
+    )
     counts = (
         e.select(bucket.alias("bucket_id"))
         .groupBy("bucket_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # 10-row frame: the empty window is over the bucket counts, not data
-    w = Window.partitionBy()
     filled = (
         ev.sparkSession.range(10)
         .select(F.col("id").cast("int").alias("bucket_id"))
         .join(counts, "bucket_id", "left")
         .select("bucket_id", F.coalesce("cnt", F.lit(0)).alias("cnt"))
     )
-    return filled.select(
+    return filled.selectExpr(
         "bucket_id",
-        (
-            F.abs(F.col("cnt") - F.sum("cnt").over(w) / 10)
-            / F.sum("cnt").over(w)
-            <= 0.01
-        ).alias("in_band"),
-        F.sum("cnt").over(w).alias("n_total"),
+        "(abs(cnt - sum(cnt) OVER () / 10) / sum(cnt) OVER ()) <= 0.01D "
+        "AS in_band",
+        "sum(cnt) OVER () AS n_total",
     )
 
 
@@ -5282,6 +5288,10 @@ _EDITED_ROUND: dict[str, int] = {
     # - catalog.py builders: a6_count_by_second groups on the truncated
     #   timestamp and formats after the aggregate (narrow group key).
     "a6_count_by_second": 18,
+    #   q1/decile: measure aggregates and the bucket CASE as single
+    #   F.expr parses (value-identical; ~300/~585 round trips per build)
+    "q1_pricing_summary": 18,
+    "a_value_decile_histogram_approx": 18,
     "ivf_topk_batch": 18,
     "ivf_topk_vec0": 18,
     "sim_topk_batch": 18,
