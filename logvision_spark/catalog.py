@@ -3242,7 +3242,7 @@ def _ivf_model(base: DataFrame, sf_dir: str, tag: str, n_cells: int, seed: int):
     "— 2x measured at 500k vectors, asserted row-identical).",
 )
 def ivf_topk_batch_recall(spark, sf_dir):
-    from logvision_spark.operators.similarity import cosine_cols, ivf_topk_batch
+    from logvision_spark.operators.similarity import cosine_cols_sql, ivf_topk_batch
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 3).select(
@@ -3254,14 +3254,19 @@ def ivf_topk_batch_recall(spark, sf_dir):
         base, qs, k=10, n_cells=16, n_probe=15, seed=42, model=model
     )
 
-    scored = base.crossJoin(F.broadcast(qs)).select(
+    # exact-side score/rank as single parses (r18 second sweep; same
+    # trees — SQL ASC/DESC NULLS defaults match F.col().desc()/bare asc)
+    scored = base.crossJoin(F.broadcast(qs)).selectExpr(
         "q_id",
         "vec_id",
-        F.round(cosine_cols("embedding", "qe"), 6).alias("cos_sim"),
+        f"round({cosine_cols_sql('embedding', 'qe')}, 6) AS cos_sim",
     )
-    ew = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     exact = (
-        scored.withColumn("rn", F.row_number().over(ew))
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY q_id "
+            "ORDER BY cos_sim DESC, vec_id) AS rn",
+        )
         .where(F.col("rn") <= 10)
         .drop("rn")
     )

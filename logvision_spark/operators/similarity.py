@@ -73,6 +73,25 @@ def _sq_sum_sql(col_sql: str) -> str:
     )
 
 
+def cosine_cols_sql(a_name: str, b_name: str) -> str:
+    """SQL string of `cosine` over two NAMED columns — the single-parse
+    building block behind `cosine_cols`, exposed so call sites that
+    assemble a LARGER single-parse projection (e.g. `round(..., 6) AS
+    cos_sim` inside one selectExpr) can embed it without a second
+    Column round trip."""
+    a_sql, b_sql = f"`{a_name}`", f"`{b_name}`"
+    dot_sql = (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        f"CASE WHEN ({a_sql} IS NOT NULL AND {b_sql} IS NOT NULL) THEN "
+        f"coalesce(try_divide({dot_sql}, sqrt({_sq_sum_sql(a_sql)}) * "
+        f"sqrt({_sq_sum_sql(b_sql)})), 0.0D) END"
+    )
+
+
 def cosine_cols(a_name: str, b_name: str) -> Column:
     """`cosine` over two NAMED columns, built as ONE F.expr parse (r18).
 
@@ -85,17 +104,7 @@ def cosine_cols(a_name: str, b_name: str) -> Column:
     builder cost of every cosine-scoring entry), where one SQL string
     parses JVM-side in milliseconds. Use this at call sites that score
     plain columns; keep `cosine` for composed Column expressions."""
-    a_sql, b_sql = f"`{a_name}`", f"`{b_name}`"
-    dot_sql = (
-        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
-        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
-        "(acc, x) -> acc + x)"
-    )
-    return F.expr(
-        f"CASE WHEN ({a_sql} IS NOT NULL AND {b_sql} IS NOT NULL) THEN "
-        f"coalesce(try_divide({dot_sql}, sqrt({_sq_sum_sql(a_sql)}) * "
-        f"sqrt({_sq_sum_sql(b_sql)})), 0.0D) END"
-    )
+    return F.expr(cosine_cols_sql(a_name, b_name))
 
 
 def brute_force_topk(
@@ -672,24 +681,29 @@ def ivf_topk_batch(
             f"named_struct('_d', {half} - coalesce(try_divide({dot_sql}, "
             f"{qn_sql}), 0.0D), 'cell', {i})"
         )
-    cell_structs = F.expr("array(" + ", ".join(cell_sqls) + ")")
-    probes = queries.select(
-        query_id_col,
-        F.explode(
-            F.slice(F.array_sort(cell_structs), 1, n_probe)
-        ).alias("_p"),
-    ).select(query_id_col, F.col("_p.cell").alias("cell"))
+    # probe explode, score projection and the rank window as single
+    # parses too (r18 second sweep): the remaining Column chains here
+    # were ~150 round trips per build. Same trees — explode over the
+    # sliced sorted struct array, round(cosine, 6), row_number on
+    # (cos_sim DESC, id ASC) with SQL's default NULLS ordering matching
+    # F.desc()/F.asc().
+    cells_sql = "array(" + ", ".join(cell_sqls) + ")"
+    probes = queries.selectExpr(
+        f"`{query_id_col}`",
+        f"explode(slice(array_sort({cells_sql}), 1, {n_probe})) AS _p",
+    ).selectExpr(f"`{query_id_col}`", "_p.cell AS cell")
 
     cand = assigned.join(probes, "cell").join(
         F.broadcast(queries), query_id_col
     )
-    score = F.round(cosine_cols(vec_col, query_vec_col), 6)
-    rw = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
-    )
+    rw_sql = f"PARTITION BY `{query_id_col}` ORDER BY cos_sim DESC, `{id_col}` ASC"
     return (
-        cand.select(F.col(query_id_col), F.col(id_col), score.alias("cos_sim"))
-        .withColumn("_rn", F.row_number().over(rw))
+        cand.selectExpr(
+            f"`{query_id_col}`",
+            f"`{id_col}`",
+            f"round({cosine_cols_sql(vec_col, query_vec_col)}, 6) AS cos_sim",
+        )
+        .selectExpr("*", f"row_number() OVER ({rw_sql}) AS _rn")
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
