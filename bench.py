@@ -119,6 +119,27 @@ R7 = [
     "a_conversion_funnel",
 ]
 
+# COLD-path companions (r18 verdict item 1, RECORD-ONLY — sidecar, not
+# the printed line): every consumer of the catalog's off-clock
+# persisted shingle cache (_shared_shingles, built in _warm_up since
+# r4) plus the IVF KMeans fit memo (_IVF_MODELS) gets ONE timed pass
+# with those caches explicitly dropped first — the cache build / model
+# fit lands ON the clock — followed by one warm pass in the same JVM
+# for the delta. This prices the measurement boundary the warm numbers
+# exclude; the headline methodology (min-of-2 after the off-clock
+# warm-up) is unchanged. dedup_minhash_fast derives its own shingles
+# (no cache input) — included to demonstrate exactly that: its cold
+# and warm figures should agree.
+COLD = [
+    "dedup_drop_list",
+    "dedup_drop_list_16band",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_fast",
+    "ivf_topk_vec0",
+    "ivf_topk_batch",
+]
+
 
 # A query child whose calib_sec exceeds the round's fastest child calib
 # by more than this ratio ran inside a measurably slower box window and
@@ -670,9 +691,48 @@ def _bench_parse_throughput(spark, n_rows: int = 400_000) -> float:
     return round(n_rows / best)
 
 
+def _time_cold_set(spark, sf_dir: str, names: list[str]) -> dict:
+    """One COLD and one WARM pass per entry (r18 verdict item 1): the
+    entry runs once with the caches present (plan/codegen warm-up, off
+    the clock — also what the headline min-of-2 hides), then the shared
+    shingle cache and the IVF fit memo are dropped and the next pass
+    pays the rebuild ON the clock, then one warm pass in the same JVM
+    gives the delta. Records both maps; failures per entry are recorded
+    rather than aborting the child."""
+    from logvision_spark.catalog import (
+        CATALOG,
+        _IVF_MODELS,
+        invalidate_shingle_cache,
+    )
+
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        if name not in CATALOG:
+            continue
+        builder = CATALOG[name].builder
+        try:
+            builder(spark, sf_dir).collect()  # warm-up, off the clock
+            invalidate_shingle_cache()
+            _IVF_MODELS.clear()
+            t0 = time.perf_counter()
+            builder(spark, sf_dir).collect()
+            cold[name] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            builder(spark, sf_dir).collect()
+            warm[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # record-only evidence: never abort
+            errors[name] = str(exc)[:300]
+    out: dict = {"queries_cold": cold, "queries_cold_warm": warm}
+    if errors:
+        out["cold_errors"] = errors
+    return out
+
+
 def _run_child(which: str, sf_dir: str) -> None:
     """Run one measurement set in this (fresh) JVM; print partial JSON."""
-    if which not in ("parse", "core", "new", "r4"):
+    if which not in ("parse", "core", "new", "r4", "cold"):
         raise SystemExit(f"unknown bench set: {which!r}")
     # calibration runs BEFORE SparkSession init: it measures the box,
     # not this process's JVM/GC state (and the fork-based N-process
@@ -680,7 +740,14 @@ def _run_child(which: str, sf_dir: str) -> None:
     calib = _calibrate()
     calib_mt = _calibrate_mt()
     spark = _get_spark()
-    if which == "parse":
+    if which == "cold":
+        # generic JVM/codegen warm-up only — the shingle-cache build
+        # must NOT happen here: pricing it is this child's purpose
+        # (each entry's own off-clock warm-up run builds it anyway)
+        result = _time_cold_set(spark, sf_dir, COLD)
+        result["calib_sec"] = calib
+        result["calib_sec_mt"] = calib_mt
+    elif which == "parse":
         result = {
             "parse_rows_per_sec": _bench_parse_throughput(spark),
             "parse_rows_per_sec_4m": _bench_parse_throughput(
@@ -801,6 +868,14 @@ def main() -> None:
         core = _spawn("core", sf_dir)
         new = _spawn("new", sf_dir)
         r4 = _spawn("r4", sf_dir)
+        # COLD companion child (r18 verdict item 1): record-only
+        # sidecar evidence — any failure degrades to an error note,
+        # never to the single-JVM fallback (a full result already
+        # exists) and never aborts the bench.
+        try:
+            cold_child = _spawn("cold", sf_dir)
+        except Exception as exc:
+            cold_child = {"error": str(exc)[:500]}
         timings = core["queries"]
         timings_new = new["queries"]
         timings_r4 = r4["queries"]
@@ -846,6 +921,8 @@ def main() -> None:
         }
         for i, p in enumerate(parse_passes, 1):
             sys_pcts[f"parse{i}"] = p.get("sys_pct")
+        if cold_child.get("sys_pct") is not None:
+            sys_pcts["cold"] = cold_child.get("sys_pct")
         calib_sec = calib_secs.get("core")
         # One-shot calib-gated child retry (r13 verdict item 2): the
         # min-of-two-passes-in-one-JVM comparator cannot defend against
@@ -987,6 +1064,7 @@ def main() -> None:
         retry_detail = None
         retry_passes = {}
         sys_pcts = {}
+        cold_child = None
         spark.stop()
         isolated = False
 
@@ -1072,6 +1150,13 @@ def main() -> None:
              # reading >= _SYS_STORM_PCT lands in sys_storm_children
              # so a storm-exposed round is visible at a glance; no
              # gate or retry consumes these.
+             # COLD companion figures (r18 verdict item 1, record-only):
+             # per-entry seconds with the shared shingle cache / IVF
+             # fit memo dropped first (the build lands ON the clock)
+             # beside a same-JVM warm pass — prices the off-clock
+             # boundary the headline warm numbers exclude. None on the
+             # single-JVM fallback; an "error" key if the child failed.
+             "cold": cold_child,
              "sys_pct": sys_pcts or None,
              "sys_storm_children": sorted(
                  k for k, v in sys_pcts.items()

@@ -5279,11 +5279,18 @@ _EDITED_ROUND: dict[str, int] = {
     #   sorts dropped per bucketed plan). asof_join itself is untouched,
     #   but the fingerprint hashes the whole module, so every asof
     #   entry re-greens (same precedent as the r7 bump).
-    "j6_asof_join": 18,
-    "j6_asof_forward": 18,
-    "j6_asof_nearest": 18,
-    "j6_asof_bucketed": 18,
-    "j6_asof_bucketed_nearest": 18,
+    # round-19 (optimization round 2): asof.py's value_cols≠() carry
+    # became hash-aggregable (max/min(_rts) HashAggregate + one
+    # SHUFFLE_HASH winners re-join + row_number picks — SortAggregate
+    # 4 → 0 in the value-carrying plans; differential-identical to the
+    # max_by form on 24 adversarial configs). No catalog entry passes
+    # value_cols, but the fingerprint hashes the whole module, so every
+    # asof entry re-greens (same precedent as the r7/r18 bumps).
+    "j6_asof_join": 19,
+    "j6_asof_forward": 19,
+    "j6_asof_nearest": 19,
+    "j6_asof_bucketed": 19,
+    "j6_asof_bucketed_nearest": 19,
     # - similarity.py: ivf_topk_batch probe selection folded into a
     #   per-query array expression (array_sort over (distance, cell)
     #   structs — bit-identical cell choice; the centroid broadcast

@@ -164,17 +164,19 @@ def asof_join_bucketed(
     CARRY-INs supply each bucket with its cross-bucket candidate, so
     results are row-identical to ``asof_join`` in every direction:
 
-    - ``backward``: per-(key, bucket) latest right pack via ``max_by``
-      (an ordinary partial-aggregatable groupBy — a hot key spreads
-      over its buckets, map-side combine shrinks it before the
-      shuffle), then a running ``last`` over STRICTLY EARLIER buckets
+    - ``backward``: per-(key, bucket) latest right pack (an ordinary
+      partial-aggregatable groupBy over the extreme timestamps — a hot
+      key spreads over its buckets, map-side combine shrinks it before
+      the shuffle; with value columns the winning rows' packs attach
+      via one hash re-join, see the carry block below), then a running
+      ``last`` over STRICTLY EARLIER buckets
       — this window's input is ONE ROW PER BUCKET, not per event, so
       the hyperactive key costs #buckets, not #rows. The carried pack
       is injected at the bucket START with a sort rank below every
       real row (_src=-1) and the usual ascending fill window runs per
       (key, bucket).
-    - ``forward``: the mirror — per-bucket EARLIEST right pack via
-      ``min_by``, running ``last`` over a DESCENDING bucket sort
+    - ``forward``: the mirror — per-bucket EARLIEST right pack,
+      running ``last`` over a DESCENDING bucket sort
       (strictly LATER buckets; the last non-null in that frame is the
       closest later bucket, whose min IS the global min over all
       later buckets since buckets are time-ordered), injected at the
@@ -232,25 +234,83 @@ def asof_join_bucketed(
     need_back = direction in ("backward", "nearest")
     need_fwd = direction in ("forward", "nearest")
     if value_cols:
-        back_agg = F.expr("max_by(_rpack, _rts) AS _pmax")
-        fwd_agg = F.expr("min_by(_rpack, _rts) AS _pmin")
+        # Hash-aggregable carry for packs WITH value columns (r19, the
+        # r18 fix covered only the empty pack): max_by/min_by carry a
+        # struct-typed aggregation buffer, which HashAggregate cannot
+        # hold (mutable fixed-width types only) — the planner fell back
+        # to SortAggregate, a full sort of the filtered right side per
+        # carry direction. Instead (guide §2.3): (1) the per-bucket
+        # extreme TIMESTAMPS aggregate hash-side (max/min(_rts) — a
+        # mutable long buffer); (2) the rows achieving them come back
+        # from ONE re-join of the right frame, SHUFFLE_HASH building on
+        # the tiny one-row-per-bucket extremes table so the right side
+        # is probed, never sorted; (3) a row_number window over the
+        # per-bucket WINNERS (only extreme-ts ties — a handful of rows
+        # per bucket, not the right side) picks one pack per direction.
+        # Every remaining sort is over winner rows, #buckets-sized.
+        # Tie semantics match max_by/min_by: among rows tied on the
+        # extreme timestamp the picked pack is arbitrary; the reported
+        # _rts is deterministic either way (the operator's documented
+        # tie contract).
+        ext = r.groupBy(key, "_b").agg(
+            *([F.max("_rts").alias("_mx")] if need_back else []),
+            *([F.min("_rts").alias("_mn")] if need_fwd else []),
+        )
+        ext_filter = " OR ".join(
+            (["_rts = _mx"] if need_back else [])
+            + (["_rts = _mn"] if need_fwd else [])
+        )
+        winners = (
+            r.select(key, "_b", "_rts", "_rpack")
+            .join(ext.hint("shuffle_hash"), [key, "_b"])
+            .where(F.expr(ext_filter))
+        )
+
+        def pick(dir_: str) -> DataFrame:
+            ext_col, order, out = (
+                ("_mx", "DESC", "_pmax")
+                if dir_ == "backward"
+                else ("_mn", "ASC", "_pmin")
+            )
+            w = f"PARTITION BY `{key}`, _b ORDER BY _rts {order}"
+            return (
+                winners.where(F.col("_rts") == F.col(ext_col))
+                .selectExpr(
+                    f"`{key}`",
+                    "_b",
+                    "_rpack",
+                    f"row_number() OVER ({w}) AS _rn",
+                )
+                .where(F.col("_rn") == 1)
+                .selectExpr(f"`{key}`", "_b", f"_rpack AS {out}")
+            )
+
+        if need_back and need_fwd:
+            # every bucket with winners has both picks — inner join
+            rb = pick("backward").join(pick("forward"), [key, "_b"])
+        elif need_back:
+            rb = pick("backward")
+        else:
+            rb = pick("forward")
     else:
         # value_cols=(): the pack is struct(_rts) alone, so the pack of
-        # the max/min-_rts row IS struct(max/min(_rts)). max_by/min_by
-        # carry a struct-typed aggregation buffer, which HashAggregate
-        # cannot hold (mutable fixed-width types only) — the planner
-        # falls back to SortAggregate and pays a full sort of the
-        # filtered right side per direction. Plain max/min keep a
-        # timestamp buffer → HashAggregate, and the struct is rebuilt
-        # in the projection above the aggregate (r18; ties are
+        # the max/min-_rts row IS struct(max/min(_rts)). Plain max/min
+        # keep a timestamp buffer → HashAggregate, and the struct is
+        # rebuilt in the projection above the aggregate (r18; ties are
         # irrelevant — all tied packs are identical when the pack has
         # no value columns).
-        back_agg = F.expr("named_struct('_rts', max(_rts)) AS _pmax")
-        fwd_agg = F.expr("named_struct('_rts', min(_rts)) AS _pmin")
-    rb = r.groupBy(key, "_b").agg(
-        *([back_agg] if need_back else []),
-        *([fwd_agg] if need_fwd else []),
-    )
+        rb = r.groupBy(key, "_b").agg(
+            *(
+                [F.expr("named_struct('_rts', max(_rts)) AS _pmax")]
+                if need_back
+                else []
+            ),
+            *(
+                [F.expr("named_struct('_rts', min(_rts)) AS _pmin")]
+                if need_fwd
+                else []
+            ),
+        )
     # ONE distinct over the left's (key, bucket) pairs, FULL OUTER
     # joined to the per-bucket aggregate: every bucket either side
     # touches appears exactly once, and the right side is scanned and

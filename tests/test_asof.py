@@ -215,6 +215,81 @@ def test_asof_nearest_plan_has_no_unbounded_following_frame(spark):
     assert "unboundedfollowing" not in plan.lower().replace(" ", ""), plan
 
 
+def test_asof_bucketed_value_cols_no_sort_aggregate(spark):
+    """r19 optimization pin (the r18 fix covered only value_cols=()):
+    with value columns the carry no longer uses max_by/min_by (whose
+    struct aggregation buffer forces a SortAggregate over the whole
+    right side) — extremes aggregate hash-side, winning rows re-join,
+    a row_number over per-bucket winners picks the pack. Three sides:
+    (1) full-row identity (timestamps AND carried values) to the plain
+    asof_join on a fixture whose right (key, ts) pairs are UNIQUE, so
+    the pick is never ambiguous; (2) matched-timestamp identity on the
+    adversarial tie-full fixture (tags on ties are arbitrary in BOTH
+    formulations — the documented contract); (3) the executed plan
+    carries NO SortAggregate."""
+    from logvision_spark.operators.asof import asof_join_bucketed
+
+    # tie-free right side: one right row per (user, ts)
+    base = datetime.datetime(2024, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    import random
+
+    rng = random.Random(11)
+    left = spark.createDataFrame(
+        [
+            (i, f"u{rng.randrange(4)}", base + rng.randrange(30_000) * sec)
+            for i in range(200)
+        ],
+        ["event_id", "user", "ts"],
+    )
+    seen = set()
+    rrows = []
+    for j in range(150):
+        k = (f"u{rng.randrange(3)}", rng.randrange(30_000))
+        if k in seen:
+            continue
+        seen.add(k)
+        rrows.append((k[0], base + k[1] * sec, f"t{j}"))
+    right = spark.createDataFrame(rrows, ["user", "ts", "tag"])
+
+    ldf, rdf = _bucketed_fixture(spark)
+    for direction in ("backward", "forward", "nearest"):
+        plain = {
+            r["event_id"]: (r["ts_asof"], r["tag_asof"])
+            for r in asof_join(
+                left, right, key="user", value_cols=("tag",),
+                direction=direction,
+            ).collect()
+        }
+        bucketed = asof_join_bucketed(
+            left, right, key="user", value_cols=("tag",),
+            bucket="1 hour", direction=direction,
+        )
+        got = {
+            r["event_id"]: (r["ts_asof"], r["tag_asof"])
+            for r in bucketed.collect()
+        }
+        assert got == plain, direction
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan, (direction, plan)
+        # adversarial fixture: ts-identity (tie tags are arbitrary)
+        plain_ts = {
+            r["event_id"]: r["ts_asof"]
+            for r in asof_join(
+                ldf, rdf, key="user", value_cols=("tag",),
+                direction=direction,
+            ).collect()
+        }
+        got_ts = {
+            r["event_id"]: r["ts_asof"]
+            for r in asof_join_bucketed(
+                ldf, rdf, key="user", value_cols=("tag",),
+                bucket="17 minutes", direction=direction,
+            ).collect()
+        }
+        assert got_ts == plain_ts, direction
+
+
 def test_asof_bucketed_empty_pack_equals_plain_and_hash_aggregates(spark):
     """r18 optimization pin: with value_cols=() the per-bucket carry
     aggregate uses plain max/min(_rts) (HashAggregate) instead of
