@@ -154,6 +154,20 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cache xxhash64(shingle) longs, not strings: the production cache
     # layout — 8-byte keys through every downstream shuffle; signatures
     # unchanged (pmod(xxhash64(s), P) ≡ pmod(h, P)).
+    #
+    # Deliberately a SINGLE-PARTITION-shaped, unspread build (r19,
+    # measured): both "improvements" tried here LOST at fixture scale —
+    # (a) spreading the build input (guide §2.5) parallelizes the
+    # explode (build p50 0.62 → 0.48 s) but leaves a 32-partition cache
+    # whose consumers pay ~0.3-0.5 s of extra task scheduling per query
+    # (dedup_drop_list min 1.18 → 1.76 s in the interleaved A/B);
+    # (b) persisting hash-partitioned by the shingle key (guide §2.4,
+    # to erase the consumers' cap-window exchange) did not remove the
+    # exchange from the executed plans and regressed every consumer
+    # (drop_list min 1.20 → 1.47 s). At 100 TB the trade flips — a
+    # production cache would be written bucketed by the shingle key —
+    # but on this bench the scheduler overhead of extra partitions
+    # outweighs a 260k-row exchange; see OPTIMIZATION_r19.md.
     sh = (
         exploded_shingles(_t(spark, sf_dir, "documents"))
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
@@ -5262,17 +5276,26 @@ _EDITED_ROUND: dict[str, int] = {
     "a11_value_sum_faithful": 18,
     "a12_class_counts": 18,
     "a13_class_timeline": 18,
-    "dedup_minhash_sig": 18,
-    "dedup_minhash_fast": 18,
-    "dedup_ngram_jaccard": 18,
-    "stream_dedup_distinct_props": 18,
-    "dedup_simhash": 18,
-    "dedup_drop_list": 18,
-    "dedup_drop_list_16band": 18,
-    "dedup_clusters": 18,
     "a_user_trend_slope": 18,
     "corpus_quality_funnel": 18,
-    "decontam_ngram_overlap": 18,
+    # round-19 (optimization round 2): dedup.py gained
+    # _spread_small_input — a data-adaptive round-robin spread applied
+    # ONLY to minhash_signatures_rows (dedup_minhash_sig min 0.51→0.38,
+    # p50 0.69→0.43; the only behavioral plan change). The other eight
+    # bumps are module-hash collateral: the rejected Arrow shingle+hash
+    # prototype was removed post-measurement (it lives in
+    # experiments/rejected_arrow_shingles_r19.py) and dedup.py is
+    # hashed into every dedup/decontam entry's fingerprint, so they
+    # re-green together as usual.
+    "dedup_minhash_sig": 19,
+    "dedup_minhash_fast": 19,
+    "dedup_ngram_jaccard": 19,
+    "stream_dedup_distinct_props": 19,
+    "dedup_simhash": 19,
+    "dedup_drop_list": 19,
+    "dedup_drop_list_16band": 19,
+    "dedup_clusters": 19,
+    "decontam_ngram_overlap": 19,
     # - asof.py: value_cols=() special case in asof_join_bucketed — the
     #   empty pack's max_by/min_by (struct aggregation buffer forces
     #   SortAggregate) became struct(max/min(_rts)) (HashAggregate; 3

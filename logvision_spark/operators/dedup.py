@@ -181,6 +181,39 @@ def word_shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     )
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the plan would otherwise run in fewer tasks (r19; guide §2.5's
+    unsplittable-input case): a small or single-row-group parquet file
+    yields ONE scan partition, which serializes every downstream
+    per-row stage — the shingle explode multiplies rows ~50× inside
+    that single task (measured at sf0.1: the 8-gram explode+hash pass
+    0.53 s → 0.27 s p50 once spread). Data-adaptive, not a local-mode
+    constant: a big scan already yields >= parallelism partitions, so
+    the condition never fires at scale and no shuffle is added; when it
+    does fire, the exchange moves only the pre-explode rows (ids +
+    texts). Streaming frames pass through untouched (no .rdd there).
+
+    Applied ONLY where the interleaved A/B won (r19): the portable
+    MinHash Arrow pass (`minhash_signatures_rows`: min 0.51→0.38, p50
+    0.69→0.43 — its numpy fold body is heavy and one slow core no
+    longer owns the whole stage). Deliberately NOT inside
+    exploded_shingles, the cache build, or `simhash_rows`: for cheap
+    per-row work the extra exchange + 32-task scheduling measurably
+    LOSES or ties at fixture scale (dedup_minhash_fast min 0.66→0.94
+    when exploded_shingles spread; the 32-partition shingle CACHE cost
+    every consumer ~0.3-0.5 s of task scheduling; simhash flipped sign
+    between windows), and in multi-branch queries the serial explode
+    hides under concurrently scheduled sibling stages (decontam min
+    unchanged by spreading). See OPTIMIZATION_r19.md."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exploded_shingles(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -472,7 +505,11 @@ def minhash_signatures_rows(
     def body(batches):
         return _minhash_arrow_batches(batches, id_col, text_col, num_hashes, n)
 
-    return df.select(id_col, text_col).mapInArrow(body, schema)
+    # spread a single-partition scan so the numpy folds parallelize
+    # (r19, guide §2.5 — see _spread_small_input; no-op at scale)
+    return _spread_small_input(df.select(id_col, text_col)).mapInArrow(
+        body, schema
+    )
 
 
 def _simhash_arrow_batches(batches, id_col: str, text_col: str, bits: int):
@@ -536,6 +573,11 @@ def simhash_rows(
     def body(batches):
         return _simhash_arrow_batches(batches, id_col, text_col, bits)
 
+    # deliberately NOT spread (unlike minhash_signatures_rows): the
+    # unigram-vote body is light enough that the spread's exchange +
+    # task scheduling only tied across two interleaved A/Bs (mins
+    # 0.38/0.37 then 0.29/0.36) — below this box's discrimination
+    # threshold, so the simpler plan stays (r19)
     return df.select(id_col, text_col).mapInArrow(
         body, f"{id_col} long, {schema_name} long"
     )

@@ -139,3 +139,36 @@ def test_latest_event_ts_tie_broken_by_id(spark):
         F.max_by("event_type", order).alias("last_type"),
     ).collect()[0]
     assert got["last_id"] == 2 and got["last_type"] == "b"
+
+
+def test_spread_small_input_is_adaptive(spark):
+    """r19 optimization pin for dedup._spread_small_input (guide §2.5):
+    a sub-parallelism input is round-robin spread to the session's
+    default parallelism so per-row stages (the minhash Arrow fold) stop
+    serializing in one scan task; an input already at or above the
+    parallelism passes through UNCHANGED (the no-op-at-scale contract);
+    row multiset is preserved."""
+    from logvision_spark.operators.dedup import (
+        _spread_small_input,
+        minhash_signatures_rows,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        ["doc_id", "text"],
+    ).coalesce(1)
+    spread = _spread_small_input(small)
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(map(tuple, spread.collect())) == sorted(
+        map(tuple, small.collect())
+    )
+
+    wide = small.repartition(target + 3)
+    assert _spread_small_input(wide) is wide
+
+    # the portable MinHash Arrow pass rides the spread: same rows as an
+    # unspread input, more than one task on a multi-core session
+    sig_small = sorted(map(tuple, minhash_signatures_rows(small, n=2).collect()))
+    sig_wide = sorted(map(tuple, minhash_signatures_rows(wide, n=2).collect()))
+    assert sig_small == sig_wide
