@@ -3251,12 +3251,21 @@ def _ivf_model(base: DataFrame, sf_dir: str, tag: str, n_cells: int, seed: int):
     "the row-count gate. 15-of-16 probes leave the same margin the "
     "single-query entry uses (KMeans cell boundaries shift with "
     "partitioning across sessions; observed min-probe for full recall "
-    "is 12). At scale the assignment is a stored column "
-    "(similarity.assign_cells at write time + cell_col= at probe time "
-    "— 2x measured at 500k vectors, asserted row-identical).",
+    "is 12). The IVF-top-k ∩ exact-top-k intersection comes from "
+    "similarity.ivf_recall_table — ONE shared corpus scan scores every "
+    "(query, vector) pair once and both ranks (probed-only and "
+    "full-base) read that table (r18 verdict item 5; previously the "
+    "operator branch and a brute-force branch each scanned and scored "
+    "the base, then sort-merge-joined their top-k sets). Row-identity "
+    "of the harness with ivf_topk_batch(...)⋈brute-force is pinned by "
+    "tests/test_extensions.py::test_ivf_recall_table_equals_operator_join, "
+    "so the production operator stays the thing being checked. At "
+    "scale the assignment is a stored column (similarity.assign_cells "
+    "at write time + cell_col= at probe time — 2x measured at 500k "
+    "vectors, asserted row-identical).",
 )
 def ivf_topk_batch_recall(spark, sf_dir):
-    from logvision_spark.operators.similarity import cosine_cols_sql, ivf_topk_batch
+    from logvision_spark.operators.similarity import ivf_recall_table
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 3).select(
@@ -3264,27 +3273,9 @@ def ivf_topk_batch_recall(spark, sf_dir):
     )
     base = emb.where(F.col("vec_id") >= 3)
     model = _ivf_model(base, sf_dir, "ge3", n_cells=16, seed=42)
-    ivf = ivf_topk_batch(
+    hits = ivf_recall_table(
         base, qs, k=10, n_cells=16, n_probe=15, seed=42, model=model
     )
-
-    # exact-side score/rank as single parses (r18 second sweep; same
-    # trees — SQL ASC/DESC NULLS defaults match F.col().desc()/bare asc)
-    scored = base.crossJoin(F.broadcast(qs)).selectExpr(
-        "q_id",
-        "vec_id",
-        f"round({cosine_cols_sql('embedding', 'qe')}, 6) AS cos_sim",
-    )
-    exact = (
-        scored.selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY q_id "
-            "ORDER BY cos_sim DESC, vec_id) AS rn",
-        )
-        .where(F.col("rn") <= 10)
-        .drop("rn")
-    )
-    hits = ivf.join(exact, ["q_id", "vec_id", "cos_sim"])
     return hits.groupBy("q_id").agg((F.count(F.lit(1)) >= 7).alias("recall_ok"))
 
 
@@ -5314,6 +5305,23 @@ _EDITED_ROUND: dict[str, int] = {
     "j6_asof_nearest": 19,
     "j6_asof_bucketed": 19,
     "j6_asof_bucketed_nearest": 19,
+    # round-19 (optimization round 2): the ivf_topk_batch recall
+    # harness moved to similarity.ivf_recall_table — ONE shared corpus
+    # scan scores every (query, vector) pair once and both ranks
+    # (probed-only and full-base) read that table; the probe-cell
+    # array expression is shared via _probe_cells_sql (r18 verdict
+    # item 5; row-identity with the two-branch operator⋈brute-force
+    # form pinned by test_ivf_recall_table_equals_operator_join).
+    # ivf_topk_batch is the behavior-changed entry; the other sim/emb
+    # entries re-green because similarity.py is hashed into their
+    # fingerprints (same precedent as the module-wide bumps above).
+    "ivf_topk_batch": 19,
+    "ivf_topk_vec0": 19,
+    "sim_topk_batch": 19,
+    "sim_near_pairs": 19,
+    "sim_near_pairs_lsh": 19,
+    "sim_srp_topk_vec0": 19,
+    "emb_int8_quantize": 19,
     # - similarity.py: ivf_topk_batch probe selection folded into a
     #   per-query array expression (array_sort over (distance, cell)
     #   structs — bit-identical cell choice; the centroid broadcast

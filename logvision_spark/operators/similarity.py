@@ -569,6 +569,144 @@ def ivf_topk(
     )
 
 
+def _probe_cells_sql(model, query_vec_col: str, n_probe: int) -> str:
+    """SQL string of the per-query PROBE-CELL array: the `n_probe`
+    (distance, cell) structs nearest the normalized query, as
+    ``slice(array_sort(array(named_struct(...), ...)), 1, n_probe)``.
+
+    Ranks cells by Euclidean distance of the NORMALIZED query to the
+    centroid (the assignment metric): for unit q̂, argmin ||q̂-c||²
+    = argmin (||c||²/2 − q̂·c) — one dot fold per (query, cell) pair,
+    all ≤n_cells of them inside ONE array expression per query row.
+    ||c||²/2 is a Python-side constant per centroid (the quantizer is
+    driver-side by construction), so each struct's distance is a
+    single fold over the query vector; array_sort orders by (d, cell)
+    — the exact mirror of the r17 window's (score DESC, cell ASC), d
+    being the IEEE negation of the score.
+
+    Built as ONE F.expr PARSE, not nested Column calls: the Column
+    form cost n_cells·(n_dim + ~20) py4j round trips — ~1.6 s of
+    pure driver-side builder time at 16×64 (profiled; lit(list) is
+    sugar for per-element lits in classic PySpark) — where one SQL
+    string parses JVM-side in milliseconds. The parsed tree is the
+    same expression: zip_with/aggregate folds with double casts,
+    0.0D accumulators, try_divide+coalesce zero-norm guard (exactly
+    `dot`/`l2_norm`'s lambdas). Constants round-trip exactly via
+    CAST('<repr>' AS DOUBLE) — shortest-round-trip repr parsed by a
+    correctly-rounded parser. Shared by `ivf_topk_batch` (explodes it
+    to (q_id, cell) probe pairs) and `ivf_recall_table` (keeps it as
+    a membership array on the broadcast query rows)."""
+
+    def _dbl(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    qv_sql = f"`{query_vec_col}`"
+    qn_sql = (
+        f"sqrt(aggregate(transform({qv_sql}, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+    cell_sqls = []
+    for i, c in enumerate(model.clusterCenters()):
+        arr = "array(" + ", ".join(_dbl(float(x)) for x in c) + ")"
+        dot_sql = (
+            f"aggregate(zip_with({qv_sql}, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+        half = _dbl(0.5 * sum(float(x) * float(x) for x in c))
+        cell_sqls.append(
+            f"named_struct('_d', {half} - coalesce(try_divide({dot_sql}, "
+            f"{qn_sql}), 0.0D), 'cell', {i})"
+        )
+    cells_sql = "array(" + ", ".join(cell_sqls) + ")"
+    return f"slice(array_sort({cells_sql}), 1, {int(n_probe)})"
+
+
+def ivf_recall_table(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "qe",
+    seed: int = 42,
+    model=None,
+) -> DataFrame:
+    """Recall harness for `ivf_topk_batch` from ONE shared corpus scan
+    (r18 verdict item 5): returns exactly the rows of
+    ``ivf_topk_batch(df, queries, ...).join(exact_topk,
+    [q_id, id, cos_sim])`` — each query's IVF top-k intersected with
+    its brute-force top-k over the FULL base — without scanning and
+    scoring the base once per side.
+
+    The two-branch harness planned: (assign → probe-join → score →
+    rank) ⋈SMJ (cross-join → score → rank) — two corpus scans, two
+    cosine folds per surviving (q, v) pair, 4 exchanges and a
+    sort-merge join of the two top-k tables. But both branches rank
+    THE SAME rounded score on the same (q, v) pairs; the IVF side is
+    the exact side restricted to the probed cells. So: score every
+    (q, v) pair ONCE (the brute-force pass — already unavoidable for
+    the exact side), flag each row with probe membership
+    (array_contains over the per-query probe-cell array riding the
+    query broadcast — no join), and take BOTH row_numbers over one
+    hash-partition-by-q_id exchange:
+
+    - `_rn_exact` ranks all rows (cos_sim DESC, id) — brute-force rank;
+    - `_rn_ivf` ranks (probed DESC, cos_sim DESC, id) — probed rows
+      sort strictly first, so among themselves they carry exactly the
+      ranks `ivf_topk_batch` assigns its candidates, and unprobed rows
+      can never claim an IVF rank ≤ k once probed rows fill it (the
+      `_in_probe` filter discards them regardless).
+
+    A row joins the intersection iff `_in_probe AND _rn_ivf <= k AND
+    _rn_exact <= k AND cos_sim IS NOT NULL` (the NULL guard mirrors
+    join-key equality semantics — a NULL score never equi-joins).
+    Row-identity with the two-branch form is pinned by
+    tests/test_extensions.py::test_ivf_recall_table_equals_operator_join
+    across probe counts including full-probe. One scan, one cosine per
+    pair, 2 exchanges (rank + whatever consumes the result); the
+    recall property is NOT weakened — the exact side still ranks the
+    full base, the IVF side still ranks only quantizer-probed cells.
+    """
+    if model is None:
+        model = fit_ivf(df, n_cells=n_cells, seed=seed, vec_col=vec_col)
+    vecs = _unit_vectors(df.select(F.col(id_col), F.col(vec_col)), vec_col)
+    assigned = model.transform(vecs).drop("_v")
+    q2 = queries.selectExpr(
+        f"`{query_id_col}`",
+        f"`{query_vec_col}`",
+        f"transform({_probe_cells_sql(model, query_vec_col, n_probe)}, "
+        "s -> s.cell) AS _pc",
+    )
+    scored = assigned.crossJoin(F.broadcast(q2)).selectExpr(
+        f"`{query_id_col}`",
+        f"`{id_col}`",
+        f"round({cosine_cols_sql(vec_col, query_vec_col)}, 6) AS cos_sim",
+        "coalesce(array_contains(_pc, cell), false) AS _in_probe",
+    )
+    rn_exact = (
+        f"row_number() OVER (PARTITION BY `{query_id_col}` "
+        f"ORDER BY cos_sim DESC, `{id_col}` ASC) AS _rn_exact"
+    )
+    rn_ivf = (
+        f"row_number() OVER (PARTITION BY `{query_id_col}` "
+        f"ORDER BY _in_probe DESC, cos_sim DESC, `{id_col}` ASC) AS _rn_ivf"
+    )
+    return (
+        scored.selectExpr("*", rn_exact, rn_ivf)
+        .where(
+            F.expr(
+                f"_in_probe AND _rn_ivf <= {int(k)} AND "
+                f"_rn_exact <= {int(k)} AND cos_sim IS NOT NULL"
+            )
+        )
+        .select(query_id_col, id_col, "cos_sim")
+    )
+
+
 def ivf_topk_batch(
     df: DataFrame,
     queries: DataFrame,
@@ -640,57 +778,16 @@ def ivf_topk_batch(
         )
         assigned = model.transform(vecs).drop("_v")
 
-    # rank cells by Euclidean distance of the NORMALIZED query to the
-    # centroid (the assignment metric): for unit q̂, argmin ||q̂-c||²
-    # = argmin (||c||²/2 − q̂·c) — one dot fold per (query, cell) pair,
-    # all ≤n_cells of them inside ONE array expression per query row.
-    # ||c||²/2 is a Python-side constant per centroid (the quantizer is
-    # driver-side by construction), so each struct's distance is a
-    # single fold over the query vector; array_sort orders by (d, cell)
-    # — the exact mirror of the previous window's (score DESC, cell
-    # ASC), d being the IEEE negation of the score.
-    #
-    # Built as ONE F.expr PARSE, not nested Column calls: the Column
-    # form cost n_cells·(n_dim + ~20) py4j round trips — ~1.6 s of
-    # pure driver-side builder time at 16×64 (profiled; lit(list) is
-    # sugar for per-element lits in classic PySpark) — where one SQL
-    # string parses JVM-side in milliseconds. The parsed tree is the
-    # same expression: zip_with/aggregate folds with double casts,
-    # 0.0D accumulators, try_divide+coalesce zero-norm guard (exactly
-    # `dot`/`l2_norm`'s lambdas). Constants round-trip exactly via
-    # CAST('<repr>' AS DOUBLE) — shortest-round-trip repr parsed by a
-    # correctly-rounded parser.
-    def _dbl(x: float) -> str:
-        return f"CAST('{x!r}' AS DOUBLE)"
-
-    qv_sql = f"`{query_vec_col}`"
-    qn_sql = (
-        f"sqrt(aggregate(transform({qv_sql}, x -> CAST(x AS DOUBLE) * "
-        "CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
-    )
-    cell_sqls = []
-    for i, c in enumerate(model.clusterCenters()):
-        arr = "array(" + ", ".join(_dbl(float(x)) for x in c) + ")"
-        dot_sql = (
-            f"aggregate(zip_with({qv_sql}, {arr}, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
-            "(acc, x) -> acc + x)"
-        )
-        half = _dbl(0.5 * sum(float(x) * float(x) for x in c))
-        cell_sqls.append(
-            f"named_struct('_d', {half} - coalesce(try_divide({dot_sql}, "
-            f"{qn_sql}), 0.0D), 'cell', {i})"
-        )
     # probe explode, score projection and the rank window as single
     # parses too (r18 second sweep): the remaining Column chains here
     # were ~150 round trips per build. Same trees — explode over the
-    # sliced sorted struct array, round(cosine, 6), row_number on
-    # (cos_sim DESC, id ASC) with SQL's default NULLS ordering matching
-    # F.desc()/F.asc().
-    cells_sql = "array(" + ", ".join(cell_sqls) + ")"
+    # sliced sorted struct array (see _probe_cells_sql), round(cosine,
+    # 6), row_number on (cos_sim DESC, id ASC) with SQL's default NULLS
+    # ordering matching F.desc()/F.asc().
+    probe_sql = _probe_cells_sql(model, query_vec_col, n_probe)
     probes = queries.selectExpr(
         f"`{query_id_col}`",
-        f"explode(slice(array_sort({cells_sql}), 1, {n_probe})) AS _p",
+        f"explode({probe_sql}) AS _p",
     ).selectExpr(f"`{query_id_col}`", "_p.cell AS cell")
 
     cand = assigned.join(probes, "cell").join(

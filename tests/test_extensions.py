@@ -418,6 +418,60 @@ def test_ivf_topk_batch_full_probe_equals_bruteforce(spark, sf_dir):
         assert sorted(map(tuple, a)) == sorted(map(tuple, b)), n_probe
 
 
+def test_ivf_recall_table_equals_operator_join(spark, sf_dir):
+    """The shared-scan recall harness (r19) must return EXACTLY the
+    rows of the two-branch form it replaced: ivf_topk_batch's top-k
+    equi-joined on (q_id, id, rounded score) with the brute-force
+    top-k over the full base — across probe widths including
+    full-probe (where both sides collapse to brute force) and a
+    sparse probe (where the IVF side genuinely misses rows). This is
+    what keeps the production operator the thing the catalog entry
+    checks after the harness stopped invoking it per-branch."""
+    from logvision_spark.operators.similarity import (
+        cosine_cols,
+        fit_ivf,
+        ivf_recall_table,
+        ivf_topk_batch,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    data = emb.where(F.col("vec_id") >= 3)
+    model = fit_ivf(data, n_cells=8, seed=42)
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    exact = (
+        data.crossJoin(F.broadcast(qs))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_cols("embedding", "qe"), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    for n_probe in (1, 2, 4, 8):
+        ivf = ivf_topk_batch(
+            data, qs, k=10, n_cells=8, n_probe=n_probe, model=model
+        )
+        old = ivf.join(exact, ["q_id", "vec_id", "cos_sim"]).collect()
+        new = ivf_recall_table(
+            data, qs, k=10, n_cells=8, n_probe=n_probe, model=model
+        ).collect()
+        assert sorted(map(tuple, old)) == sorted(map(tuple, new)), n_probe
+    # full probe: the intersection IS the brute-force top-10 per query
+    full = ivf_recall_table(
+        data, qs, k=10, n_cells=8, n_probe=8, model=model
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
 def test_ivf_batch_cell_col_requires_model(spark, sf_dir):
     """Stored cells with no quantizer must hard-fail: a silently refit
     KMeans has no centroid-id correspondence with the assignments."""
