@@ -153,6 +153,15 @@ QUERIES = [
     "ivf_topk_batch",
     "dedup_drop_list",
 ]
+# r19: a targeted re-run (the 16band quiet-window exponent, r18
+# verdict item 7) need not pay the full 5-query campaign or the cap
+# A/B tail — LV_SCALE_QUERIES narrows the list, LV_SCALE_SKIP_CAP
+# skips the A/B; defaults reproduce the full campaign unchanged.
+if os.environ.get("LV_SCALE_QUERIES"):
+    QUERIES = [
+        q for q in os.environ["LV_SCALE_QUERIES"].split(",") if q in QUERIES
+    ]
+SKIP_CAP = bool(os.environ.get("LV_SCALE_SKIP_CAP"))
 HOT_PHRASE = "the quick brown fox jumps over the lazy dog again"  # 10 toks
 CAP = 1000  # the operators' default max_doc_freq
 
@@ -290,6 +299,13 @@ def _box_probe() -> tuple[float, float]:
 
 
 def main() -> None:
+    # /proc/stat kernel-time bracket over the whole campaign (r18
+    # verdict item 7: publish the exponent WITH sys% evidence beside
+    # it — the spin probes are blind to the box's memory-compaction
+    # sys-storms; bench.py's storm flag splits the modes at 25%)
+    import bench
+
+    cpu0 = bench._proc_cpu_jiffies()
     st0, mt0 = _box_probe()
     print(f"box probe before: st={st0} mt={mt0}")
     # BOTH probes gate: the 1-thread spin always finds a free core
@@ -362,8 +378,11 @@ def main() -> None:
           + f"{cexp:10.2f}")
 
     # ---- hot-shingle cap A/B under df doubling ----
-    print("\nhot-shingle cap A/B (ngram_jaccard_pairs, phrase df = 500*m, "
-          f"cap = {CAP}):")
+    if SKIP_CAP:
+        scales = []
+    else:
+        print("\nhot-shingle cap A/B (ngram_jaccard_pairs, phrase df = "
+              f"500*m, cap = {CAP}):")
     for m in scales:
         hot = _hot_docs(m).persist()
         hot.count()
@@ -388,6 +407,9 @@ def main() -> None:
     print(f"\nbox probe after: st={st1} mt={mt1} "
           f"(before: st={st0} mt={mt0}) — figures are quiet-window "
           f"evidence only if both ends sit near the idle floor")
+    sys_pct = bench._sys_pct_between(cpu0, bench._proc_cpu_jiffies())
+    print(f"campaign sys%: {sys_pct} (storm threshold "
+          f"{bench._SYS_STORM_PCT}; quiet children read ~3-12)")
     spark.stop()
 
 
