@@ -5323,26 +5323,6 @@ _EDITED_ROUND: dict[str, int] = {
     "j6_asof_nearest": 19,
     "j6_asof_bucketed": 19,
     "j6_asof_bucketed_nearest": 19,
-    # round-19 (optimization round 2): the ivf_topk_batch recall
-    # harness moved to similarity.ivf_recall_table — ONE shared corpus
-    # scan scores every (query, vector) pair once and both ranks
-    # (probed-only and full-base) read that table; the probe-cell
-    # array expression is shared via _probe_cells_sql (r18 verdict
-    # item 5; row-identity with the two-branch operator⋈brute-force
-    # form pinned by test_ivf_recall_table_equals_operator_join).
-    # ivf_topk_batch is the behavior-changed entry; the other sim/emb
-    # entries re-green because similarity.py is hashed into their
-    # fingerprints (same precedent as the module-wide bumps above).
-    "ivf_topk_batch": 19,
-    "ivf_topk_vec0": 19,
-    "sim_topk_batch": 19,
-    "sim_near_pairs": 19,
-    "sim_near_pairs_lsh": 19,
-    "sim_srp_topk_vec0": 19,
-    "emb_int8_quantize": 19,
-    # round-19: q21's semi/anti build sides gained SHUFFLE_HASH hints
-    # (sorts 3 → 0, declared shape kept — see the builder comment).
-    "q21_waiting_suppliers": 19,
     # - similarity.py: ivf_topk_batch probe selection folded into a
     #   per-query array expression (array_sort over (distance, cell)
     #   structs — bit-identical cell choice; the centroid broadcast
@@ -5375,6 +5355,28 @@ _EDITED_ROUND: dict[str, int] = {
     "corpus_split_counts": 18,
     "pack_token_bins": 18,
     "fp_rolling_hash": 18,
+    # round-19 (optimization round 2): the ivf_topk_batch recall
+    # harness moved to similarity.ivf_recall_table — ONE shared corpus
+    # scan scores every (query, vector) pair once and both ranks
+    # (probed-only and full-base) read that table; the probe-cell
+    # array expression is shared via _probe_cells_sql (r18 verdict
+    # item 5; row-identity with the two-branch operator⋈brute-force
+    # form pinned by test_ivf_recall_table_equals_operator_join).
+    # ivf_topk_batch is the behavior-changed entry; the other sim/emb
+    # entries re-green because similarity.py is hashed into their
+    # fingerprints (same precedent as the module-wide bumps above;
+    # the module also grew quote_ident identifier escaping — r18
+    # ADVICE — shared with asof.py/dedup.py via operators/util.py).
+    "ivf_topk_batch": 19,
+    "ivf_topk_vec0": 19,
+    "sim_topk_batch": 19,
+    "sim_near_pairs": 19,
+    "sim_near_pairs_lsh": 19,
+    "sim_srp_topk_vec0": 19,
+    "emb_int8_quantize": 19,
+    # round-19: q21's semi/anti build sides gained SHUFFLE_HASH hints
+    # (sorts 3 → 0, declared shape kept — see the builder comment).
+    "q21_waiting_suppliers": 19,
 }
 
 

@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logvision_spark.operators.util import quote_ident as _qi
+from logvision_spark.operators.util import validate_sql_literal as _lit
+
 
 def _nearest_pick_sql(fb: str, ff: str) -> str:
     """SQL for the nearest-direction candidate pick: the backward pack
@@ -55,13 +58,14 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lcols = left.columns
+    kq, ltq, rtq = _qi(key), _qi(left_ts), _qi(right_ts)
     # frame constructions as single selectExpr calls (r18): the
     # withColumn chains and the per-field struct aliases cost a py4j
     # round trip per Column op — pure driver-side builder latency; the
     # parsed projections are the same expressions in the same output
     # order (named_struct mirrors the struct aliases, 1/0 literals the
     # lit() ints)
-    l = left.selectExpr("*", "1 AS _src", f"`{left_ts}` AS _ts")
+    l = left.selectExpr("*", "1 AS _src", f"{ltq} AS _ts")
     # The matched right row travels as ONE struct, so every carried
     # field comes from the SAME row as the reported timestamp: filling
     # each column independently with last(ignorenulls) fabricated data —
@@ -70,24 +74,25 @@ def asof_join(
     # key or NULL timestamp are excluded up front: SQL join semantics
     # never match NULL keys (Window.partitionBy would have grouped
     # them), and a row without a timestamp has no as-of position.
-    pack_sql = "named_struct('_rts', `%s`%s)" % (
-        right_ts,
+    pack_sql = "named_struct('_rts', %s%s)" % (
+        rtq,
         "".join(
-            f", '{c}{suffix}', `{c}`" for c in value_cols
+            f", '{_lit(f'{c}{suffix}', 'value_col name')}', {_qi(c)}"
+            for c in value_cols
         ),
     )
     r = right.where(
-        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+        F.col(kq).isNotNull() & F.col(rtq).isNotNull()
     ).selectExpr(
-        f"`{key}`",
-        f"`{right_ts}` AS _rts",
+        kq,
+        f"{rtq} AS _rts",
         f"{pack_sql} AS _rpack",
         "0 AS _src",
-        f"`{right_ts}` AS _ts",
+        f"{rtq} AS _ts",
     )
 
     combined = l.unionByName(
-        r.select(key, "_src", "_ts", "_rpack"),
+        r.selectExpr(kq, "_src", "_ts", "_rpack"),
         allowMissingColumns=True,
     )
     # right rows (_src=0) sort before left rows at equal timestamps in
@@ -100,22 +105,25 @@ def asof_join(
     # frames on the same sort orders (SQL ASC/DESC NULLS defaults match
     # Column.asc()/.desc()), the same unix_micros CASE pick.
     w_back = (
-        f"PARTITION BY `{key}` ORDER BY _ts ASC, _src ASC "
+        f"PARTITION BY {kq} ORDER BY _ts ASC, _src ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     w_fwd = (
-        f"PARTITION BY `{key}` ORDER BY _ts DESC, _src ASC "
+        f"PARTITION BY {kq} ORDER BY _ts DESC, _src ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     suffixed = [f"{c}{suffix}" for c in value_cols]
 
     def unpack(pack_sql_, out_names):
         return [
-            *[f"{pack_sql_}.`{name}` AS `{name}`" for name in out_names],
-            f"{pack_sql_}._rts AS `{right_ts}{suffix}`",
+            *[
+                f"{pack_sql_}.{_qi(name)} AS {_qi(name)}"
+                for name in out_names
+            ],
+            f"{pack_sql_}._rts AS {_qi(f'{right_ts}{suffix}')}",
         ]
 
-    lcols_sql = [f"`{c}`" for c in lcols]
+    lcols_sql = [_qi(c) for c in lcols]
     if direction in ("backward", "forward"):
         w = w_back if direction == "backward" else w_fwd
         filled = combined.selectExpr(
@@ -202,30 +210,36 @@ def asof_join_bucketed(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lcols = left.columns
+    kq, ltq, rtq = _qi(key), _qi(left_ts), _qi(right_ts)
+    # the width string lands inside a single-quoted SQL literal; a
+    # quote in it produced a confusing parse error where F.window gave
+    # the interval-format message (r18 ADVICE) — reject it up front
+    bucket = _lit(bucket, "bucket width")
     # frame constructions as single selectExpr calls — same projections,
     # one parse instead of a py4j round trip per Column op (r18; see
     # asof_join's note)
     l = left.selectExpr(
         "*",
         "1 AS _src",
-        f"`{left_ts}` AS _ts",
-        f"window(`{left_ts}`, '{bucket}').start AS _b",
+        f"{ltq} AS _ts",
+        f"window({ltq}, '{bucket}').start AS _b",
     )
-    pack_sql = "named_struct('_rts', `%s`%s)" % (
-        right_ts,
+    pack_sql = "named_struct('_rts', %s%s)" % (
+        rtq,
         "".join(
-            f", '{c}{suffix}', `{c}`" for c in value_cols
+            f", '{_lit(f'{c}{suffix}', 'value_col name')}', {_qi(c)}"
+            for c in value_cols
         ),
     )
     r = right.where(
-        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+        F.col(kq).isNotNull() & F.col(rtq).isNotNull()
     ).selectExpr(
-        f"`{key}`",
-        f"`{right_ts}` AS _rts",
+        kq,
+        f"{rtq} AS _rts",
         f"{pack_sql} AS _rpack",
         "0 AS _src",
-        f"`{right_ts}` AS _ts",
-        f"window(`{right_ts}`, '{bucket}').start AS _b",
+        f"{rtq} AS _ts",
+        f"window({rtq}, '{bucket}').start AS _b",
     )
     # spine over every (key, bucket) either side touches, so gaps
     # between right buckets still receive the carry. ONE per-bucket
@@ -252,7 +266,7 @@ def asof_join_bucketed(
         # extreme timestamp the picked pack is arbitrary; the reported
         # _rts is deterministic either way (the operator's documented
         # tie contract).
-        ext = r.groupBy(key, "_b").agg(
+        ext = r.groupBy(F.col(kq), F.col("_b")).agg(
             *([F.max("_rts").alias("_mx")] if need_back else []),
             *([F.min("_rts").alias("_mn")] if need_fwd else []),
         )
@@ -261,7 +275,7 @@ def asof_join_bucketed(
             + (["_rts = _mn"] if need_fwd else [])
         )
         winners = (
-            r.select(key, "_b", "_rts", "_rpack")
+            r.selectExpr(kq, "_b", "_rts", "_rpack")
             .join(ext.hint("shuffle_hash"), [key, "_b"])
             .where(F.expr(ext_filter))
         )
@@ -272,17 +286,17 @@ def asof_join_bucketed(
                 if dir_ == "backward"
                 else ("_mn", "ASC", "_pmin")
             )
-            w = f"PARTITION BY `{key}`, _b ORDER BY _rts {order}"
+            w = f"PARTITION BY {kq}, _b ORDER BY _rts {order}"
             return (
                 winners.where(F.col("_rts") == F.col(ext_col))
                 .selectExpr(
-                    f"`{key}`",
+                    kq,
                     "_b",
                     "_rpack",
                     f"row_number() OVER ({w}) AS _rn",
                 )
                 .where(F.col("_rn") == 1)
-                .selectExpr(f"`{key}`", "_b", f"_rpack AS {out}")
+                .selectExpr(kq, "_b", f"_rpack AS {out}")
             )
 
         if need_back and need_fwd:
@@ -299,7 +313,7 @@ def asof_join_bucketed(
         # rebuilt in the projection above the aggregate (r18; ties are
         # irrelevant — all tied packs are identical when the pack has
         # no value columns).
-        rb = r.groupBy(key, "_b").agg(
+        rb = r.groupBy(F.col(kq), F.col("_b")).agg(
             *(
                 [F.expr("named_struct('_rts', max(_rts)) AS _pmax")]
                 if need_back
@@ -320,7 +334,11 @@ def asof_join_bucketed(
     # fired and the right side shuffled twice. Both join children here
     # already hash-partition on (key, _b) from their own aggregates, so
     # the join adds no exchange.)
-    sp = l.select(key, "_b").distinct().join(rb, [key, "_b"], "full_outer")
+    sp = (
+        l.selectExpr(kq, "_b")
+        .distinct()
+        .join(rb, [key, "_b"], "full_outer")
+    )
 
     # Windows, carries and unpack projections as single SQL parses (r18
     # — same recipe and same trees as asof_join; see its note).
@@ -334,7 +352,7 @@ def asof_join_bucketed(
 
     def carry_window(order: str) -> str:
         return (
-            f"PARTITION BY `{key}` ORDER BY {order} "
+            f"PARTITION BY {kq} ORDER BY {order} "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
         )
 
@@ -344,7 +362,7 @@ def asof_join_bucketed(
         pack, order, inject_ts = carry_spec(dir_)
         return (
             sp.selectExpr(
-                f"`{key}`",
+                kq,
                 "_b",
                 f"last({pack}, true) OVER ({carry_window(order)}) AS _rpack",
             )
@@ -353,29 +371,32 @@ def asof_join_bucketed(
         )
 
     w_back = (
-        f"PARTITION BY `{key}`, _b ORDER BY _ts ASC, _src ASC "
+        f"PARTITION BY {kq}, _b ORDER BY _ts ASC, _src ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     w_fwd = (
-        f"PARTITION BY `{key}`, _b ORDER BY _ts DESC, _src ASC "
+        f"PARTITION BY {kq}, _b ORDER BY _ts DESC, _src ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     suffixed = [f"{c}{suffix}" for c in value_cols]
 
     def unpack(pack_sql_):
         return [
-            *[f"{pack_sql_}.`{name}` AS `{name}`" for name in suffixed],
-            f"{pack_sql_}._rts AS `{right_ts}{suffix}`",
+            *[
+                f"{pack_sql_}.{_qi(name)} AS {_qi(name)}"
+                for name in suffixed
+            ],
+            f"{pack_sql_}._rts AS {_qi(f'{right_ts}{suffix}')}",
         ]
 
-    lcols_sql = [f"`{c}`" for c in lcols]
+    lcols_sql = [_qi(c) for c in lcols]
     if direction in ("backward", "forward"):
         w = w_back if direction == "backward" else w_fwd
         combined = l.unionByName(
-            r.select(key, "_b", "_src", "_ts", "_rpack"),
+            r.selectExpr(kq, "_b", "_src", "_ts", "_rpack"),
             allowMissingColumns=True,
         ).unionByName(
-            carry_for(direction).select(key, "_b", "_src", "_ts", "_rpack"),
+            carry_for(direction).selectExpr(kq, "_b", "_src", "_ts", "_rpack"),
             allowMissingColumns=True,
         )
         filled = combined.selectExpr(
@@ -387,7 +408,7 @@ def asof_join_bucketed(
 
     # nearest: real right rows feed BOTH fills; each carry feeds only its own
     r_both = r.selectExpr(
-        f"`{key}`", "_b", "_src", "_ts",
+        kq, "_b", "_src", "_ts",
         "_rpack AS _pb", "_rpack AS _pf",
     )
     # BOTH carries in ONE pass over sp: calling carry_for() per
@@ -403,13 +424,13 @@ def asof_join_bucketed(
     none_pack = "CASE WHEN false THEN _cb END"  # typed NULL pack
     carries = (
         sp.selectExpr(
-            f"`{key}`",
+            kq,
             "_b",
             f"last({bpack}, true) OVER ({carry_window(border)}) AS _cb",
             f"last({fpack}, true) OVER ({carry_window(forder)}) AS _cf",
         )
         .selectExpr(
-            f"`{key}`",
+            kq,
             "_b",
             "explode(array("
             f"named_struct('_ts', {binject}, '_pb', _cb, '_pf', {none_pack}), "
@@ -417,7 +438,7 @@ def asof_join_bucketed(
             ")) AS _e",
         )
         .selectExpr(
-            f"`{key}`",
+            kq,
             "_b",
             "_e._ts AS _ts",
             "_e._pb AS _pb",

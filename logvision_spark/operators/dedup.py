@@ -913,6 +913,11 @@ def near_dup_drop_list(
     the explode per pass, which Catalyst pipelines into each side's
     shuffle map stage.
     """
+    # the verify embeds the threshold as CAST('<repr>' AS DOUBLE) (one
+    # parse); a Decimal or numpy scalar reprs to a non-numeric string
+    # and fails under ANSI cast where F.lit() accepted it (r18 ADVICE)
+    # — coerce up front so any numeric type round-trips exactly
+    threshold = float(threshold)
     if fast:
         # UNIFIED single-subtree pipeline (r18, guide §2.4): signatures,
         # band keys and the verify arrays all derive from ONE pass over

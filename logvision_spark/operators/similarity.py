@@ -26,6 +26,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from logvision_spark.operators.util import quote_ident as _qi
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double — sequential fold, deterministic."""
@@ -79,7 +81,7 @@ def cosine_cols_sql(a_name: str, b_name: str) -> str:
     assemble a LARGER single-parse projection (e.g. `round(..., 6) AS
     cos_sim` inside one selectExpr) can embed it without a second
     Column round trip."""
-    a_sql, b_sql = f"`{a_name}`", f"`{b_name}`"
+    a_sql, b_sql = _qi(a_name), _qi(b_name)
     dot_sql = (
         f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
@@ -600,7 +602,7 @@ def _probe_cells_sql(model, query_vec_col: str, n_probe: int) -> str:
     def _dbl(x: float) -> str:
         return f"CAST('{x!r}' AS DOUBLE)"
 
-    qv_sql = f"`{query_vec_col}`"
+    qv_sql = _qi(query_vec_col)
     qn_sql = (
         f"sqrt(aggregate(transform({qv_sql}, x -> CAST(x AS DOUBLE) * "
         "CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
@@ -676,24 +678,24 @@ def ivf_recall_table(
     vecs = _unit_vectors(df.select(F.col(id_col), F.col(vec_col)), vec_col)
     assigned = model.transform(vecs).drop("_v")
     q2 = queries.selectExpr(
-        f"`{query_id_col}`",
-        f"`{query_vec_col}`",
+        _qi(query_id_col),
+        _qi(query_vec_col),
         f"transform({_probe_cells_sql(model, query_vec_col, n_probe)}, "
         "s -> s.cell) AS _pc",
     )
     scored = assigned.crossJoin(F.broadcast(q2)).selectExpr(
-        f"`{query_id_col}`",
-        f"`{id_col}`",
+        _qi(query_id_col),
+        _qi(id_col),
         f"round({cosine_cols_sql(vec_col, query_vec_col)}, 6) AS cos_sim",
         "coalesce(array_contains(_pc, cell), false) AS _in_probe",
     )
     rn_exact = (
-        f"row_number() OVER (PARTITION BY `{query_id_col}` "
-        f"ORDER BY cos_sim DESC, `{id_col}` ASC) AS _rn_exact"
+        f"row_number() OVER (PARTITION BY {_qi(query_id_col)} "
+        f"ORDER BY cos_sim DESC, {_qi(id_col)} ASC) AS _rn_exact"
     )
     rn_ivf = (
-        f"row_number() OVER (PARTITION BY `{query_id_col}` "
-        f"ORDER BY _in_probe DESC, cos_sim DESC, `{id_col}` ASC) AS _rn_ivf"
+        f"row_number() OVER (PARTITION BY {_qi(query_id_col)} "
+        f"ORDER BY _in_probe DESC, cos_sim DESC, {_qi(id_col)} ASC) AS _rn_ivf"
     )
     return (
         scored.selectExpr("*", rn_exact, rn_ivf)
@@ -786,18 +788,21 @@ def ivf_topk_batch(
     # ordering matching F.desc()/F.asc().
     probe_sql = _probe_cells_sql(model, query_vec_col, n_probe)
     probes = queries.selectExpr(
-        f"`{query_id_col}`",
+        _qi(query_id_col),
         f"explode({probe_sql}) AS _p",
-    ).selectExpr(f"`{query_id_col}`", "_p.cell AS cell")
+    ).selectExpr(_qi(query_id_col), "_p.cell AS cell")
 
     cand = assigned.join(probes, "cell").join(
         F.broadcast(queries), query_id_col
     )
-    rw_sql = f"PARTITION BY `{query_id_col}` ORDER BY cos_sim DESC, `{id_col}` ASC"
+    rw_sql = (
+        f"PARTITION BY {_qi(query_id_col)} "
+        f"ORDER BY cos_sim DESC, {_qi(id_col)} ASC"
+    )
     return (
         cand.selectExpr(
-            f"`{query_id_col}`",
-            f"`{id_col}`",
+            _qi(query_id_col),
+            _qi(id_col),
             f"round({cosine_cols_sql(vec_col, query_vec_col)}, 6) AS cos_sim",
         )
         .selectExpr("*", f"row_number() OVER ({rw_sql}) AS _rn")

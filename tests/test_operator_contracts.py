@@ -314,3 +314,56 @@ def test_ivf_memo_keeps_live_sibling_tags(spark, monkeypatch):
     monkeypatch.setattr(cat, "_table_fingerprint", lambda d, t: "fp2")
     cat._ivf_model(base, "/sf", "tag_a", n_cells=4, seed=1)
     assert len(fits) == 3 and len(cat._IVF_MODELS) == 1
+
+
+def test_generated_sql_tolerates_backtick_and_rejects_quote_names(spark):
+    """r18 ADVICE hardening of the single-parse builders: identifiers
+    interpolated into generated SQL must escape embedded backticks
+    (quote_ident), and strings embedded as SQL literals (named_struct
+    field names, the bucket width) must fail with a MEANINGFUL error
+    instead of a confusing parse failure deep in the expression."""
+    import pytest
+    from decimal import Decimal
+
+    from logvision_spark.operators.asof import asof_join, asof_join_bucketed
+    from logvision_spark.operators.dedup import near_dup_drop_list
+    from logvision_spark.operators.similarity import cosine_cols
+
+    # backtick-bearing column names through the cosine SQL twin
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0])], "`a``b` array<float>, `q``e` array<float>"
+    )
+    got = df.select(cosine_cols("a`b", "q`e").alias("c")).first()["c"]
+    assert got == 1.0
+
+    # ...and through the as-of frame constructions (key, ts, value col)
+    left = spark.createDataFrame(
+        [(1, 10)], "`k``ey` long, `t``s` long"
+    ).selectExpr("`k``ey`", "timestamp_micros(`t``s`) AS `t``s`")
+    right = spark.createDataFrame(
+        [(1, 5, 99)], "`k``ey` long, `t``s` long, `v``al` long"
+    ).selectExpr(
+        "`k``ey`", "timestamp_micros(`t``s`) AS `t``s`", "`v``al`"
+    )
+    out = asof_join(
+        left, right, key="k`ey", left_ts="t`s", right_ts="t`s",
+        value_cols=("v`al",),
+    ).first()
+    assert out["v`al_asof"] == 99
+
+    # a Decimal threshold must coerce, not fail the ANSI cast
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    assert near_dup_drop_list(
+        docs, threshold=Decimal("0.5"), n=3, num_hashes=4, bands=2
+    ).count() == 1
+
+    # a quoted bucket width fails fast with the boundary error
+    with pytest.raises(ValueError, match="bucket width"):
+        asof_join_bucketed(left, right, key="k`ey", left_ts="t`s",
+                           right_ts="t`s", bucket="1' hour")
+    # ...and so does a value_col whose suffixed name embeds a quote
+    with pytest.raises(ValueError, match="value_col name"):
+        asof_join(left, right, key="k`ey", left_ts="t`s", right_ts="t`s",
+                  value_cols=("v`al",), suffix="_a'sof")
