@@ -506,9 +506,17 @@ FROM e FULL OUTER JOIN p ON e.hour = p.hour
 )
 def j2_timeline_full_outer(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    hour = F.date_format(
-        F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    ).alias("hour")
+    # group/join on the 8-byte truncated TIMESTAMP and format the 26-char
+    # display string once per joined bucket AFTER the join (guide §2.3
+    # narrow keys — the a6_count_by_second r18 precedent; date_format is
+    # injective on whole hours so grouping/join equality is unchanged,
+    # and the format input is the same truncated value as before).
+    # SHUFFLE_HASH on the error side: both aggregates already partition
+    # by the key, so the SMJ added only its two sorts — the hash join
+    # drops them (guide §3.1; full-outer shuffled-hash is supported
+    # since Spark 3.1, and each build partition is bounded by the
+    # pre-aggregated bucket cardinality, never raw rows).
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
     e = (
         ev.where(F.col("event_type") == "error")
         .groupBy(hour)
@@ -519,7 +527,17 @@ def j2_timeline_full_outer(spark, sf_dir):
         .groupBy(hour)
         .agg(F.count(F.lit(1)).alias("purchase_cnt"))
     )
-    return timeline_full_outer(e, p, key="hour", good_alias="error_cnt", bad_alias="purchase_cnt")
+    return timeline_full_outer(
+        e.hint("shuffle_hash"),
+        p,
+        key="hour",
+        good_alias="error_cnt",
+        bad_alias="purchase_cnt",
+    ).select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("hour"),
+        "error_cnt",
+        "purchase_cnt",
+    )
 
 
 @register(
@@ -5377,6 +5395,11 @@ _EDITED_ROUND: dict[str, int] = {
     # round-19: q21's semi/anti build sides gained SHUFFLE_HASH hints
     # (sorts 3 → 0, declared shape kept — see the builder comment).
     "q21_waiting_suppliers": 19,
+    # round-19: j2 groups/joins on the truncated TIMESTAMP (8-byte key,
+    # the a6 precedent) with the display format applied once after the
+    # join, and the error side hints SHUFFLE_HASH (full-outer SMJ's two
+    # sorts dropped; inputs stay pre-aggregated).
+    "j2_timeline_full_outer": 19,
 }
 
 

@@ -1275,14 +1275,24 @@ def connected_components(
         from pyspark.sql import types as T
 
         id_type = und.schema["src"].dataType
-        labels = spark.createDataFrame(
-            [(n, comp_min[find(n)]) for n in parent],
-            T.StructType(
-                [
-                    T.StructField("id", id_type),
-                    T.StructField("label", id_type),
-                ]
-            ),
+        # broadcast by construction: the probe bounded this label set at
+        # driver_finish_max_edges edges (the driver already holds it in
+        # Python dicts, which cost more than the broadcast relation).
+        # Without the hint the createDataFrame relation carries no size
+        # statistics, so the planner sort-merge-joined it — shuffling
+        # the ENTIRE id scan (the corpus, at scale) to attach labels the
+        # driver computed locally. BroadcastHashJoin removes both
+        # exchanges and both sorts from the final join (guide §3.1).
+        labels = F.broadcast(
+            spark.createDataFrame(
+                [(n, comp_min[find(n)]) for n in parent],
+                T.StructType(
+                    [
+                        T.StructField("id", id_type),
+                        T.StructField("label", id_type),
+                    ]
+                ),
+            )
         )
     elif distributed_algorithm == "star":
         labels = _star_labels(und, max_iter=max_iter)
