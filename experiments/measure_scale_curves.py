@@ -96,6 +96,11 @@ bound; see ARCHITECTURE.md "Scaling curves" for the reading):
     0.78 stays a valid UPPER bound and the data-dependent exponent is
     materially smaller (0.44 on this window; 0.90 fitting only the
     warm 2x->8x points). The 1x reading carries first-run JVM warmup.
+    A second r19 campaign (quiet-gated entry, but campaign sys% 28.9
+    ABOVE the 25 storm threshold - upper bounds except as minima)
+    read 1.310/3.786/4.181/4.459 (fit 0.54); its m=1/m=8 points are
+    new cross-campaign minima, putting the 8x floor at 4.46 s and
+    the min-per-point fit across all probe-gated campaigns at 0.56.
 
     All proportionality gates held exactly at every scale: drop
     lists 244/488/976/1952 rows, clusters 5k/10k/20k/40k, trend
